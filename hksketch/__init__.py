@@ -1,0 +1,16 @@
+"""hksketch — a Ray-Data-native distributed sketch / approximate-aggregation
+engine with the query capabilities of pmcgleenon/heavykeeper-rs (v0.7.0),
+rebuilt from scratch on `ray.data.Dataset` pipelines.
+
+Layout (SURVEY.md §7.0):
+- ``hksketch.sketch``     pure NumPy kernels (no Ray): HeavyKeeper top-k
+  variants + HLL / count-min / Bloom / t-digest / KLL.
+- ``hksketch.ray_glue``   Ray Data UDAFs (AggregateFnV2), actor-pool stages,
+  checkpoint/resume.
+- ``hksketch.text``       tokenizer / extraction / analysis (vectorized).
+- ``hksketch.dedup``      exact + MinHash-LSH + SimHash + n-gram + embedding dedup.
+- ``hksketch.sim``        similarity search over embedding columns.
+- ``hksketch.pipelines``  end-to-end pipelines + deterministic fixtures.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,213 @@
+"""Shared sketch plumbing: config validation, decay tables, serialization.
+
+Every sketch in this package follows the contracts the reference establishes
+for HeavyKeeper (SURVEY.md §2.1, §7.6):
+
+- seeded construction (`/root/reference/src/heavykeeper.rs:118-121`) with
+  validated parameters (`/root/reference/src/bucketed.rs:577-585`);
+- param-compat-checked associative ``merge`` incl. a seed/hasher probe
+  (`/root/reference/src/bucketed.rs:373-375`);
+- ``to_bytes``/``from_bytes`` (sketches travel through Ray shuffles as
+  binary blobs inside ordinary Arrow rows);
+- ``mem_bytes`` accounting (`/root/reference/src/heavykeeper.rs:388-403`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+from typing import Any, Type
+
+import numpy as np
+import pyarrow as pa
+
+U64_MAX = 2**64 - 1
+U64_MAX_F = 18446744073709551615.0  # u64::MAX as f64 (rounds to 2^64)
+DECAY_LOOKUP_SIZE = 1024
+DEFAULT_SEED = 12345
+MERGE_PROBE = b"hksketch-merge-compat-probe"
+
+_MAGIC = b"HKS1"
+
+
+class SketchError(ValueError):
+    """Base error for sketch construction/merge failures."""
+
+
+class BuilderError(SketchError):
+    """Invalid construction parameters (mirrors the reference's builder
+    validation, /root/reference/src/bucketed.rs:558-597)."""
+
+
+class IncompatibleSketchError(SketchError):
+    """Merge between sketches with differing params/seed
+    (/root/reference/src/heavykeeper.rs:407-434)."""
+
+
+def validate_topk_params(k: int, width: int, depth: int, decay: float) -> None:
+    if not isinstance(k, (int, np.integer)) or k < 1:
+        raise BuilderError(f"k must be a positive integer, got {k!r}")
+    if not isinstance(width, (int, np.integer)) or width < 1:
+        raise BuilderError(f"width must be >= 1, got {width!r}")
+    if not isinstance(depth, (int, np.integer)) or depth < 1:
+        raise BuilderError(f"depth must be >= 1, got {depth!r}")
+    if not isinstance(decay, (int, float)) or not math.isfinite(decay):
+        raise BuilderError(f"decay must be finite, got {decay!r}")
+    if not (0.0 <= float(decay) <= 1.0):
+        raise BuilderError(f"decay must be in [0, 1], got {decay!r}")
+
+
+def precompute_decay_thresholds(
+    decay: float, num_entries: int = DECAY_LOOKUP_SIZE
+) -> np.ndarray:
+    """``threshold[c] = decay^c * u64::MAX`` with saturating float→u64 cast.
+
+    Full-u64 scaling so decay=1.0 ⇒ the roll always fires
+    (/root/reference/src/heavykeeper.rs:95-104).
+    """
+    out = np.empty(num_entries, dtype=np.uint64)
+    for c in range(num_entries):
+        v = (float(decay) ** c) * U64_MAX_F
+        out[c] = min(int(v), U64_MAX) if v > 0 else 0
+    return out
+
+
+def decay_threshold(table: np.ndarray, count: int) -> int:
+    """Table lookup for count < len(table); otherwise extrapolate via
+    ``last^q * table[r]`` with powf (/root/reference/src/heavykeeper.rs:356-369)."""
+    n = len(table)
+    if count < n:
+        return int(table[count])
+    last = float(table[n - 1]) / U64_MAX_F
+    divisor = n - 1
+    q = float(count // divisor)
+    r = int(count % divisor)
+    rem = float(table[r]) / U64_MAX_F
+    v = (last**q) * rem * U64_MAX_F
+    return min(int(v), U64_MAX)
+
+
+# ---------------------------------------------------------------------------
+# Serialization framing
+# ---------------------------------------------------------------------------
+
+def pack_sketch(
+    header: dict[str, Any],
+    arrays: dict[str, np.ndarray],
+    tables: dict[str, pa.Table] | None = None,
+) -> bytes:
+    """Frame: MAGIC | u32 header_len | header json | raw array bytes |
+    arrow-IPC tables.  Array dtype/shape and table byte-lengths live in the
+    header so decoding needs no probing."""
+    tables = tables or {}
+    meta = dict(header)
+    meta["_arrays"] = {
+        name: {"dtype": str(a.dtype), "shape": list(a.shape)}
+        for name, a in arrays.items()
+    }
+    table_blobs: dict[str, bytes] = {}
+    for name, t in tables.items():
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        table_blobs[name] = sink.getvalue().to_pybytes()
+    meta["_tables"] = {name: len(b) for name, b in table_blobs.items()}
+    hdr = json.dumps(meta, separators=(",", ":")).encode("utf-8")
+    parts = [_MAGIC, struct.pack("<I", len(hdr)), hdr]
+    for name in meta["_arrays"]:
+        parts.append(np.ascontiguousarray(arrays[name]).tobytes())
+    for name in meta["_tables"]:
+        parts.append(table_blobs[name])
+    return b"".join(parts)
+
+
+def unpack_sketch(
+    blob: bytes,
+) -> tuple[dict[str, Any], dict[str, np.ndarray], dict[str, pa.Table]]:
+    if blob[:4] != _MAGIC:
+        raise SketchError("not a serialized sketch (bad magic)")
+    (hdr_len,) = struct.unpack("<I", blob[4:8])
+    off = 8 + hdr_len
+    meta = json.loads(blob[8:off].decode("utf-8"))
+    arrays: dict[str, np.ndarray] = {}
+    for name, spec in meta.pop("_arrays").items():
+        dtype = np.dtype(spec["dtype"])
+        shape = tuple(spec["shape"])
+        nbytes = dtype.itemsize * int(np.prod(shape)) if shape else dtype.itemsize
+        arrays[name] = np.frombuffer(blob, dtype=dtype, count=int(np.prod(shape)), offset=off).reshape(shape).copy()
+        off += nbytes
+    tables: dict[str, pa.Table] = {}
+    for name, nbytes in meta.pop("_tables").items():
+        with pa.ipc.open_stream(pa.BufferReader(blob[off : off + nbytes])) as r:
+            tables[name] = r.read_all()
+        off += nbytes
+    return meta, arrays, tables
+
+
+def rng_state_to_json(rng: "np.random.Generator") -> dict:
+    st = rng.bit_generator.state
+    return {
+        "bit_generator": st["bit_generator"],
+        "state": str(st["state"]["state"]),
+        "inc": str(st["state"]["inc"]),
+        "has_uint32": st.get("has_uint32", 0),
+        "uinteger": st.get("uinteger", 0),
+    }
+
+
+def rng_state_from_json(rng: "np.random.Generator", js: dict) -> None:
+    rng.bit_generator.state = {
+        "bit_generator": js["bit_generator"],
+        "state": {"state": int(js["state"]), "inc": int(js["inc"])},
+        "has_uint32": js.get("has_uint32", 0),
+        "uinteger": js.get("uinteger", 0),
+    }
+
+
+_REGISTRY: dict[str, Type] = {}
+
+
+def register_sketch(kind: str):
+    def deco(cls):
+        _REGISTRY[kind] = cls
+        cls.KIND = kind
+        return cls
+
+    return deco
+
+
+def sketch_from_bytes(blob: bytes):
+    """Polymorphic deserialization for any registered sketch kind."""
+    meta, arrays, tables = unpack_sketch(blob)
+    cls = _REGISTRY.get(meta.get("kind", ""))
+    if cls is None:
+        raise SketchError(f"unknown sketch kind {meta.get('kind')!r}")
+    return cls._from_parts(meta, arrays, tables)
+
+
+def pq_to_table(pq) -> pa.Table:
+    """TopKQueue → arrow table (fp, count, seq, item) in sorted output order."""
+    entries = pq.entries()
+    fps = pa.array([e[0] for e in entries], type=pa.uint64())
+    counts = pa.array([e[1] for e in entries], type=pa.uint64())
+    seqs = pa.array([e[2] for e in entries], type=pa.uint64())
+    items = pa.array([e[3] for e in entries])
+    return pa.table({"fp": fps, "count": counts, "seq": seqs, "item": items})
+
+
+def pq_from_table(t: pa.Table, k: int, seq_counter: int):
+    from .pq import TopKQueue
+
+    pq = TopKQueue(k)
+    fps = t.column("fp").to_pylist()
+    counts = t.column("count").to_pylist()
+    seqs = t.column("seq").to_pylist()
+    items = t.column("item").to_pylist()
+    for fp, count, seq, item in zip(fps, counts, seqs, items):
+        pq._map[fp] = [count, seq, item]
+        import heapq
+
+        heapq.heappush(pq._heap, (count, seq, fp))
+    pq._seq = max(seq_counter, max(seqs, default=-1) + 1)
+    return pq

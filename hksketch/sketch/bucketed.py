@@ -1,0 +1,426 @@
+"""BucketedTopK — single-hash HeavyKeeper variant (the engine's default).
+
+Semantics from the reference's ``BucketedTopK``
+(`/root/reference/src/bucketed.rs`): one hash per key selects ONE bucket of
+``depth`` cells; scan cells for fingerprint match / first empty / min-count
+cell (`src/bucketed.rs:187-258`); match → saturating add; empty → claim;
+else probabilistic decay of the min cell only with takeover on zero
+(`src/bucketed.rs:452-476`).  The top-k register holds max-only counts
+(paper Alg. 1 heap rule), gated by the cached min PQ count when full.
+Merge is PQ-first with pre-merge bucket-count snapshots, then per-bucket
+cell union with min-eviction (`src/bucketed.rs:348-449`).
+
+This implementation is *batch-vectorized*: keys are collapsed to unique
+fingerprints with summed weights per batch (the reference itself collapses
+duplicates via the ``increment`` argument, `src/bucketed.rs:187`), the
+match/claim fast paths run as NumPy gathers/scatters, and only decay-path
+keys and intra-batch bucket conflicts fall back to an ordered scalar loop.
+Processing order within a batch is fingerprint-ascending — deterministic and
+independent of row order inside the batch; merge compatibility across
+workers only requires equal (k, width, depth, decay, seed).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import _as_arrow_array, bucket_indices, hash_array, hash_scalar
+from .base import (
+    DEFAULT_SEED,
+    MERGE_PROBE,
+    U64_MAX,
+    IncompatibleSketchError,
+    decay_threshold,
+    pack_sketch,
+    pq_from_table,
+    pq_to_table,
+    precompute_decay_thresholds,
+    register_sketch,
+    unpack_sketch,
+    validate_topk_params,
+    rng_state_to_json,
+    rng_state_from_json,
+)
+from .pq import TopKQueue
+
+U64 = np.uint64
+
+
+@register_sketch("bucketed")
+class BucketedTopK:
+    """Top-k heavy-hitter sketch; bucketed (single-hash) HeavyKeeper layout."""
+
+    def __init__(
+        self,
+        k: int,
+        width: int,
+        depth: int,
+        decay: float,
+        seed: int = DEFAULT_SEED,
+    ):
+        validate_topk_params(k, width, depth, decay)
+        self.k = int(k)
+        self.width = int(width)
+        self.depth = int(depth)
+        self.decay = float(decay)
+        self.seed = int(seed)
+        # cells[b, c]: bucket b holds `depth` cells
+        self.fp = np.zeros((self.width, self.depth), dtype=np.uint64)
+        self.cnt = np.zeros((self.width, self.depth), dtype=np.uint64)
+        self.decay_tbl = precompute_decay_thresholds(self.decay)
+        self.rng = np.random.default_rng(self.seed)
+        self.pq = TopKQueue(self.k)
+        self.min_pq_count = 0
+
+    # -- hashing ---------------------------------------------------------
+
+    def _hash(self, values: Any) -> np.ndarray:
+        return hash_array(values, self.seed)
+
+    # -- core add --------------------------------------------------------
+
+    def add(self, item: Any, increment: int = 1) -> None:
+        self.add_batch([item], np.array([increment], dtype=np.uint64))
+
+    def add_batch(self, items: Any, weights: Any | None = None) -> None:
+        """Add a column of keys with optional weights (one weighted stream
+        event per row; weight 0 rows are no-ops, src/bucketed.rs:193-195)."""
+        arr = _as_arrow_array(items)
+        n = len(arr)
+        if n == 0:
+            return
+        h = self._hash(arr)
+        if weights is None:
+            w = np.ones(n, dtype=np.float64)
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+        uniq, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
+        wsum = np.bincount(inv, weights=w, minlength=len(uniq))
+        keep = wsum > 0
+        uniq, first_idx, wsum = uniq[keep], first_idx[keep], wsum[keep]
+        if len(uniq) == 0:
+            return
+        wsum = wsum.astype(np.uint64)
+        self._add_unique(uniq, wsum, arr, first_idx)
+
+    def _add_unique(
+        self,
+        uniq: np.ndarray,
+        wsum: np.ndarray,
+        arr: pa.Array,
+        first_idx: np.ndarray,
+    ) -> None:
+        m = len(uniq)
+        bidx = bucket_indices(uniq, self.width)
+
+        # intra-batch bucket conflicts → ordered scalar path
+        order = np.argsort(bidx, kind="stable")
+        sorted_b = bidx[order]
+        dup = np.zeros(m, dtype=bool)
+        if m > 1:
+            same_as_prev = np.empty(m, dtype=bool)
+            same_as_prev[0] = False
+            same_as_prev[1:] = sorted_b[1:] == sorted_b[:-1]
+            conflict_sorted = same_as_prev.copy()
+            conflict_sorted[:-1] |= same_as_prev[1:]
+            dup[order] = conflict_sorted
+
+        bfp = self.fp[bidx]  # (m, depth) gathers
+        bcnt = self.cnt[bidx]
+        nonzero = bcnt > 0
+        match_mask = (bfp == uniq[:, None]) & nonzero
+        has_match = match_mask.any(axis=1)
+        match_col = np.argmax(match_mask, axis=1)
+        empty_mask = ~nonzero
+        has_empty = empty_mask.any(axis=1)
+        empty_col = np.argmax(empty_mask, axis=1)
+
+        final = np.zeros(m, dtype=np.uint64)
+        ok = np.ones(m, dtype=bool)  # False → decay failed, no cell count
+
+        vec = ~dup
+        mm = vec & has_match
+        if mm.any():
+            rows, cols = bidx[mm], match_col[mm]
+            old = self.cnt[rows, cols]
+            new = old + wsum[mm]
+            new = np.where(new < old, U64(U64_MAX), new)  # saturating
+            self.cnt[rows, cols] = new
+            final[mm] = new
+        ee = vec & ~has_match & has_empty
+        if ee.any():
+            rows, cols = bidx[ee], empty_col[ee]
+            self.fp[rows, cols] = uniq[ee]
+            self.cnt[rows, cols] = wsum[ee]
+            final[ee] = wsum[ee]
+
+        scalar = dup | (vec & ~has_match & ~has_empty)
+        if scalar.any():
+            for i in np.flatnonzero(scalar):  # fingerprint-ascending order
+                c = self._add_one(int(uniq[i]), int(bidx[i]), int(wsum[i]))
+                if c is None:
+                    ok[i] = False
+                else:
+                    final[i] = c
+
+        self._update_pq(uniq, final, ok, arr, first_idx)
+
+    def _add_one(self, fp: int, b: int, increment: int) -> int | None:
+        """Scalar single-bucket update (exact src/bucketed.rs:196-235 scan)."""
+        cells_fp = self.fp[b]
+        cells_cnt = self.cnt[b]
+        matched = -1
+        first_empty = -1
+        min_idx = 0
+        min_count = U64_MAX + 1
+        for i in range(self.depth):
+            c = int(cells_cnt[i])
+            if c == 0:
+                if first_empty < 0:
+                    first_empty = i
+                continue
+            if matched < 0 and int(cells_fp[i]) == fp:
+                matched = i
+            if c < min_count:
+                min_count = c
+                min_idx = i
+        if matched >= 0:
+            new = min(int(cells_cnt[matched]) + increment, U64_MAX)
+            cells_cnt[matched] = new
+            return new
+        if first_empty >= 0:
+            cells_fp[first_empty] = fp
+            cells_cnt[first_empty] = increment
+            return increment
+        return self._decay_and_maybe_evict(b, min_idx, fp, increment)
+
+    def _decay_and_maybe_evict(
+        self, b: int, min_idx: int, fp: int, increment: int
+    ) -> int | None:
+        """Probabilistic decay of the min cell; takeover on zero
+        (src/bucketed.rs:452-476). Some(count) if the new item took the cell."""
+        remaining = increment
+        cnt = self.cnt[b]
+        while remaining > 0:
+            current = int(cnt[min_idx])
+            threshold = decay_threshold(self.decay_tbl, current)
+            roll = int(self.rng.integers(0, U64_MAX, dtype=np.uint64, endpoint=True))
+            if roll < threshold:
+                current -= 1
+                cnt[min_idx] = current
+                if current == 0:
+                    self.fp[b][min_idx] = fp
+                    cnt[min_idx] = remaining
+                    return remaining
+            remaining -= 1
+        return None
+
+    def _update_pq(
+        self,
+        uniq: np.ndarray,
+        final: np.ndarray,
+        ok: np.ndarray,
+        arr: pa.Array,
+        first_idx: np.ndarray,
+    ) -> None:
+        """Batched paper-Alg.-1 heap update: raise-only for tracked keys,
+        min-gated insert otherwise (src/bucketed.rs:237-257).  Candidate
+        prefilter vs the batch-start min is exact because the PQ min only
+        grows during the loop."""
+        pq = self.pq
+        if len(pq._map):
+            tracked = np.fromiter(pq._map.keys(), dtype=np.uint64, count=len(pq._map))
+            is_tracked = np.isin(uniq, tracked)
+        else:
+            is_tracked = np.zeros(len(uniq), dtype=bool)
+        if pq.is_full():
+            cand = ok & ((final > U64(self.min_pq_count)) | is_tracked)
+        else:
+            cand = ok & (final > 0)
+        for i in np.flatnonzero(cand):
+            fp = int(uniq[i])
+            count = int(final[i])
+            if fp in pq:
+                pq.update_if_present(fp, count)
+                continue
+            if pq.is_full() and count <= pq.min_count():
+                continue
+            item = arr[int(first_idx[i])].as_py()
+            pq.upsert(fp, item, count)
+        if pq.is_full():
+            self.min_pq_count = pq.min_count()
+
+    # -- queries ---------------------------------------------------------
+
+    def bucket_count_fp(self, fp: int) -> int:
+        b = int(bucket_indices(np.array([fp], dtype=np.uint64), self.width)[0])
+        for i in range(self.depth):
+            if int(self.cnt[b][i]) > 0 and int(self.fp[b][i]) == fp:
+                return int(self.cnt[b][i])
+        return 0
+
+    def bucket_count(self, item: Any) -> int:
+        return self.bucket_count_fp(hash_scalar(item, self.seed))
+
+    def count(self, item: Any) -> int:
+        fp = hash_scalar(item, self.seed)
+        c = self.pq.get(fp)
+        if c is not None:
+            return c
+        return self.bucket_count_fp(fp)
+
+    def contains(self, item: Any) -> bool:
+        return self.count(item) > 0
+
+    def contains_top_k(self, item: Any) -> bool:
+        return hash_scalar(item, self.seed) in self.pq
+
+    def list(self) -> list[tuple[Any, int]]:
+        """(item, count) sorted count desc, insertion-sequence asc."""
+        return list(self.pq.iter_sorted())
+
+    def to_table(self) -> pa.Table:
+        items, counts = [], []
+        for item, count in self.pq.iter_sorted():
+            items.append(item)
+            counts.append(count)
+        return pa.table(
+            {"item": pa.array(items), "count": pa.array(counts, type=pa.uint64())}
+        )
+
+    def mem_bytes(self) -> int:
+        return (
+            self.fp.nbytes
+            + self.cnt.nbytes
+            + self.decay_tbl.nbytes
+            + self.pq.mem_bytes()
+        )
+
+    # -- merge -----------------------------------------------------------
+
+    def _check_compatible(self, other: "BucketedTopK") -> None:
+        if type(self) is not type(other):
+            raise IncompatibleSketchError(
+                f"cannot merge {type(other).__name__} into {type(self).__name__}"
+            )
+        for attr in ("width", "depth", "decay", "k"):
+            if getattr(self, attr) != getattr(other, attr):
+                raise IncompatibleSketchError(
+                    f"incompatible {attr}: {getattr(self, attr)} vs {getattr(other, attr)}"
+                )
+        # hasher probe (src/bucketed.rs:373-375): differing seeds hash the
+        # probe differently, so cross-seed merges are rejected.
+        if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
+            raise IncompatibleSketchError("incompatible hasher (different seeds)")
+
+    def merge(self, other: "BucketedTopK") -> "BucketedTopK":
+        """In-place merge of ``other`` (src/bucketed.rs:348-449): PQ first
+        using pre-merge bucket counts as fallback; then per-bucket cell union
+        by fingerprint with min-count eviction on full buckets."""
+        self._check_compatible(other)
+
+        other_pairs = other.pq.entries()  # pre-merge snapshot, sorted order
+        other_fps = set(other.pq._map)
+        self_only = [
+            (fp, e[0], e[2])
+            for fp, e in sorted(
+                self.pq._map.items(), key=lambda kv: (-kv[1][0], kv[1][1])
+            )
+            if fp not in other_fps
+        ]
+        for fp, o_count, _seq, item in other_pairs:
+            s_count = self.pq.get(fp)
+            if s_count is not None:
+                merged = min(s_count + o_count, U64_MAX)
+            else:
+                merged = min(self.bucket_count_fp(fp) + o_count, U64_MAX)
+            self.pq.upsert(fp, item, merged)
+        for fp, s_count, item in self_only:
+            merged = min(s_count + other.bucket_count_fp(fp), U64_MAX)
+            self.pq.upsert(fp, item, merged)
+
+        # cell union, one incoming column at a time (vectorized over buckets)
+        for o in range(self.depth):
+            ofp = other.fp[:, o]
+            ocnt = other.cnt[:, o]
+            active = ocnt > 0
+            if not active.any():
+                continue
+            nonzero = self.cnt > 0
+            match = (self.fp == ofp[:, None]) & nonzero
+            has_match = match.any(axis=1) & active
+            mcol = np.argmax(match, axis=1)
+            rows = np.flatnonzero(has_match)
+            if len(rows):
+                old = self.cnt[rows, mcol[rows]]
+                new = old + ocnt[rows]
+                self.cnt[rows, mcol[rows]] = np.where(new < old, U64(U64_MAX), new)
+            rest = active & ~has_match
+            empty = ~nonzero
+            has_empty = empty.any(axis=1) & rest
+            ecol = np.argmax(empty, axis=1)
+            rows = np.flatnonzero(has_empty)
+            if len(rows):
+                self.fp[rows, ecol[rows]] = ofp[rows]
+                self.cnt[rows, ecol[rows]] = ocnt[rows]
+            rest = rest & ~has_empty
+            rows = np.flatnonzero(rest)
+            if len(rows):
+                # full bucket: replace min cell iff incoming > min
+                sub = self.cnt[rows]
+                mincol = np.argmin(sub, axis=1)
+                mincnt = sub[np.arange(len(rows)), mincol]
+                takeover = ocnt[rows] > mincnt
+                trows = rows[takeover]
+                tcols = mincol[takeover]
+                self.fp[trows, tcols] = ofp[trows]
+                self.cnt[trows, tcols] = ocnt[trows]
+
+        if self.pq.is_full():
+            self.min_pq_count = self.pq.min_count()
+        return self
+
+    # -- serialization ---------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        header = {
+            "kind": self.KIND,
+            "k": self.k,
+            "width": self.width,
+            "depth": self.depth,
+            "decay": self.decay,
+            "seed": self.seed,
+            "min_pq_count": self.min_pq_count,
+            "seq": self.pq.seq_counter,
+            "rng_state": rng_state_to_json(self.rng),
+        }
+        return pack_sketch(
+            header, {"fp": self.fp, "cnt": self.cnt}, {"pq": pq_to_table(self.pq)}
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BucketedTopK":
+        meta, arrays, tables = unpack_sketch(blob)
+        return cls._from_parts(meta, arrays, tables)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays, tables) -> "BucketedTopK":
+        self = cls(meta["k"], meta["width"], meta["depth"], meta["decay"], meta["seed"])
+        self.fp = arrays["fp"].reshape(self.width, self.depth)
+        self.cnt = arrays["cnt"].reshape(self.width, self.depth)
+        self.pq = pq_from_table(tables["pq"], self.k, meta["seq"])
+        self.min_pq_count = meta["min_pq_count"]
+        if meta.get("rng_state"):
+            rng_state_from_json(self.rng, meta["rng_state"])
+        return self
+
+    def state_equal(self, other: "BucketedTopK") -> bool:
+        return (
+            np.array_equal(self.fp, other.fp)
+            and np.array_equal(self.cnt, other.cnt)
+            and {f: e[0] for f, e in self.pq._map.items()}
+            == {f: e[0] for f, e in other.pq._map.items()}
+        )

@@ -1,0 +1,507 @@
+"""CuckooTopK — lobby + cuckoo-homed heavy slots (highest-accuracy variant).
+
+Semantics from the reference's ``CuckooTopK`` (`/root/reference/src/cuckoo.rs`):
+each bucket has one probabilistic-decay "lobby" cell plus ``depth``
+non-decaying "heavy" slots.  New fingerprints land in the lobby of their
+primary bucket (`update_lobby`, `src/cuckoo.rs:635-644`); on winning the
+lobby they attempt promotion into an empty heavy slot of the primary or
+alternate bucket, else evict the min victim iff strictly heavier, re-homing
+the victim via a bounded kick chain (`promote`/`relocate_victim`,
+`src/cuckoo.rs:653-707`, ``max_kicks`` default 8, `src/cuckoo.rs:27`).
+Heavy hits are a non-decaying saturating add (`src/cuckoo.rs:258-261`).
+Alternate bucket: ``index(mix64(fp ^ 0x9e3779b97f4a7c15))`` bumped by one if
+equal (`src/cuckoo.rs:571-582`).  Merge is PQ-first with pre-merge snapshots,
+then other's heavy cells re-inserted by cuckoo semantics with heavy-XOR-lobby
+folding, then other's lobbies (higher-count-wins, ties keep self) —
+deterministic, no decay rolls (`src/cuckoo.rs:410-553`).
+
+Vectorization: the heavy-hit fast path (fingerprint already in a candidate
+bucket) is a NumPy gather/scatter; lobby/promote/kick paths are scalar
+(they are the cold path once elephants are promoted).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import _as_arrow_array, bucket_indices, hash_array, hash_scalar, splitmix64
+from .base import (
+    DEFAULT_SEED,
+    MERGE_PROBE,
+    U64_MAX,
+    BuilderError,
+    IncompatibleSketchError,
+    decay_threshold,
+    pack_sketch,
+    pq_from_table,
+    pq_to_table,
+    precompute_decay_thresholds,
+    register_sketch,
+    rng_state_from_json,
+    rng_state_to_json,
+    unpack_sketch,
+    validate_topk_params,
+)
+from .pq import TopKQueue
+
+U64 = np.uint64
+DEFAULT_MAX_KICKS = 8
+_ALT_XOR = U64(0x9E3779B97F4A7C15)
+
+
+@register_sketch("cuckoo")
+class CuckooTopK:
+    def __init__(
+        self,
+        k: int,
+        width: int,
+        depth: int,
+        decay: float,
+        seed: int = DEFAULT_SEED,
+        max_kicks: int = DEFAULT_MAX_KICKS,
+    ):
+        validate_topk_params(k, width, depth, decay)
+        if not isinstance(max_kicks, (int, np.integer)) or max_kicks < 1:
+            raise BuilderError(f"max_kicks must be >= 1, got {max_kicks!r}")
+        self.k = int(k)
+        self.width = int(width)
+        self.depth = int(depth)
+        self.decay = float(decay)
+        self.seed = int(seed)
+        self.max_kicks = int(max_kicks)
+        self.lobby_fp = np.zeros(self.width, dtype=np.uint64)
+        self.lobby_cnt = np.zeros(self.width, dtype=np.uint64)
+        self.heavy_fp = np.zeros((self.width, self.depth), dtype=np.uint64)
+        self.heavy_cnt = np.zeros((self.width, self.depth), dtype=np.uint64)
+        self.decay_tbl = precompute_decay_thresholds(self.decay)
+        self.rng = np.random.default_rng(self.seed)
+        self.pq = TopKQueue(self.k)
+        self.min_pq_count = 0
+
+    # -- bucket derivation ----------------------------------------------
+
+    def _bucket_pair_vec(self, fps: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        primary = bucket_indices(fps, self.width)
+        if self.width == 1:
+            return primary, primary.copy()
+        alt_h = splitmix64((fps ^ _ALT_XOR) - U64(0x9E3779B97F4A7C15))
+        alternate = bucket_indices(alt_h, self.width)
+        clash = alternate == primary
+        alternate[clash] = (alternate[clash] + 1) % self.width
+        return primary, alternate
+
+    def _bucket_pair(self, fp: int) -> tuple[int, int]:
+        p, a = self._bucket_pair_vec(np.array([fp], dtype=np.uint64))
+        return int(p[0]), int(a[0])
+
+    # -- add -------------------------------------------------------------
+
+    def add(self, item: Any, increment: int = 1) -> None:
+        self.add_batch([item], np.array([increment], dtype=np.uint64))
+
+    def add_batch(self, items: Any, weights: Any | None = None) -> None:
+        arr = _as_arrow_array(items)
+        n = len(arr)
+        if n == 0:
+            return
+        h = hash_array(arr, self.seed)
+        if weights is None:
+            w = np.ones(n, dtype=np.float64)
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+        uniq, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
+        wsum = np.bincount(inv, weights=w, minlength=len(uniq))
+        keep = wsum > 0
+        uniq, first_idx, wsum = uniq[keep], first_idx[keep], wsum[keep]
+        m = len(uniq)
+        if m == 0:
+            return
+        wsum = wsum.astype(np.uint64)
+
+        primary, alternate = self._bucket_pair_vec(uniq)
+        # vectorized heavy-hit fast path (src/cuckoo.rs:246-261)
+        pfp = self.heavy_fp[primary]
+        pcnt = self.heavy_cnt[primary]
+        pmatch = (pfp == uniq[:, None]) & (pcnt > 0)
+        p_has = pmatch.any(axis=1)
+        afp = self.heavy_fp[alternate]
+        acnt = self.heavy_cnt[alternate]
+        amatch = (afp == uniq[:, None]) & (acnt > 0)
+        a_has = amatch.any(axis=1) & ~p_has
+        heavy_hit = p_has | a_has
+
+        # conflicts: two batch keys touching the same heavy bucket
+        tb = np.concatenate([primary[heavy_hit], alternate[heavy_hit]])
+        if len(tb):
+            sb, cts = np.unique(tb, return_counts=True)
+            dup_buckets = sb[cts > 1]
+            in_dup = np.isin(primary, dup_buckets) | np.isin(alternate, dup_buckets)
+        else:
+            in_dup = np.zeros(m, dtype=bool)
+        fast = heavy_hit & ~in_dup
+
+        final = np.zeros(m, dtype=np.uint64)
+        touched = np.zeros(m, dtype=bool)
+
+        if fast.any():
+            rows = np.where(p_has[fast], primary[fast], alternate[fast])
+            cols = np.where(
+                p_has[fast],
+                np.argmax(pmatch, axis=1)[fast],
+                np.argmax(amatch, axis=1)[fast],
+            )
+            old = self.heavy_cnt[rows, cols]
+            new = old + wsum[fast]
+            new = np.where(new < old, U64(U64_MAX), new)
+            self.heavy_cnt[rows, cols] = new
+            final[fast] = new
+            touched[fast] = True
+
+        slow = ~fast
+        for i in np.flatnonzero(slow):
+            c = self._add_one(int(uniq[i]), int(wsum[i]))
+            if c is not None:
+                final[i] = c
+                touched[i] = True
+
+        self._update_pq(uniq, final, touched, arr, first_idx)
+
+    def _add_one(self, fp: int, increment: int) -> int | None:
+        primary, alternate = self._bucket_pair(fp)
+        idx = self._find_heavy(fp, primary, alternate)
+        if idx is not None:
+            b, c = idx
+            new = min(int(self.heavy_cnt[b, c]) + increment, U64_MAX)
+            self.heavy_cnt[b, c] = new
+            return new
+        lobby_count = self._update_lobby(primary, fp, increment)
+        if lobby_count is None:
+            return None
+        if self._promote(fp, lobby_count, primary, alternate):
+            if int(self.lobby_fp[primary]) == fp:
+                self.lobby_fp[primary] = 0
+                self.lobby_cnt[primary] = 0
+            return lobby_count
+        return None  # still in lobby: not PQ-eligible (src/cuckoo.rs:268-272)
+
+    def _find_heavy(self, fp: int, primary: int, alternate: int):
+        for b in (primary,) if alternate == primary else (primary, alternate):
+            for c in range(self.depth):
+                if int(self.heavy_cnt[b, c]) > 0 and int(self.heavy_fp[b, c]) == fp:
+                    return (b, c)
+        return None
+
+    def _find_empty(self, b: int) -> int | None:
+        for c in range(self.depth):
+            if int(self.heavy_cnt[b, c]) == 0:
+                return c
+        return None
+
+    def _min_heavy(self, b: int) -> tuple[int, int]:
+        col = int(np.argmin(self.heavy_cnt[b]))
+        return col, int(self.heavy_cnt[b, col])
+
+    def _update_lobby(self, b: int, fp: int, increment: int) -> int | None:
+        lc = int(self.lobby_cnt[b])
+        if lc == 0 or int(self.lobby_fp[b]) == fp:
+            new = min(lc + increment, U64_MAX)
+            self.lobby_fp[b] = fp
+            self.lobby_cnt[b] = new
+            return new
+        # decay the resident lobby occupant (src/cuckoo.rs:709-731)
+        remaining = increment
+        while remaining > 0:
+            current = int(self.lobby_cnt[b])
+            threshold = decay_threshold(self.decay_tbl, current)
+            roll = int(self.rng.integers(0, U64_MAX, dtype=np.uint64, endpoint=True))
+            if roll < threshold:
+                current -= 1
+                self.lobby_cnt[b] = current
+                if current == 0:
+                    self.lobby_fp[b] = fp
+                    self.lobby_cnt[b] = remaining
+                    return remaining
+            remaining -= 1
+        return None
+
+    def _promote(self, fp: int, count: int, primary: int, alternate: int) -> bool:
+        c = self._find_empty(primary)
+        if c is not None:
+            self.heavy_fp[primary, c] = fp
+            self.heavy_cnt[primary, c] = count
+            return True
+        if alternate != primary:
+            c = self._find_empty(alternate)
+            if c is not None:
+                self.heavy_fp[alternate, c] = fp
+                self.heavy_cnt[alternate, c] = count
+                return True
+        vb, (vc, vcount) = primary, self._min_heavy(primary)
+        if alternate != primary:
+            ac, acount = self._min_heavy(alternate)
+            if acount < vcount:
+                vb, vc, vcount = alternate, ac, acount
+        if count <= vcount:
+            return False
+        victim_fp, victim_cnt = int(self.heavy_fp[vb, vc]), int(self.heavy_cnt[vb, vc])
+        self.heavy_fp[vb, vc] = fp
+        self.heavy_cnt[vb, vc] = count
+        self._relocate_victim(victim_fp, victim_cnt, vb)
+        return True
+
+    def _relocate_victim(self, v_fp: int, v_cnt: int, from_bucket: int) -> None:
+        for _ in range(self.max_kicks):
+            if v_cnt == 0:
+                return
+            primary, alternate = self._bucket_pair(v_fp)
+            target = alternate if from_bucket == primary else primary
+            if target == from_bucket:
+                return
+            c = self._find_empty(target)
+            if c is not None:
+                self.heavy_fp[target, c] = v_fp
+                self.heavy_cnt[target, c] = v_cnt
+                return
+            tc, tcount = self._min_heavy(target)
+            if v_cnt <= tcount:
+                return
+            nfp, ncnt = int(self.heavy_fp[target, tc]), int(self.heavy_cnt[target, tc])
+            self.heavy_fp[target, tc] = v_fp
+            self.heavy_cnt[target, tc] = v_cnt
+            v_fp, v_cnt = nfp, ncnt
+            from_bucket = target
+
+    def _update_pq(self, uniq, final, touched, arr, first_idx) -> None:
+        pq = self.pq
+        if len(pq._map):
+            tracked = np.fromiter(pq._map.keys(), dtype=np.uint64, count=len(pq._map))
+            is_tracked = np.isin(uniq, tracked)
+        else:
+            is_tracked = np.zeros(len(uniq), dtype=bool)
+        if pq.is_full():
+            cand = touched & ((final > U64(self.min_pq_count)) | is_tracked)
+        else:
+            cand = touched & (final > 0)
+        for i in np.flatnonzero(cand):
+            fp = int(uniq[i])
+            count = int(final[i])
+            if fp in pq:
+                pq.update_if_present(fp, count)
+                continue
+            if pq.is_full() and count <= pq.min_count():
+                continue
+            pq.upsert(fp, arr[int(first_idx[i])].as_py(), count)
+        if pq.is_full():
+            self.min_pq_count = pq.min_count()
+
+    # -- queries ---------------------------------------------------------
+
+    def bucket_count_fp(self, fp: int) -> int:
+        primary, alternate = self._bucket_pair(fp)
+        idx = self._find_heavy(fp, primary, alternate)
+        if idx is not None:
+            return int(self.heavy_cnt[idx[0], idx[1]])
+        if int(self.lobby_fp[primary]) == fp:
+            return int(self.lobby_cnt[primary])
+        return 0
+
+    def bucket_count(self, item: Any) -> int:
+        return self.bucket_count_fp(hash_scalar(item, self.seed))
+
+    def count(self, item: Any) -> int:
+        fp = hash_scalar(item, self.seed)
+        c = self.pq.get(fp)
+        if c is not None:
+            return c
+        return self.bucket_count_fp(fp)
+
+    def contains(self, item: Any) -> bool:
+        return self.count(item) > 0
+
+    def contains_top_k(self, item: Any) -> bool:
+        return hash_scalar(item, self.seed) in self.pq
+
+    def list(self) -> list[tuple[Any, int]]:
+        return list(self.pq.iter_sorted())
+
+    def to_table(self) -> pa.Table:
+        items, counts = [], []
+        for item, count in self.pq.iter_sorted():
+            items.append(item)
+            counts.append(count)
+        return pa.table(
+            {"item": pa.array(items), "count": pa.array(counts, type=pa.uint64())}
+        )
+
+    def mem_bytes(self) -> int:
+        return (
+            self.lobby_fp.nbytes
+            + self.lobby_cnt.nbytes
+            + self.heavy_fp.nbytes
+            + self.heavy_cnt.nbytes
+            + self.decay_tbl.nbytes
+            + self.pq.mem_bytes()
+        )
+
+    # -- merge -----------------------------------------------------------
+
+    def _check_compatible(self, other: "CuckooTopK") -> None:
+        if type(self) is not type(other):
+            raise IncompatibleSketchError(
+                f"cannot merge {type(other).__name__} into {type(self).__name__}"
+            )
+        for attr in ("width", "depth", "decay", "k"):
+            if getattr(self, attr) != getattr(other, attr):
+                raise IncompatibleSketchError(
+                    f"incompatible {attr}: {getattr(self, attr)} vs {getattr(other, attr)}"
+                )
+        if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
+            raise IncompatibleSketchError("incompatible hasher (different seeds)")
+
+    def merge(self, other: "CuckooTopK") -> "CuckooTopK":
+        """Deterministic merge — no decay rolls (src/cuckoo.rs:408-553)."""
+        self._check_compatible(other)
+
+        other_pairs = other.pq.entries()
+        other_fps = set(other.pq._map)
+        self_only = [
+            (fp, e[0], e[2])
+            for fp, e in sorted(
+                self.pq._map.items(), key=lambda kv: (-kv[1][0], kv[1][1])
+            )
+            if fp not in other_fps
+        ]
+        for fp, o_count, _seq, item in other_pairs:
+            s_count = self.pq.get(fp)
+            if s_count is not None:
+                merged = min(s_count + o_count, U64_MAX)
+            else:
+                merged = min(self.bucket_count_fp(fp) + o_count, U64_MAX)
+            self.pq.upsert(fp, item, merged)
+        for fp, s_count, item in self_only:
+            self.pq.upsert(fp, item, min(s_count + other.bucket_count_fp(fp), U64_MAX))
+
+        # other's heavy cells, in cell order (heavy XOR lobby invariant)
+        for b in range(other.width):
+            for c in range(other.depth):
+                ocnt = int(other.heavy_cnt[b, c])
+                if ocnt == 0:
+                    continue
+                fp = int(other.heavy_fp[b, c])
+                count = ocnt
+                primary, alternate = self._bucket_pair(fp)
+                if int(self.lobby_cnt[primary]) > 0 and int(self.lobby_fp[primary]) == fp:
+                    count = min(count + int(self.lobby_cnt[primary]), U64_MAX)
+                    self.lobby_fp[primary] = 0
+                    self.lobby_cnt[primary] = 0
+                idx = self._find_heavy(fp, primary, alternate)
+                if idx is not None:
+                    self.heavy_cnt[idx] = min(int(self.heavy_cnt[idx]) + count, U64_MAX)
+                    continue
+                col = self._find_empty(primary)
+                if col is not None:
+                    self.heavy_fp[primary, col] = fp
+                    self.heavy_cnt[primary, col] = count
+                    continue
+                if alternate != primary:
+                    col = self._find_empty(alternate)
+                    if col is not None:
+                        self.heavy_fp[alternate, col] = fp
+                        self.heavy_cnt[alternate, col] = count
+                        continue
+                vb, (vc, vcount) = primary, self._min_heavy(primary)
+                if alternate != primary:
+                    ac, acount = self._min_heavy(alternate)
+                    if acount < vcount:
+                        vb, vc, vcount = alternate, ac, acount
+                if count > vcount:
+                    victim_fp = int(self.heavy_fp[vb, vc])
+                    victim_cnt = int(self.heavy_cnt[vb, vc])
+                    self.heavy_fp[vb, vc] = fp
+                    self.heavy_cnt[vb, vc] = count
+                    self._relocate_victim(victim_fp, victim_cnt, vb)
+
+        # other's lobbies: fold into heavy if already heavy, else
+        # lobby-vs-lobby higher-count-wins (ties keep self)
+        for b in range(other.width):
+            ocnt = int(other.lobby_cnt[b])
+            if ocnt == 0:
+                continue
+            fp = int(other.lobby_fp[b])
+            primary, alternate = self._bucket_pair(fp)
+            idx = self._find_heavy(fp, primary, alternate)
+            if idx is not None:
+                self.heavy_cnt[idx] = min(int(self.heavy_cnt[idx]) + ocnt, U64_MAX)
+                continue
+            lc = int(self.lobby_cnt[primary])
+            if lc > 0 and int(self.lobby_fp[primary]) == fp:
+                self.lobby_cnt[primary] = min(lc + ocnt, U64_MAX)
+            elif lc == 0 or ocnt > lc:
+                self.lobby_fp[primary] = fp
+                self.lobby_cnt[primary] = ocnt
+        self.min_pq_count = self.pq.min_count()
+        return self
+
+    # -- serialization ---------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        header = {
+            "kind": self.KIND,
+            "k": self.k,
+            "width": self.width,
+            "depth": self.depth,
+            "decay": self.decay,
+            "seed": self.seed,
+            "max_kicks": self.max_kicks,
+            "min_pq_count": self.min_pq_count,
+            "seq": self.pq.seq_counter,
+            "rng_state": rng_state_to_json(self.rng),
+        }
+        return pack_sketch(
+            header,
+            {
+                "lobby_fp": self.lobby_fp,
+                "lobby_cnt": self.lobby_cnt,
+                "heavy_fp": self.heavy_fp,
+                "heavy_cnt": self.heavy_cnt,
+            },
+            {"pq": pq_to_table(self.pq)},
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooTopK":
+        meta, arrays, tables = unpack_sketch(blob)
+        return cls._from_parts(meta, arrays, tables)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays, tables) -> "CuckooTopK":
+        self = cls(
+            meta["k"],
+            meta["width"],
+            meta["depth"],
+            meta["decay"],
+            meta["seed"],
+            meta.get("max_kicks", DEFAULT_MAX_KICKS),
+        )
+        self.lobby_fp = arrays["lobby_fp"]
+        self.lobby_cnt = arrays["lobby_cnt"]
+        self.heavy_fp = arrays["heavy_fp"].reshape(self.width, self.depth)
+        self.heavy_cnt = arrays["heavy_cnt"].reshape(self.width, self.depth)
+        self.pq = pq_from_table(tables["pq"], self.k, meta["seq"])
+        self.min_pq_count = meta["min_pq_count"]
+        if meta.get("rng_state"):
+            rng_state_from_json(self.rng, meta["rng_state"])
+        return self
+
+    def state_equal(self, other: "CuckooTopK") -> bool:
+        return (
+            np.array_equal(self.lobby_fp, other.lobby_fp)
+            and np.array_equal(self.lobby_cnt, other.lobby_cnt)
+            and np.array_equal(self.heavy_fp, other.heavy_fp)
+            and np.array_equal(self.heavy_cnt, other.heavy_cnt)
+            and {f: e[0] for f, e in self.pq._map.items()}
+            == {f: e[0] for f, e in other.pq._map.items()}
+        )

@@ -1,0 +1,306 @@
+"""Canonical HeavyKeeper ``TopK`` — depth rows × width buckets.
+
+Semantics from the reference's ``TopK`` (`/root/reference/src/heavykeeper.rs`):
+one hash per key, per-row indices derived arithmetically from it
+(`src/hash_composition.rs:35-44`); per row — fingerprint match OR empty
+bucket → take/keep the bucket and ``count += increment``
+(`src/heavykeeper.rs:303-307`); otherwise a probabilistic decay loop over the
+occupying count with takeover on zero (`src/heavykeeper.rs:309-327`).  The
+tracked max count across rows feeds the top-k register (max-only, min-gated,
+`src/heavykeeper.rs:331-354`).  ``count`` reads the PQ first, else the MIN
+over rows with a matching fingerprint (`src/heavykeeper.rs:220-246`).
+``merge`` is elementwise: same fp → sum; self empty → copy; else keep self;
+PQs merged by per-item count sum (`src/heavykeeper.rs:406-457`).
+
+Batch-vectorized like BucketedTopK: unique fingerprints with summed weights,
+NumPy fast paths per row, scalar fallback for decay and intra-batch
+same-bucket conflicts, fingerprint-ascending deterministic order.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import (
+    _as_arrow_array,
+    bucket_indices,
+    derive_row_hashes,
+    hash_array,
+    hash_scalar,
+)
+from .base import (
+    DEFAULT_SEED,
+    MERGE_PROBE,
+    U64_MAX,
+    IncompatibleSketchError,
+    decay_threshold,
+    pack_sketch,
+    pq_from_table,
+    pq_to_table,
+    precompute_decay_thresholds,
+    register_sketch,
+    rng_state_from_json,
+    rng_state_to_json,
+    unpack_sketch,
+    validate_topk_params,
+)
+from .pq import TopKQueue
+
+U64 = np.uint64
+
+
+@register_sketch("topk")
+class TopK:
+    """Canonical HeavyKeeper top-k sketch (depth independent rows)."""
+
+    def __init__(
+        self,
+        k: int,
+        width: int,
+        depth: int,
+        decay: float,
+        seed: int = DEFAULT_SEED,
+    ):
+        validate_topk_params(k, width, depth, decay)
+        self.k = int(k)
+        self.width = int(width)
+        self.depth = int(depth)
+        self.decay = float(decay)
+        self.seed = int(seed)
+        self.fp = np.zeros((self.depth, self.width), dtype=np.uint64)
+        self.cnt = np.zeros((self.depth, self.width), dtype=np.uint64)
+        self.decay_tbl = precompute_decay_thresholds(self.decay)
+        self.rng = np.random.default_rng(self.seed)
+        self.pq = TopKQueue(self.k)
+
+    def add(self, item: Any, increment: int = 1) -> None:
+        self.add_batch([item], np.array([increment], dtype=np.uint64))
+
+    def add_batch(self, items: Any, weights: Any | None = None) -> None:
+        arr = _as_arrow_array(items)
+        n = len(arr)
+        if n == 0:
+            return
+        h = hash_array(arr, self.seed)
+        if weights is None:
+            w = np.ones(n, dtype=np.float64)
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+        uniq, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
+        wsum = np.bincount(inv, weights=w, minlength=len(uniq))
+        keep = wsum > 0
+        uniq, first_idx, wsum = uniq[keep], first_idx[keep], wsum[keep]
+        if len(uniq) == 0:
+            return
+        wsum = wsum.astype(np.uint64)
+
+        m = len(uniq)
+        row_h = derive_row_hashes(uniq, self.depth)  # (depth, m)
+        max_count = np.zeros(m, dtype=np.uint64)
+
+        for r in range(self.depth):
+            idx = bucket_indices(row_h[r], self.width)
+            # conflicts: two batch keys hitting the same bucket in this row
+            dup = np.zeros(m, dtype=bool)
+            if m > 1:
+                order = np.argsort(idx, kind="stable")
+                si = idx[order]
+                same = np.empty(m, dtype=bool)
+                same[0] = False
+                same[1:] = si[1:] == si[:-1]
+                conf = same.copy()
+                conf[:-1] |= same[1:]
+                dup[order] = conf
+
+            bfp = self.fp[r, idx]
+            bcnt = self.cnt[r, idx]
+            matches = bfp == uniq  # fp match (src/heavykeeper.rs:303)
+            empty = bcnt == 0
+            fast = (~dup) & (matches | empty)
+            if fast.any():
+                rows = idx[fast]
+                old = self.cnt[r, rows]
+                new = old + wsum[fast]
+                new = np.where(new < old, U64(U64_MAX), new)
+                self.fp[r, rows] = uniq[fast]
+                self.cnt[r, rows] = new
+                max_count[fast] = np.maximum(max_count[fast], new)
+            slow = dup | ~(matches | empty)
+            for i in np.flatnonzero(slow):
+                c = self._add_one_row(r, int(row_h[r, i]), int(uniq[i]), int(wsum[i]))
+                if c is not None and c > int(max_count[i]):
+                    max_count[i] = c
+
+        self._update_pq(uniq, max_count, arr, first_idx)
+
+    def _add_one_row(self, r: int, rh: int, fp: int, increment: int) -> int | None:
+        """Scalar per-row update incl. the decay loop
+        (src/heavykeeper.rs:294-328)."""
+        b = int(bucket_indices(np.array([rh], dtype=np.uint64), self.width)[0])
+        cur_fp = int(self.fp[r, b])
+        cur_cnt = int(self.cnt[r, b])
+        if cur_fp == fp or cur_cnt == 0:
+            new = min(cur_cnt + increment, U64_MAX)
+            self.fp[r, b] = fp
+            self.cnt[r, b] = new
+            return new
+        remaining = increment
+        while remaining > 0:
+            current = int(self.cnt[r, b])
+            threshold = decay_threshold(self.decay_tbl, current)
+            roll = int(self.rng.integers(0, U64_MAX, dtype=np.uint64, endpoint=True))
+            if roll < threshold:
+                current -= 1
+                self.cnt[r, b] = current
+                if current == 0:
+                    self.fp[r, b] = fp
+                    self.cnt[r, b] = remaining
+                    return remaining
+            remaining -= 1
+        return None
+
+    def _update_pq(
+        self,
+        uniq: np.ndarray,
+        max_count: np.ndarray,
+        arr: pa.Array,
+        first_idx: np.ndarray,
+    ) -> None:
+        pq = self.pq
+        if len(pq._map):
+            tracked = np.fromiter(pq._map.keys(), dtype=np.uint64, count=len(pq._map))
+            is_tracked = np.isin(uniq, tracked)
+        else:
+            is_tracked = np.zeros(len(uniq), dtype=bool)
+        if pq.is_full():
+            cand = (max_count > U64(pq.min_count())) | is_tracked
+        else:
+            cand = max_count > 0
+        for i in np.flatnonzero(cand):
+            fp = int(uniq[i])
+            count = int(max_count[i])
+            if fp in pq:
+                pq.update_if_present(fp, count)
+                continue
+            if count == 0:
+                continue
+            if pq.is_full() and count <= pq.min_count():
+                continue
+            pq.upsert(fp, arr[int(first_idx[i])].as_py(), count)
+
+    # -- queries ---------------------------------------------------------
+
+    def count(self, item: Any) -> int:
+        fp = hash_scalar(item, self.seed)
+        c = self.pq.get(fp)
+        if c is not None:
+            return c
+        return self._bucket_count_fp(fp)
+
+    def _bucket_count_fp(self, fp: int) -> int:
+        """Min over rows whose bucket holds this fingerprint
+        (src/heavykeeper.rs:220-246); 0 if no row matches."""
+        row_h = derive_row_hashes(np.array([fp], dtype=np.uint64), self.depth)[:, 0]
+        best: int | None = None
+        for r in range(self.depth):
+            b = int(bucket_indices(row_h[r : r + 1], self.width)[0])
+            if int(self.fp[r, b]) == fp and int(self.cnt[r, b]) > 0:
+                c = int(self.cnt[r, b])
+                best = c if best is None else min(best, c)
+        return best or 0
+
+    def contains(self, item: Any) -> bool:
+        return self.count(item) > 0
+
+    def contains_top_k(self, item: Any) -> bool:
+        return hash_scalar(item, self.seed) in self.pq
+
+    def list(self) -> list[tuple[Any, int]]:
+        return list(self.pq.iter_sorted())
+
+    def to_table(self) -> pa.Table:
+        items, counts = [], []
+        for item, count in self.pq.iter_sorted():
+            items.append(item)
+            counts.append(count)
+        return pa.table(
+            {"item": pa.array(items), "count": pa.array(counts, type=pa.uint64())}
+        )
+
+    def mem_bytes(self) -> int:
+        return (
+            self.fp.nbytes + self.cnt.nbytes + self.decay_tbl.nbytes + self.pq.mem_bytes()
+        )
+
+    # -- merge -----------------------------------------------------------
+
+    def _check_compatible(self, other: "TopK") -> None:
+        if type(self) is not type(other):
+            raise IncompatibleSketchError(
+                f"cannot merge {type(other).__name__} into {type(self).__name__}"
+            )
+        for attr in ("width", "depth", "decay", "k"):
+            if getattr(self, attr) != getattr(other, attr):
+                raise IncompatibleSketchError(
+                    f"incompatible {attr}: {getattr(self, attr)} vs {getattr(other, attr)}"
+                )
+        if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
+            raise IncompatibleSketchError("incompatible hasher (different seeds)")
+
+    def merge(self, other: "TopK") -> "TopK":
+        """Elementwise bucket merge + per-item PQ count sum
+        (src/heavykeeper.rs:406-457)."""
+        self._check_compatible(other)
+        same = self.fp == other.fp
+        summed = self.cnt + other.cnt
+        summed = np.where(summed < self.cnt, U64(U64_MAX), summed)  # saturate
+        self_empty = self.cnt == 0
+        self.cnt = np.where(same, summed, np.where(self_empty, other.cnt, self.cnt))
+        self.fp = np.where(same, self.fp, np.where(self_empty, other.fp, self.fp))
+        for fp, o_count, _seq, item in other.pq.entries():
+            s_count = self.pq.get(fp) or 0
+            self.pq.upsert(fp, item, min(s_count + o_count, U64_MAX))
+        return self
+
+    # -- serialization ---------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        header = {
+            "kind": self.KIND,
+            "k": self.k,
+            "width": self.width,
+            "depth": self.depth,
+            "decay": self.decay,
+            "seed": self.seed,
+            "seq": self.pq.seq_counter,
+            "rng_state": rng_state_to_json(self.rng),
+        }
+        return pack_sketch(
+            header, {"fp": self.fp, "cnt": self.cnt}, {"pq": pq_to_table(self.pq)}
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "TopK":
+        meta, arrays, tables = unpack_sketch(blob)
+        return cls._from_parts(meta, arrays, tables)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays, tables) -> "TopK":
+        self = cls(meta["k"], meta["width"], meta["depth"], meta["decay"], meta["seed"])
+        self.fp = arrays["fp"].reshape(self.depth, self.width)
+        self.cnt = arrays["cnt"].reshape(self.depth, self.width)
+        self.pq = pq_from_table(tables["pq"], self.k, meta["seq"])
+        if meta.get("rng_state"):
+            rng_state_from_json(self.rng, meta["rng_state"])
+        return self
+
+    def state_equal(self, other: "TopK") -> bool:
+        return (
+            np.array_equal(self.fp, other.fp)
+            and np.array_equal(self.cnt, other.cnt)
+            and {f: e[0] for f, e in self.pq._map.items()}
+            == {f: e[0] for f, e in other.pq._map.items()}
+        )
