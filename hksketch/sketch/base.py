@@ -145,6 +145,34 @@ def unpack_sketch(
     return meta, arrays, tables
 
 
+def collapse_batch(h: np.ndarray, weights) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse a hashed key column to (unique_fp, first_occurrence_idx,
+    summed_weights:uint64).  Float bincount on the fast path; exact integer
+    fallback when weights are large enough to lose float64 precision
+    (saturating at u64::MAX like the reference's counts)."""
+    n = len(h)
+    if weights is None:
+        w = np.ones(n, dtype=np.float64)
+        exact_needed = False
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        exact_needed = bool((w >= 2**53).any())
+    uniq, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
+    if not exact_needed:
+        wsum = np.bincount(inv, weights=w, minlength=len(uniq))
+        if not bool((wsum >= 2**53).any()):
+            keep = wsum > 0
+            return uniq[keep], first_idx[keep], wsum[keep].astype(np.uint64)
+    # exact integer path
+    totals = [0] * len(uniq)
+    wl = [int(x) for x in (np.asarray(weights) if weights is not None else np.ones(n, dtype=np.int64))]
+    for i, g in enumerate(inv):
+        totals[g] += wl[i]
+    arr = np.array([min(t, U64_MAX) for t in totals], dtype=np.uint64)
+    keep = arr > 0
+    return uniq[keep], first_idx[keep], arr[keep]
+
+
 def rng_state_to_json(rng: "np.random.Generator") -> dict:
     st = rng.bit_generator.state
     return {

@@ -30,6 +30,7 @@ import pyarrow as pa
 from ..hashing import _as_arrow_array, bucket_indices, hash_array, hash_scalar
 from .base import (
     DEFAULT_SEED,
+    collapse_batch,
     MERGE_PROBE,
     U64_MAX,
     IncompatibleSketchError,
@@ -93,17 +94,9 @@ class BucketedTopK:
         if n == 0:
             return
         h = self._hash(arr)
-        if weights is None:
-            w = np.ones(n, dtype=np.float64)
-        else:
-            w = np.asarray(weights, dtype=np.float64)
-        uniq, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
-        wsum = np.bincount(inv, weights=w, minlength=len(uniq))
-        keep = wsum > 0
-        uniq, first_idx, wsum = uniq[keep], first_idx[keep], wsum[keep]
+        uniq, first_idx, wsum = collapse_batch(h, weights)
         if len(uniq) == 0:
             return
-        wsum = wsum.astype(np.uint64)
         self._add_unique(uniq, wsum, arr, first_idx)
 
     def _add_unique(

@@ -30,6 +30,7 @@ import pyarrow as pa
 from ..hashing import _as_arrow_array, bucket_indices, hash_array, hash_scalar, splitmix64
 from .base import (
     DEFAULT_SEED,
+    collapse_batch,
     MERGE_PROBE,
     U64_MAX,
     BuilderError,
@@ -108,18 +109,10 @@ class CuckooTopK:
         if n == 0:
             return
         h = hash_array(arr, self.seed)
-        if weights is None:
-            w = np.ones(n, dtype=np.float64)
-        else:
-            w = np.asarray(weights, dtype=np.float64)
-        uniq, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
-        wsum = np.bincount(inv, weights=w, minlength=len(uniq))
-        keep = wsum > 0
-        uniq, first_idx, wsum = uniq[keep], first_idx[keep], wsum[keep]
+        uniq, first_idx, wsum = collapse_batch(h, weights)
         m = len(uniq)
         if m == 0:
             return
-        wsum = wsum.astype(np.uint64)
 
         primary, alternate = self._bucket_pair_vec(uniq)
         # vectorized heavy-hit fast path (src/cuckoo.rs:246-261)

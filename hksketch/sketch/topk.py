@@ -33,6 +33,7 @@ from ..hashing import (
 )
 from .base import (
     DEFAULT_SEED,
+    collapse_batch,
     MERGE_PROBE,
     U64_MAX,
     IncompatibleSketchError,
@@ -85,17 +86,9 @@ class TopK:
         if n == 0:
             return
         h = hash_array(arr, self.seed)
-        if weights is None:
-            w = np.ones(n, dtype=np.float64)
-        else:
-            w = np.asarray(weights, dtype=np.float64)
-        uniq, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
-        wsum = np.bincount(inv, weights=w, minlength=len(uniq))
-        keep = wsum > 0
-        uniq, first_idx, wsum = uniq[keep], first_idx[keep], wsum[keep]
+        uniq, first_idx, wsum = collapse_batch(h, weights)
         if len(uniq) == 0:
             return
-        wsum = wsum.astype(np.uint64)
 
         m = len(uniq)
         row_h = derive_row_hashes(uniq, self.depth)  # (depth, m)
