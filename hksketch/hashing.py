@@ -123,6 +123,21 @@ def bucket_indices(h: np.ndarray, width: int) -> np.ndarray:
     return (h % U64(width)).astype(np.int64)
 
 
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (clz(0) = 64), via a
+    6-step binary search on value magnitude."""
+    v = x.astype(np.uint64, copy=True)
+    res = np.zeros(len(v), dtype=np.int64)
+    nz = v != 0
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (U64(1) << U64(s))
+        res[big] += s
+        v = np.where(big, v >> U64(s), v)
+    # res = floor(log2(x)) for x>0
+    out = np.where(nz, 63 - res, 64)
+    return out.astype(np.int64)
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer (public domain constant schedule); used for the
     cuckoo alternate-bucket derivation (structure of

@@ -13,11 +13,25 @@ from .base import (
     SketchError,
     sketch_from_bytes,
 )
+from .bloom import BloomFilter
 from .bucketed import BucketedTopK
+from .countmin import CountMinSketch
+from .cuckoo import CuckooTopK
+from .hll import HyperLogLog
+from .kll import KLL
 from .pq import TopKQueue
+from .tdigest import TDigest
+from .topk import TopK
 
 __all__ = [
+    "TopK",
     "BucketedTopK",
+    "CuckooTopK",
+    "HyperLogLog",
+    "CountMinSketch",
+    "BloomFilter",
+    "TDigest",
+    "KLL",
     "TopKQueue",
     "SketchError",
     "BuilderError",
