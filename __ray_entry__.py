@@ -1,44 +1,454 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the hksketch Ray Data engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship HeavyKeeper token top-k on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names; approximate sketches whose output
+is exact in the query's configured regime carry oracles too — verified at
+sf0.01).  Ray is initialised by the driver; nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SEED = 12345
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: HeavyKeeper top-100 tokens over sf0.001 documents."""
+    from hksketch.pipelines.flagship import topk_tokens_sketch
+
+    return topk_tokens_sketch("/root/testdata/sf0.001", k=100)
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable: sf_dir -> Dataset | pandas | pyarrow.Table
+# ---------------------------------------------------------------------------
+
+def _q_topk_tokens_sketch(sf_dir: str):
+    from hksketch.pipelines.flagship import topk_tokens_sketch
+
+    return topk_tokens_sketch(sf_dir, k=100, seed=SEED)
+
+
+def _q_topk_tokens_cuckoo(sf_dir: str):
+    from hksketch.pipelines.flagship import topk_tokens_sketch
+
+    return topk_tokens_sketch(sf_dir, k=100, variant="cuckoo", seed=SEED)
+
+
+def _q_topk_tokens_canonical(sf_dir: str):
+    from hksketch.pipelines.flagship import topk_tokens_sketch
+
+    return topk_tokens_sketch(sf_dir, k=100, variant="topk", seed=SEED)
+
+
+def _q_topk_tokens_exact(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_topk, read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    tokens = ds.map_batches(
+        lambda b: tokenize_column(b.column("text")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return exact_topk(tokens, "token", 100)
+
+
+def _q_topk_users_sketch(sf_dir: str):
+    from hksketch.pipelines.flagship import topk_keys_sketch
+
+    return topk_keys_sketch(sf_dir, "events", "user_id", k=50, seed=SEED)
+
+
+def _q_topk_users_exact(sf_dir: str):
+    from hksketch.pipelines.ops import exact_topk, read_table
+
+    return exact_topk(read_table(sf_dir, "events", ["user_id"]), "user_id", 50)
+
+
+def _q_topk_sources_exact(sf_dir: str):
+    from hksketch.pipelines.ops import exact_topk, read_table
+
+    return exact_topk(read_table(sf_dir, "documents", ["source"]), "source", 10)
+
+
+def _q_heavy_hitter_tokens(sf_dir: str):
+    from hksketch.pipelines.flagship import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(sf_dir, phi=0.01, seed=SEED)
+
+
+def _q_distinct_users_exact(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_distinct_count, read_table
+
+    n = exact_distinct_count(read_table(sf_dir, "events", ["user_id"]), "user_id")
+    return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
+
+
+def _q_distinct_users_hll(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import HLLCountAggregate
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    est = ds.aggregate(HLLCountAggregate(on="user_id", p=14, seed=SEED, alias_name="n"))["n"]
+    return pa.table({"n_distinct_est": pa.array([est], type=pa.int64())})
+
+
+def _q_distinct_tokens_hll(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import HLLCountAggregate
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    tokens = ds.map_batches(
+        lambda b: tokenize_column(b.column("text")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    est = tokens.aggregate(HLLCountAggregate(on="token", p=14, seed=SEED, alias_name="n"))["n"]
+    return pa.table({"n_distinct_est": pa.array([est], type=pa.int64())})
+
+
+_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def _q_quantiles_value_exact(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_quantiles, read_table
+
+    vals = exact_quantiles(read_table(sf_dir, "events", ["value"]), "value", _QS)
+    return pa.table(
+        {"q": pa.array(list(_QS), type=pa.float64()),
+         "value": pa.array(vals, type=pa.float64())}
+    )
+
+
+def _q_quantiles_value_tdigest(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import TDigestQuantileAggregate
+
+    ds = read_table(sf_dir, "events", ["value"])
+    agg = TDigestQuantileAggregate(on="value", qs=_QS, compression=200, alias_name="v")
+    vals = ds.aggregate(agg)["v"]
+    return pa.table(
+        {"q": pa.array(list(_QS), type=pa.float64()),
+         "value": pa.array(vals, type=pa.float64())}
+    )
+
+
+def _q_quantiles_value_kll(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import KLLQuantileAggregate
+
+    ds = read_table(sf_dir, "events", ["value"])
+    agg = KLLQuantileAggregate(on="value", qs=_QS, k=200, seed=SEED, alias_name="v")
+    vals = ds.aggregate(agg)["v"]
+    return pa.table(
+        {"q": pa.array(list(_QS), type=pa.float64()),
+         "value": pa.array(vals, type=pa.float64())}
+    )
+
+
+def _q_cms_event_type_counts(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import CountMinAggregate
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["event_type"])
+    blob = ds.aggregate(
+        CountMinAggregate(on="event_type", width=4096, depth=4, seed=SEED,
+                          alias_name="sketch")
+    )["sketch"]
+    cms = sketch_from_bytes(blob)
+    types = sorted(ds.unique("event_type"))
+    est = cms.count_batch(types).astype("int64")
+    return pa.table(
+        {"event_type": pa.array(types, type=pa.string()),
+         "count": pa.array(est, type=pa.int64())}
+    )
+
+
+def _q_bloom_users_membership(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import BloomAggregate
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    blob = ds.aggregate(
+        BloomAggregate(on="user_id", m_bits=1 << 20, k=7, seed=SEED, alias_name="s")
+    )["s"]
+    bf = sketch_from_bytes(blob)
+    probe = np.arange(0, 200, dtype=np.int64)
+    present = bf.contains_batch(probe)
+    return pa.table(
+        {"user_id": pa.array(probe, type=pa.int64()),
+         "present": pa.array(present, type=pa.bool_())}
+    )
+
+
+def _q_q1_pricing_summary(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(__import__("datetime").datetime(1998, 9, 2))))
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return b.append_column("disc_price", disc_price).drop_columns(["l_shipdate"])
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    return out
+
+
+def _q_segment_revenue(sf_dir: str):
+    """Broadcast join: customer (small) shipped once via ray.put; orders
+    stream through a vectorized lookup — no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+    )
+
+    class SegmentJoin:
+        def __init__(self):
+            lk = ray.get(lookup_ref)
+            self.keys = np.array(sorted(lk))
+            self.vals = np.array([lk[k] for k in self.keys], dtype=object)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b.column("o_custkey").to_numpy()
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            ok = self.keys[pos] == ck
+            seg = np.where(ok, self.vals[pos], None)
+            return pa.table(
+                {"c_mktsegment": pa.array(seg.tolist(), type=pa.string()),
+                 "o_totalprice": b.column("o_totalprice")}
+            )
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(
+        SegmentJoin, batch_format="pyarrow", concurrency=2, zero_copy_batch=True
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue")
+    )
+
+
+def _q_top_orders(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "O")).drop_columns(
+            ["o_orderstatus"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import grouped_count, read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b.column("event_type"),
+             "hour": pc.floor_temporal(b.column("ts"), unit="hour")}
+        )
+
+    ds = ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(ds, ["event_type", "hour"], count_name="n")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "topk_tokens_sketch": _q_topk_tokens_sketch,
+        "topk_tokens_cuckoo": _q_topk_tokens_cuckoo,
+        "topk_tokens_canonical": _q_topk_tokens_canonical,
+        "topk_tokens_exact": _q_topk_tokens_exact,
+        "topk_users_sketch": _q_topk_users_sketch,
+        "topk_users_exact": _q_topk_users_exact,
+        "topk_sources_exact": _q_topk_sources_exact,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "distinct_users_exact": _q_distinct_users_exact,
+        "distinct_users_hll": _q_distinct_users_hll,
+        "distinct_tokens_hll": _q_distinct_tokens_hll,
+        "quantiles_value_exact": _q_quantiles_value_exact,
+        "quantiles_value_tdigest": _q_quantiles_value_tdigest,
+        "quantiles_value_kll": _q_quantiles_value_kll,
+        "cms_event_type_counts": _q_cms_event_type_counts,
+        "bloom_users_membership": _q_bloom_users_membership,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "segment_revenue": _q_segment_revenue,
+        "top_orders": _q_top_orders,
+        "events_hourly": _q_events_hourly,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (same column names as the Ray results)
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = """
+WITH toks AS (
+  SELECT lower(tok) AS token
+  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM documents)
+  WHERE length(tok) <= 64
+)
+"""
+
+_TOPK_TOKENS_SQL = (
+    _TOKENS_CTE
+    + """
+SELECT token, CAST(count(*) AS BIGINT) AS count
+FROM toks GROUP BY token
+ORDER BY count DESC, token ASC
+LIMIT 100
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "topk_tokens_sketch": _TOPK_TOKENS_SQL,
+        "topk_tokens_cuckoo": _TOPK_TOKENS_SQL,
+        "topk_tokens_canonical": _TOPK_TOKENS_SQL,
+        "topk_tokens_exact": _TOPK_TOKENS_SQL,
+        "topk_users_sketch": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS count
+FROM events GROUP BY user_id
+ORDER BY count DESC, user_id ASC LIMIT 50
+""",
+        "topk_users_exact": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS count
+FROM events GROUP BY user_id
+ORDER BY count DESC, user_id ASC LIMIT 50
+""",
+        "topk_sources_exact": """
+SELECT source, CAST(count(*) AS BIGINT) AS count
+FROM documents GROUP BY source
+ORDER BY count DESC, source ASC LIMIT 10
+""",
+        "heavy_hitter_tokens": _TOKENS_CTE
+        + """
+SELECT token, CAST(count(*) AS BIGINT) AS count
+FROM toks GROUP BY token
+HAVING count(*) >= CEIL(0.01 * (SELECT count(*) FROM toks))
+ORDER BY count DESC, token ASC
+""",
+        "distinct_users_exact": "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events",
+        "quantiles_value_exact": """
+SELECT 0.25::DOUBLE AS q, quantile_disc(value, 0.25) AS value FROM events
+UNION ALL SELECT 0.5::DOUBLE, quantile_disc(value, 0.5) FROM events
+UNION ALL SELECT 0.75::DOUBLE, quantile_disc(value, 0.75) FROM events
+UNION ALL SELECT 0.95::DOUBLE, quantile_disc(value, 0.95) FROM events
+ORDER BY q
+""",
+        "cms_event_type_counts": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS count
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "bloom_users_membership": """
+SELECT CAST(g.user_id AS BIGINT) AS user_id,
+       (d.user_id IS NOT NULL) AS present
+FROM (SELECT unnest(range(0, 200)) AS user_id) g
+LEFT JOIN (SELECT DISTINCT user_id FROM events) d ON g.user_id = d.user_id
+ORDER BY user_id
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       avg(l_quantity) AS avg_qty,
+       avg(l_discount) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "segment_revenue": """
+SELECT c_mktsegment, sum(o_totalprice) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "top_orders": """
+SELECT o_orderkey, o_totalprice
+FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, hour
+""",
+    }

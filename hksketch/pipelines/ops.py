@@ -1,0 +1,146 @@
+"""Exact distributed operators (the oracles of the reference's test harness,
+expressed Ray-Data-first).
+
+The reference validates sketches against exact ``HashMap`` counts and exact
+sorted top-k (`/root/reference/tests/accuracy_compare.rs:43-63`,
+`examples/ip_files.rs:56-113`).  Here the exact path is itself distributed:
+
+- ``exact_counts``: per-batch vectorized pre-aggregation (one row per key
+  per batch) → ``groupby(key).sum`` over the much smaller partials — the
+  combiner pattern that keeps the shuffle proportional to #distinct keys,
+  not #rows.
+- ``exact_topk``: counts → ``sort([count desc, key asc]).limit(k)``
+  (deterministic tie-break matches SQL ``ORDER BY count DESC, key ASC``).
+- ``exact_distinct``: per-batch unique → global unique count.
+- ``exact_quantiles``: distributed sort + streamed rank extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+try:
+    import polars as pl
+
+    _HAVE_POLARS = True
+except Exception:  # pragma: no cover
+    _HAVE_POLARS = False
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_table(sf_dir: str, name: str, columns: Optional[list[str]] = None):
+    """Column-pruned parquet read (prune at the read, never after)."""
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _batch_counts(key_col: str, weight_col: Optional[str], out: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: batch.column(key_col),
+                             out: pa.array([], type=pa.int64())})
+        if _HAVE_POLARS:
+            df = pl.from_arrow(batch)
+            if weight_col:
+                g = df.group_by(key_col).agg(pl.col(weight_col).sum().alias(out))
+            else:
+                g = df.group_by(key_col).agg(pl.len().cast(pl.Int64).alias(out))
+            t = g.to_arrow()
+            cols = {}
+            for name in (key_col, out):
+                c = t.column(name)
+                f = batch.schema.field(key_col).type if name == key_col else pa.int64()
+                cols[name] = c.cast(f) if c.type != f else c
+            return pa.table(cols)
+        # fallback
+        keys = batch.column(key_col).to_pylist()
+        from collections import Counter
+
+        c = Counter(keys)
+        return pa.table({key_col: pa.array(list(c)), out: pa.array(list(c.values()), type=pa.int64())})
+
+    return fn
+
+
+def exact_counts(
+    ds,
+    key_col: str,
+    weight_col: Optional[str] = None,
+    count_name: str = "count",
+):
+    """Exact per-key totals; shuffle carries per-(batch, key) partials."""
+    pre = ds.map_batches(
+        _batch_counts(key_col, weight_col, count_name),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pre.groupby(key_col).aggregate(Sum(count_name, alias_name=count_name))
+
+
+def exact_topk(
+    ds,
+    key_col: str,
+    k: int,
+    weight_col: Optional[str] = None,
+    count_name: str = "count",
+):
+    """Top-k by exact count; ties key-ascending (A2 semantics,
+    tests/accuracy_compare.rs:51-56)."""
+    counts = exact_counts(ds, key_col, weight_col, count_name)
+    return counts.sort([count_name, key_col], descending=[True, False]).limit(k)
+
+
+def exact_distinct_count(ds, key_col: str) -> int:
+    """Exact COUNT(DISTINCT key): per-batch unique (combiner) → global
+    unique over the much smaller pre-deduped stream."""
+    import pyarrow.compute as pc
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: pc.unique(batch.column(key_col).combine_chunks())})
+
+    pre = ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    return len(pre.unique(key_col))
+
+
+def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
+    """Discrete quantiles (duckdb ``quantile_disc`` semantics: element at
+    0-based rank ``ceil(q*n) - 1`` of the sorted column, 0 for q=0) via
+    distributed sort + streamed rank extraction — never materializes the
+    column on the driver."""
+    n = ds.count()
+    if n == 0:
+        return [float("nan") for _ in qs]
+
+    def _rank(q: float) -> int:
+        return 0 if q <= 0 else min(n - 1, int(np.ceil(q * n)) - 1)
+
+    ranks = sorted(set(_rank(q) for q in qs))
+    want = {r: None for r in ranks}
+    sorted_ds = ds.sort(col)
+    seen = 0
+    it = iter(sorted_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    for batch in it:
+        hi = seen + batch.num_rows
+        for r in ranks:
+            if seen <= r < hi and want[r] is None:
+                want[r] = batch.column(col)[r - seen].as_py()
+        seen = hi
+        if all(v is not None for v in want.values()):
+            break
+    return [float(want[_rank(q)]) for q in qs]
+
+
+def grouped_count(ds, group_cols: list[str], count_name: str = "count"):
+    """groupby(...).count() with the same pre-aggregation pattern."""
+    if len(group_cols) == 1:
+        return exact_counts(ds, group_cols[0], count_name=count_name)
+    return ds.groupby(group_cols).aggregate(Count(alias_name=count_name))

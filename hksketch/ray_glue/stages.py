@@ -1,0 +1,205 @@
+"""Ray Data stages: pre-aggregated partial sketches, skew-safe grouped
+sketches, and broadcast-sketch lookup.
+
+Scale design (SURVEY.md §4.2, §7.4):
+
+- **Partial-per-batch**: a stateless ``map_batches`` fn tokenizes/extracts
+  keys and emits ONE serialized partial sketch row per (batch × group) —
+  deterministic and retry-idempotent (re-running a batch rebuilds the same
+  partial).  The shuffle that follows moves only ~width·depth·16B blobs,
+  never raw rows.
+- **Skewed group keys** (north rule: "repartition to absorb hostname
+  skew"): the per-batch partial IS the salt — every batch contributes at
+  most one row per group, so a hostname holding 50% of the corpus arrives
+  at its reducer as #batches rows, not #documents rows.
+- **Broadcast lookup** (C7/C8 as a stage): the built sketch blob is
+  ``ray.put`` once; every actor deserializes it once in ``__init__`` and
+  answers point queries vectorized per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..sketch import sketch_from_bytes
+from ..text.tokenize import tokenize_column
+from .aggregate import SketchAggregate, make_sketch, _to_arrow
+
+
+class MergeSketchBlobs(SketchAggregate):
+    """UDAF over a column of serialized partial sketches: merge them.
+
+    ``aggregate_block`` folds all blobs in a block; ``combine`` merges two
+    accumulators — the canonical tree reduce of reference ``merge()``.
+    """
+
+    def __init__(self, on: str = "sketch", alias_name: Optional[str] = None):
+        # cfg unused: partials carry their own params; zero stays None
+        self._cfg = {"kind": "blob", "params": {}}
+        super(SketchAggregate, self).__init__(
+            alias_name or f"merged({on})",
+            zero_factory=lambda: None,
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> Optional[bytes]:
+        t = _to_arrow(block)
+        if t.num_rows == 0:
+            return None
+        blobs = t.column(self.get_target_column()).to_pylist()
+        acc = None
+        for b in blobs:
+            if b is None:
+                continue
+            if acc is None:
+                acc = sketch_from_bytes(b)
+            else:
+                acc.merge(sketch_from_bytes(b))
+        return acc.to_bytes() if acc is not None else None
+
+
+def make_partial_sketch_fn(
+    cfg: dict,
+    key_col: str,
+    weight_col: Optional[str] = None,
+    group_col: Optional[str] = None,
+    tokenize: bool = False,
+):
+    """Build a stateless ``map_batches`` fn: batch → partial-sketch rows.
+
+    With ``group_col``, emits one row per group value present in the batch
+    (the skew-absorbing pre-aggregation); otherwise one row per batch.
+    With ``tokenize=True``, ``key_col`` is a text column and keys are its
+    tokens (the fused reference word-count path, S3+C5).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"sketch": pa.array([], type=pa.binary()),
+                             "n_rows": pa.array([], type=pa.int64())})
+        if group_col is None:
+            sk = make_sketch(cfg)
+            if tokenize:
+                keys = tokenize_column(batch.column(key_col)).column("token")
+                sk.add_batch(keys)
+                n = len(keys)
+            else:
+                w = (
+                    batch.column(weight_col).to_numpy(zero_copy_only=False)
+                    if weight_col
+                    else None
+                )
+                sk.add_batch(batch.column(key_col), w)
+                n = batch.num_rows
+            return pa.table(
+                {"sketch": pa.array([sk.to_bytes()], type=pa.binary()),
+                 "n_rows": pa.array([n], type=pa.int64())}
+            )
+        # grouped: one partial per group value in this batch
+        groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        out_groups, out_blobs, out_n = [], [], []
+        for g in range(len(uniq)):
+            mask = inv == g
+            idx = np.flatnonzero(mask)
+            sub = batch.take(pa.array(idx))
+            sk = make_sketch(cfg)
+            if tokenize:
+                keys = tokenize_column(sub.column(key_col)).column("token")
+                sk.add_batch(keys)
+                out_n.append(len(keys))
+            else:
+                w = (
+                    sub.column(weight_col).to_numpy(zero_copy_only=False)
+                    if weight_col
+                    else None
+                )
+                sk.add_batch(sub.column(key_col), w)
+                out_n.append(sub.num_rows)
+            out_groups.append(uniq[g])
+            out_blobs.append(sk.to_bytes())
+        return pa.table(
+            {
+                group_col: pa.array(out_groups),
+                "sketch": pa.array(out_blobs, type=pa.binary()),
+                "n_rows": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def global_sketch(
+    ds: "ray.data.Dataset",
+    cfg: dict,
+    key_col: str,
+    weight_col: Optional[str] = None,
+    tokenize: bool = False,
+    batch_size: int = 8192,
+):
+    """Dataset → ONE merged sketch (bytes).  No shuffle: per-batch partials
+    tree-combined by the aggregate."""
+    fn = make_partial_sketch_fn(cfg, key_col, weight_col, tokenize=tokenize)
+    partials = ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    agg = MergeSketchBlobs(on="sketch", alias_name="sketch")
+    out = partials.aggregate(agg)
+    return out["sketch"]
+
+
+def grouped_sketch(
+    ds: "ray.data.Dataset",
+    cfg: dict,
+    key_col: str,
+    group_col: str,
+    weight_col: Optional[str] = None,
+    tokenize: bool = False,
+    batch_size: int = 8192,
+):
+    """Dataset → Dataset[(group_col, sketch: binary)]; shuffle carries only
+    per-(batch, group) partial blobs."""
+    fn = make_partial_sketch_fn(
+        cfg, key_col, weight_col, group_col=group_col, tokenize=tokenize
+    )
+    partials = ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return partials.groupby(group_col).aggregate(
+        MergeSketchBlobs(on="sketch", alias_name="sketch")
+    )
+
+
+class SketchLookup:
+    """Actor-pool ``map_batches`` stage answering point queries against a
+    broadcast sketch (reference C7 ``count`` / C8 ``contains`` as a
+    distributed stage).  The blob is ``ray.put`` once on the driver;
+    each actor deserializes once in ``__init__``."""
+
+    def __init__(self, blob_or_ref: Any, key_col: str, out_col: str = "est_count",
+                 mode: str = "count"):
+        blob = (
+            ray.get(blob_or_ref)
+            if isinstance(blob_or_ref, ray.ObjectRef)
+            else blob_or_ref
+        )
+        self.sketch = sketch_from_bytes(blob)
+        self.key_col = key_col
+        self.out_col = out_col
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_col).combine_chunks()
+        if self.mode == "contains":
+            vals = self.sketch.contains_batch(keys)
+            return batch.append_column(self.out_col, pa.array(vals, type=pa.bool_()))
+        counts = self.sketch.count_batch(keys)
+        return batch.append_column(
+            self.out_col, pa.array(counts.astype(np.uint64), type=pa.uint64())
+        )

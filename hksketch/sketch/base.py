@@ -29,6 +29,7 @@ DEFAULT_SEED = 12345
 MERGE_PROBE = b"hksketch-merge-compat-probe"
 
 _MAGIC = b"HKS1"
+_MAGIC_Z = b"HKSZ"
 
 
 class SketchError(ValueError):
@@ -114,22 +115,32 @@ def pack_sketch(
         table_blobs[name] = sink.getvalue().to_pybytes()
     meta["_tables"] = {name: len(b) for name, b in table_blobs.items()}
     hdr = json.dumps(meta, separators=(",", ":")).encode("utf-8")
-    parts = [_MAGIC, struct.pack("<I", len(hdr)), hdr]
+    parts = [struct.pack("<I", len(hdr)), hdr]
     for name in meta["_arrays"]:
         parts.append(np.ascontiguousarray(arrays[name]).tobytes())
     for name in meta["_tables"]:
         parts.append(table_blobs[name])
-    return b"".join(parts)
+    # sketch arrays are sparse early in a stream; cheap zlib level-1 framing
+    # shrinks partial blobs ~100x through the object store / shuffle.
+    import zlib
+
+    return _MAGIC_Z + zlib.compress(b"".join(parts), level=1)
 
 
 def unpack_sketch(
     blob: bytes,
 ) -> tuple[dict[str, Any], dict[str, np.ndarray], dict[str, pa.Table]]:
-    if blob[:4] != _MAGIC:
+    if blob[:4] == _MAGIC_Z:
+        import zlib
+
+        blob = zlib.decompress(blob[4:])
+    elif blob[:4] == _MAGIC:
+        blob = blob[4:]
+    else:
         raise SketchError("not a serialized sketch (bad magic)")
-    (hdr_len,) = struct.unpack("<I", blob[4:8])
-    off = 8 + hdr_len
-    meta = json.loads(blob[8:off].decode("utf-8"))
+    (hdr_len,) = struct.unpack("<I", blob[:4])
+    off = 4 + hdr_len
+    meta = json.loads(blob[4:off].decode("utf-8"))
     arrays: dict[str, np.ndarray] = {}
     for name, spec in meta.pop("_arrays").items():
         dtype = np.dtype(spec["dtype"])
@@ -171,6 +182,25 @@ def collapse_batch(h: np.ndarray, weights) -> tuple[np.ndarray, np.ndarray, np.n
     arr = np.array([min(t, U64_MAX) for t in totals], dtype=np.uint64)
     keep = arr > 0
     return uniq[keep], first_idx[keep], arr[keep]
+
+
+def pq_override(pq, h: np.ndarray, out: np.ndarray) -> np.ndarray:
+    """Vectorized 'PQ count wins over raw sketch reading' rule (C7): where a
+    hashed key is tracked in the top-k register, replace the bucket reading
+    with the tracked count."""
+    if not len(pq._map):
+        return out
+    fps = np.fromiter(pq._map.keys(), dtype=np.uint64, count=len(pq._map))
+    cnts = np.fromiter(
+        (e[0] for e in pq._map.values()), dtype=np.uint64, count=len(pq._map)
+    )
+    order = np.argsort(fps)
+    fps, cnts = fps[order], cnts[order]
+    pos = np.searchsorted(fps, h)
+    pos_c = np.clip(pos, 0, len(fps) - 1)
+    found = fps[pos_c] == h
+    out[found] = cnts[pos_c[found]]
+    return out
 
 
 def rng_state_to_json(rng: "np.random.Generator") -> dict:

@@ -42,6 +42,7 @@ from .base import (
     register_sketch,
     unpack_sketch,
     validate_topk_params,
+    pq_override,
     rng_state_to_json,
     rng_state_from_json,
 )
@@ -264,6 +265,22 @@ class BucketedTopK:
         if c is not None:
             return c
         return self.bucket_count_fp(fp)
+
+    def count_batch(self, items: Any) -> np.ndarray:
+        """Vectorized point queries (C7): PQ count if tracked, else the
+        bucket reading; 0 when absent."""
+        arr = _as_arrow_array(items)
+        h = self._hash(arr)
+        bidx = bucket_indices(h, self.width)
+        bfp = self.fp[bidx]
+        bcnt = self.cnt[bidx]
+        match = (bfp == h[:, None]) & (bcnt > 0)
+        has = match.any(axis=1)
+        col = np.argmax(match, axis=1)
+        out = np.zeros(len(h), dtype=np.uint64)
+        rows = np.flatnonzero(has)
+        out[rows] = self.cnt[bidx[rows], col[rows]]
+        return pq_override(self.pq, h, out)
 
     def contains(self, item: Any) -> bool:
         return self.count(item) > 0

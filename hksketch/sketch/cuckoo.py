@@ -41,6 +41,7 @@ from .base import (
     pq_to_table,
     precompute_decay_thresholds,
     register_sketch,
+    pq_override,
     rng_state_from_json,
     rng_state_to_json,
     unpack_sketch,
@@ -310,6 +311,25 @@ class CuckooTopK:
         if c is not None:
             return c
         return self.bucket_count_fp(fp)
+
+    def count_batch(self, items: Any) -> np.ndarray:
+        """Vectorized point queries: PQ if tracked, else heavy slot in either
+        candidate bucket, else primary lobby (src/cuckoo.rs:280-312)."""
+        arr = _as_arrow_array(items)
+        h = hash_array(arr, self.seed)
+        primary, alternate = self._bucket_pair_vec(h)
+        out = np.zeros(len(h), dtype=np.uint64)
+        pm = (self.heavy_fp[primary] == h[:, None]) & (self.heavy_cnt[primary] > 0)
+        am = (self.heavy_fp[alternate] == h[:, None]) & (self.heavy_cnt[alternate] > 0)
+        p_has = pm.any(axis=1)
+        a_has = am.any(axis=1) & ~p_has
+        rows = np.flatnonzero(p_has)
+        out[rows] = self.heavy_cnt[primary[rows], np.argmax(pm, axis=1)[rows]]
+        rows = np.flatnonzero(a_has)
+        out[rows] = self.heavy_cnt[alternate[rows], np.argmax(am, axis=1)[rows]]
+        lob = ~p_has & ~a_has & (self.lobby_fp[primary] == h) & (self.lobby_cnt[primary] > 0)
+        out[lob] = self.lobby_cnt[primary[lob]]
+        return pq_override(self.pq, h, out)
 
     def contains(self, item: Any) -> bool:
         return self.count(item) > 0

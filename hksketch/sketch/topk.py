@@ -43,6 +43,7 @@ from .base import (
     pq_to_table,
     precompute_decay_thresholds,
     register_sketch,
+    pq_override,
     rng_state_from_json,
     rng_state_to_json,
     unpack_sketch,
@@ -204,6 +205,22 @@ class TopK:
                 c = int(self.cnt[r, b])
                 best = c if best is None else min(best, c)
         return best or 0
+
+    def count_batch(self, items: Any) -> np.ndarray:
+        """Vectorized point queries: PQ count if tracked, else MIN over rows
+        with a matching fingerprint (src/heavykeeper.rs:220-246)."""
+        arr = _as_arrow_array(items)
+        h = hash_array(arr, self.seed)
+        rows_h = derive_row_hashes(h, self.depth)
+        best = np.full(len(h), U64(U64_MAX))
+        anym = np.zeros(len(h), dtype=bool)
+        for r in range(self.depth):
+            idx = bucket_indices(rows_h[r], self.width)
+            m = (self.fp[r, idx] == h) & (self.cnt[r, idx] > 0)
+            best[m] = np.minimum(best[m], self.cnt[r, idx][m])
+            anym |= m
+        out = np.where(anym, best, U64(0))
+        return pq_override(self.pq, h, out)
 
     def contains(self, item: Any) -> bool:
         return self.count(item) > 0
