@@ -1,0 +1,165 @@
+"""End-to-end Ray Data pipeline tests on the deterministic webpages fixture
+(SURVEY.md §7.1 minimum slice + §7.2.3-6)."""
+
+import collections
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _truth_hosts(pages_dir):
+    t = pq.read_table(pages_dir, columns=["url"])
+    hosts = [u.split("//")[1].split("/")[0] for u in t.column("url").to_pylist()]
+    return collections.Counter(hosts)
+
+
+def test_flagship_webpages_pipeline(ray_session, webpages_tiny):
+    from hksketch.pipelines.flagship import webpages_flagship
+
+    out = webpages_flagship(webpages_tiny, k=20, seed=7)
+    truth = _truth_hosts(webpages_tiny)
+    top = out["topk_hosts"]
+    # exact regime (width >> hosts): counts match the exact oracle
+    got = dict(zip(top.column("host").to_pylist(), top.column("count").to_pylist()))
+    for host, c in got.items():
+        assert truth[host] == c
+    true20 = [h for h, _ in sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+    assert set(got) == set(true20)
+    # HLL distinct urls within 3σ
+    n_urls = pq.read_table(webpages_tiny, columns=["url"]).num_rows
+    assert abs(out["distinct_urls"] - n_urls) / n_urls < 3 * 1.04 / np.sqrt(1 << 14)
+
+
+def test_global_sketch_matches_local(ray_session, webpages_tiny):
+    """Distributed tree-merged sketch == single-process sketch on the same
+    rows (merge-compatibility across workers, SURVEY.md §1.2)."""
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import BucketedTopK, sketch_from_bytes
+
+    ds = rd.read_parquet(webpages_tiny, columns=["lang"])
+    cfg = sketch_config("bucketed", k=10, width=1024, depth=4, decay=0.9, seed=3)
+    blob = global_sketch(ds, cfg, key_col="lang")
+    dist = dict(sketch_from_bytes(blob).list())
+
+    local = BucketedTopK(10, 1024, 4, 0.9, seed=3)
+    t = pq.read_table(webpages_tiny, columns=["lang"])
+    local.add_batch(t.column("lang").combine_chunks())
+    assert dist == dict(local.list())
+
+
+def test_grouped_sketch(ray_session, webpages_tiny):
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = rd.read_parquet(webpages_tiny, columns=["lang", "text"])
+    cfg = sketch_config("bucketed", k=64, width=4096, depth=4, decay=0.9, seed=3)
+    out = grouped_sketch(ds, cfg, key_col="text", group_col="lang", tokenize=True)
+    rows = out.take_all()
+    assert {r["lang"] for r in rows} == {"en", "de", "fr"}
+    # per-group counts match a per-group local tokenize+count
+    from hksketch.text.tokenize import tokenize_text
+
+    t = pq.read_table(webpages_tiny, columns=["lang", "text"])
+    for row in rows:
+        sk = sketch_from_bytes(row["sketch"])
+        truth = collections.Counter()
+        for lang, text in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+            if lang == row["lang"]:
+                truth.update(tokenize_text(text))
+        for item, count in sk.list()[:20]:
+            assert truth[item] == count
+
+
+def test_sketch_lookup_stage(ray_session, webpages_tiny):
+    import ray
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import SketchLookup, global_sketch
+
+    ds = rd.read_parquet(webpages_tiny, columns=["lang"])
+    cfg = sketch_config("bucketed", k=10, width=1024, depth=4, decay=0.9, seed=3)
+    blob = global_sketch(ds, cfg, key_col="lang")
+    ref = ray.put(blob)
+    annotated = ds.map_batches(
+        SketchLookup,
+        fn_constructor_args=(ref, "lang"),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    rows = annotated.take(50)
+    t = pq.read_table(webpages_tiny, columns=["lang"])
+    truth = collections.Counter(t.column("lang").to_pylist())
+    for r in rows:
+        assert r["est_count"] == truth[r["lang"]]
+
+
+def test_checkpoint_resume(ray_session, webpages_tiny, tmp_path):
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.checkpoint import run_checkpointed_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    files = sorted(
+        os.path.join(webpages_tiny, f)
+        for f in os.listdir(webpages_tiny)
+        if f.endswith(".parquet")
+    )
+    cfg = sketch_config("bucketed", k=50, width=4096, depth=4, decay=0.9, seed=3)
+    ck = str(tmp_path / "ck")
+    blob1, m1 = run_checkpointed_sketch(files, ck, cfg, key_col="lang")
+    assert m1["resumed_skipped"] == 0 and m1["partitions"] == len(files)
+    # resume: all partitions skipped, byte-identical result
+    blob2, m2 = run_checkpointed_sketch(files, ck, cfg, key_col="lang")
+    assert m2["resumed_skipped"] == len(files)
+    assert sketch_from_bytes(blob1).list() == sketch_from_bytes(blob2).list()
+    # param change → refuses the dir
+    cfg2 = sketch_config("bucketed", k=51, width=4096, depth=4, decay=0.9, seed=3)
+    with pytest.raises(ValueError):
+        run_checkpointed_sketch(files, ck, cfg2, key_col="lang")
+    # partial-state resume: delete one blob, rerun builds only that one
+    os.remove(os.path.join(ck, "part-00000.sketch"))
+    blob3, m3 = run_checkpointed_sketch(files, ck, cfg, key_col="lang")
+    assert m3["resumed_skipped"] == len(files) - 1
+    assert sketch_from_bytes(blob3).list() == sketch_from_bytes(blob1).list()
+
+
+def test_extraction_invariant_distributed(ray_session, webpages_tiny):
+    """Per-row invariant at the pipeline level: extract(html) == text for
+    every url (BASELINE.json input_hint)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from hksketch.text.extract import extract_text_column
+
+    ds = rd.read_parquet(webpages_tiny, columns=["url", "html", "text"])
+
+    def check(b: pa.Table) -> pa.Table:
+        ext = extract_text_column(b.column("html"))
+        ok = pc.equal(ext, b.column("text").combine_chunks())
+        return pa.table({"url": b.column("url"), "ok": ok})
+
+    out = ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+    assert all(r["ok"] for r in out.take_all())
+
+
+def test_quantile_udaf_accuracy(ray_session):
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import TDigestQuantileAggregate
+
+    rng = np.random.default_rng(0)
+    vals = rng.random(50_000)
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    agg = TDigestQuantileAggregate(on="v", qs=(0.1, 0.5, 0.9), compression=200, alias_name="q")
+    got = ds.aggregate(agg)["q"]
+    for est, q in zip(got, (0.1, 0.5, 0.9)):
+        assert abs(est - q) < 0.02
