@@ -330,6 +330,200 @@ def _q_events_hourly(sf_dir: str):
     return grouped_count(ds, ["event_type", "hour"], count_name="n")
 
 
+def _q_dedup_exact(sf_dir: str):
+    from hksketch.dedup.exact import exact_dedup
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id")
+
+
+def _texts_by_id(sf_dir: str):
+    def fetch(ids):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        m = t.filter(pc.is_in(t.column("doc_id"), value_set=__import__("pyarrow").array(ids)))
+        return dict(zip(m.column("doc_id").to_pylist(), m.column("text").to_pylist()))
+
+    return fetch
+
+
+def _q_minhash_near_dupes(sf_dir: str):
+    from hksketch.dedup.minhash import minhash_near_dupes
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dupes(
+        ds, "text", "doc_id", num_perm=128, bands=32, ngram=3, seed=1,
+        verify_threshold=0.5, texts_for_verify=_texts_by_id(sf_dir),
+    )
+
+
+def _q_simhash_near_dupes(sf_dir: str):
+    from hksketch.dedup.simhash import simhash_near_dupes
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dupes(ds, "text", "doc_id", max_hamming=3, seed=1)
+
+
+def _q_embed_near_dupes(sf_dir: str):
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.knn import embedding_near_dupes
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dupes(ds, threshold=0.4)
+
+
+def _load_query_vec(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    row = t.filter(pc.equal(t.column("vec_id"), 0))
+    return row.column("embedding")[0].as_py()
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.knn import knn_bruteforce
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = knn_bruteforce(ds, _load_query_vec(sf_dir), k=10)
+    rank = pa.array(np.arange(1, t.num_rows + 1), type=pa.int64())
+    return pa.table({"rank": rank, "vec_id": t.column("vec_id")})
+
+
+def _q_knn_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.knn import knn_ivf
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = knn_ivf(ds, _load_query_vec(sf_dir), k=10, n_clusters=16, nprobe=4)
+    rank = pa.array(np.arange(1, t.num_rows + 1), type=pa.int64())
+    return pa.table({"rank": rank, "vec_id": t.column("vec_id")})
+
+
+def _q_lang_id(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.analysis import lang_id_batch
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "lang_pred": lang_id_batch(b.column("text").combine_chunks())}
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_quality_scores(sf_dir: str):
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.analysis import quality_scores_batch
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: quality_scores_batch(b, "text", "doc_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_token_stats(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_distinct_count, read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    tokens = ds.map_batches(
+        lambda b: tokenize_column(b.column("text")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    total = tokens.count()
+    distinct = exact_distinct_count(tokens, "token")
+    return pa.table(
+        {"total_tokens": pa.array([total], type=pa.int64()),
+         "distinct_tokens": pa.array([distinct], type=pa.int64())}
+    )
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.analysis import doc_fingerprints_batch
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        fps = doc_fingerprints_batch(b.column("text").combine_chunks())
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "fingerprint": pa.array([f"{x:016x}" for x in fps], type=pa.string())}
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_tokens_per_source_topk(sf_dir: str):
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.tokenize import tokenize_column
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        t = tokenize_column(b.column("text"), with_doc_index=True)
+        src = b.column("source").take(t.column("doc_idx"))
+        return pa.table({"source": src, "token": t.column("token")})
+
+    pairs = ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pre(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(b)
+            .group_by(["source", "token"])
+            .agg(pl.len().cast(pl.Int64).alias("count"))
+        )
+        t = g.to_arrow()
+        return pa.table(
+            {"source": t.column("source").cast(pa.string()),
+             "token": t.column("token").cast(pa.string()),
+             "count": t.column("count")}
+        )
+
+    counts = pairs.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    counts = counts.groupby(["source", "token"]).aggregate(
+        Sum("count", alias_name="count")
+    )
+
+    def top3(g):
+        import pandas as pd
+
+        g = g.sort_values(["count", "token"], ascending=[False, True]).head(3)
+        return g[["source", "token", "count"]]
+
+    return counts.groupby("source").map_groups(top3, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -352,6 +546,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "top_orders": _q_top_orders,
         "events_hourly": _q_events_hourly,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_near_dupes": _q_minhash_near_dupes,
+        "simhash_near_dupes": _q_simhash_near_dupes,
+        "embed_near_dupes": _q_embed_near_dupes,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_ivf": _q_knn_ivf,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality_scores,
+        "token_stats": _q_token_stats,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "tokens_per_source_topk": _q_tokens_per_source_topk,
     }
 
 
@@ -450,5 +655,57 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type, hour
+""",
+        "dedup_exact": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "embed_near_dupes": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY a, b
+""",
+        "knn_bruteforce": """
+SELECT CAST(rn AS BIGINT) AS rank, vec_id FROM (
+  SELECT e.vec_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+         ) AS rn
+  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+) WHERE rn <= 10 ORDER BY rank
+""",
+        "quality_scores": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS char_len,
+       CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+'),
+                            x -> length(x) <= 64)) AS BIGINT) AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         / greatest(length(text), 1) AS alpha_ratio,
+       length(regexp_replace(text, '[^0-9]', '', 'g'))
+         / greatest(length(text), 1) AS digit_ratio
+FROM documents
+""",
+        "token_stats": _TOKENS_CTE
+        + """
+SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS distinct_tokens
+FROM toks
+""",
+        "tokens_per_source_topk": """
+WITH toks AS (
+  SELECT source, lower(tok) AS token
+  FROM (SELECT source, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
+  WHERE length(tok) <= 64
+), c AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS count
+  FROM toks GROUP BY source, token
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY count DESC, token ASC) AS rn
+  FROM c
+)
+SELECT source, token, count FROM r WHERE rn <= 3
 """,
     }

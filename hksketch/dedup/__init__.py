@@ -1,0 +1,13 @@
+from .exact import exact_dedup
+from .minhash import MinHasher, minhash_near_dupes
+from .simhash import SimHasher, simhash_near_dupes
+from .ngram import ngram_jaccard
+
+__all__ = [
+    "exact_dedup",
+    "MinHasher",
+    "minhash_near_dupes",
+    "SimHasher",
+    "simhash_near_dupes",
+    "ngram_jaccard",
+]

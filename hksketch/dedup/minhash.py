@@ -1,0 +1,173 @@
+"""MinHash + LSH near-duplicate detection (Broder 1997; LSH banding per
+Leskovec-Rajaraman-Ullman, *Mining of Massive Datasets* ch. 3).
+
+Pipeline shape (ray_guide "Aggregation at scale" near-dup pattern):
+
+1. ``map_batches``: word n-gram shingles → per-doc MinHash signature
+   (``num_perm`` 64-bit mins, vectorized with ``np.minimum.at`` over the
+   shingle-hash array — no per-doc Python loop);
+2. explode signatures to (band_id, band_hash, doc_id) rows — one row per
+   band per doc;
+3. ``groupby([band_id, band_hash])`` → candidate pairs inside each bucket;
+4. verify candidates with exact shingle-set Jaccard (only candidates are
+   re-read, via a broadcast of the candidate id set).
+
+Permutations are derived from one base hash per shingle with splitmix64
+streams — deterministic for a fixed seed, merge-compatible across workers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import hash_array, splitmix64
+from ..text.tokenize import tokenize_column
+
+U64 = np.uint64
+
+
+class MinHasher:
+    """Vectorized shingle → MinHash signature computation."""
+
+    def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 1):
+        self.num_perm = int(num_perm)
+        self.ngram = int(ngram)
+        self.seed = int(seed)
+        rng = np.random.default_rng(seed)
+        # odd multipliers + offsets define the permutation family
+        self.mult = (rng.integers(1, 2**63, self.num_perm, dtype=np.uint64) << U64(1)) | U64(1)
+        self.offs = rng.integers(0, 2**63, self.num_perm, dtype=np.uint64)
+
+    def shingle_hashes(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """→ (shingle_hash uint64[], doc_idx int64[]) over word n-grams."""
+        toks = tokenize_column(texts, with_doc_index=True)
+        words = toks.column("token").to_pylist()
+        idx = toks.column("doc_idx").to_numpy()
+        n = self.ngram
+        if len(words) == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        base = hash_array(pa.array(words, type=pa.string()), self.seed)
+        # rolling n-gram hash: combine n consecutive token hashes (order-aware)
+        if len(base) < n:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        acc = base[: len(base) - n + 1].copy()
+        for j in range(1, n):
+            acc = splitmix64(acc) ^ base[j : len(base) - n + 1 + j]
+        gidx = idx[: len(base) - n + 1]
+        # keep only shingles fully inside one doc
+        ok = idx[n - 1 :] == gidx
+        return acc[ok], gidx[ok]
+
+    def signatures(self, texts: pa.Array) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix; empty docs get
+        all-max sentinel signatures (never collide)."""
+        sh, didx = self.shingle_hashes(texts)
+        n_docs = len(texts)
+        sig = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(sh) == 0:
+            return sig
+        for p in range(self.num_perm):
+            transformed = sh * self.mult[p] + self.offs[p]  # wraps mod 2^64
+            np.minimum.at(sig[:, p], didx, transformed)
+        return sig
+
+    def band_rows(
+        self, texts: pa.Array, ids: np.ndarray, bands: int
+    ) -> pa.Table:
+        """Explode signatures to (band_id, band_hash, doc_id) rows."""
+        sig = self.signatures(texts)
+        r = self.num_perm // bands
+        out_band, out_hash, out_id = [], [], []
+        maxu = np.iinfo(np.uint64).max
+        nonempty = ~(sig[:, 0] == maxu)
+        for b in range(bands):
+            chunk = sig[:, b * r : (b + 1) * r]
+            h = chunk[:, 0].copy()
+            for j in range(1, r):
+                h = splitmix64(h) ^ chunk[:, j]
+            h = splitmix64(h)
+            out_band.append(np.full(int(nonempty.sum()), b, dtype=np.int32))
+            out_hash.append(h[nonempty])
+            out_id.append(np.asarray(ids)[nonempty])
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(out_band), type=pa.int32()),
+                "band_hash": pa.array(np.concatenate(out_hash), type=pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            }
+        )
+
+
+def minhash_near_dupes(
+    ds,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+    seed: int = 1,
+    verify_threshold: Optional[float] = 0.5,
+    texts_for_verify=None,
+):
+    """Dataset → pa.Table(a, b[, jaccard]) of near-duplicate id pairs.
+
+    Candidates from LSH banding; verified (optionally) with exact shingle
+    Jaccard.  ``texts_for_verify`` is a callable id_list -> {id: text} used
+    to re-read candidate texts (a broadcast-side lookup at verification
+    time; candidates are few by construction).
+    """
+    mh = MinHasher(num_perm=num_perm, ngram=ngram, seed=seed)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return mh.band_rows(
+            batch.column(text_col).combine_chunks(),
+            batch.column(id_col).to_numpy(),
+            bands,
+        )
+
+    rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g):
+        import pandas as pd
+
+        ids = sorted(set(g["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    cand = (
+        rows.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.drop_duplicates().astype({"a": "int64", "b": "int64"})
+    if verify_threshold is None or texts_for_verify is None or len(cand) == 0:
+        t = pa.table(
+            {"a": pa.array(cand["a"], type=pa.int64()),
+             "b": pa.array(cand["b"], type=pa.int64())}
+        )
+        return t.sort_by([("a", "ascending"), ("b", "ascending")])
+    need = sorted(set(cand["a"]) | set(cand["b"]))
+    texts = texts_for_verify(need)
+    from .ngram import shingle_set, jaccard
+
+    cache = {i: shingle_set(texts[i], ngram) for i in need}
+    keep_a, keep_b, jac = [], [], []
+    for a, b in zip(cand["a"], cand["b"]):
+        j = jaccard(cache[a], cache[b])
+        if j >= verify_threshold:
+            keep_a.append(a)
+            keep_b.append(b)
+            jac.append(j)
+    t = pa.table(
+        {
+            "a": pa.array(keep_a, type=pa.int64()),
+            "b": pa.array(keep_b, type=pa.int64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        }
+    )
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])

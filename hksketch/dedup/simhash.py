@@ -1,0 +1,118 @@
+"""SimHash near-duplicate detection (Charikar 2002; Manku et al. WWW'07
+Hamming-distance blocking).
+
+64-bit SimHash per document from token hashes (vectorized bit-vote
+accumulation); candidate pairs found by the pigeonhole block trick: split
+the 64 bits into ``hd + 1`` blocks — any pair within Hamming distance
+``hd`` shares at least one exact block, so a groupby on (block_id,
+block_value) surfaces every candidate without an all-pairs scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import hash_array
+from ..text.tokenize import tokenize_column
+
+U64 = np.uint64
+
+
+class SimHasher:
+    def __init__(self, seed: int = 1):
+        self.seed = int(seed)
+
+    def signatures(self, texts: pa.Array) -> np.ndarray:
+        """(n_docs,) uint64 simhash: sign of per-bit weighted votes."""
+        toks = tokenize_column(texts, with_doc_index=True)
+        h = hash_array(toks.column("token"), self.seed)
+        didx = toks.column("doc_idx").to_numpy()
+        n_docs = len(texts)
+        votes = np.zeros((n_docs, 64), dtype=np.int64)
+        if len(h):
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & U64(1)).astype(
+                np.int64
+            ) * 2 - 1  # ±1 votes
+            np.add.at(votes, didx, bits)
+        sig = np.zeros(n_docs, dtype=np.uint64)
+        pos = votes > 0
+        for b in range(64):
+            sig |= pos[:, b].astype(np.uint64) << U64(b)
+        return sig
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    # vectorized popcount via byte-view + lookup table
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    return lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dupes(
+    ds, text_col: str, id_col: str, max_hamming: int = 3, seed: int = 1
+) -> pa.Table:
+    """Dataset → pa.Table(a, b, hamming) pairs with distance ≤ max_hamming."""
+    sh = SimHasher(seed=seed)
+    nblocks = max_hamming + 1
+    shift = 64 // nblocks
+
+    def stage(batch: pa.Table) -> pa.Table:
+        sig = sh.signatures(batch.column(text_col).combine_chunks())
+        ids = batch.column(id_col).to_numpy()
+        out_block, out_val, out_id, out_sig = [], [], [], []
+        for b in range(nblocks):
+            lo = b * shift
+            hi = 64 if b == nblocks - 1 else (b + 1) * shift
+            mask = (U64(1) << U64(hi - lo)) - U64(1)
+            val = (sig >> U64(lo)) & mask
+            out_block.append(np.full(len(sig), b, dtype=np.int32))
+            out_val.append(val)
+            out_id.append(ids)
+            out_sig.append(sig)
+        return pa.table(
+            {
+                "block_id": pa.array(np.concatenate(out_block), type=pa.int32()),
+                "block_val": pa.array(np.concatenate(out_val), type=pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "sig": pa.array(np.concatenate(out_sig), type=pa.uint64()),
+            }
+        )
+
+    rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g):
+        import pandas as pd
+
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        recs = sorted(set(zip(g["doc_id"].tolist(), g["sig"].tolist())))
+        out = []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = int(
+                    hamming64(
+                        np.array([recs[i][1]], dtype=np.uint64),
+                        np.array([recs[j][1]], dtype=np.uint64),
+                    )[0]
+                )
+                if d <= max_hamming:
+                    out.append((recs[i][0], recs[j][0], d))
+        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+
+    pairs = (
+        rows.groupby(["block_id", "block_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "hamming": pa.array([], type=pa.int64())}
+        )
+    pairs = pairs.drop_duplicates(subset=["a", "b"]).astype(
+        {"a": "int64", "b": "int64", "hamming": "int64"}
+    )
+    return pa.Table.from_pandas(
+        pairs.sort_values(["a", "b"]).reset_index(drop=True), preserve_index=False
+    )

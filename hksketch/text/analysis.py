@@ -1,0 +1,127 @@
+"""Text analysis operators for training-data pipelines: language ID
+(stopword/char-class heuristic), quality scoring (length/class ratios),
+token counting, and document fingerprinting (rolling hash).
+
+All vectorized per batch; the quality-score formulas are deliberately
+SQL-expressible so the driver's DuckDB oracle can verify them exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import hash_array, splitmix64
+from .tokenize import tokenize_column
+
+U64 = np.uint64
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for", "on", "with", "as", "at"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit", "den", "auf", "von"},
+    "fr": {"le", "la", "les", "et", "est", "une", "un", "dans", "que", "pour", "des", "du", "pas"},
+    "es": {"el", "la", "los", "las", "y", "es", "una", "un", "en", "que", "por", "para", "con", "del"},
+}
+
+
+def lang_id_batch(texts: pa.Array) -> pa.Array:
+    """Heuristic language per document: CJK-char share → ``zh``; else the
+    language whose stopword set covers the largest token share; ``und``
+    when nothing matches."""
+    toks = tokenize_column(texts, with_doc_index=True)
+    words = toks.column("token").to_pylist()
+    didx = toks.column("doc_idx").to_numpy()
+    n = len(texts)
+    counts = {lang: np.zeros(n, dtype=np.int64) for lang in STOPWORDS}
+    totals = np.zeros(n, dtype=np.int64)
+    np.add.at(totals, didx, 1)
+    for i, w in enumerate(words):
+        for lang, sw in STOPWORDS.items():
+            if w in sw:
+                counts[lang][didx[i]] += 1
+    # CJK detection on raw text
+    cjk_ratio = np.zeros(n)
+    for i, t in enumerate(texts.to_pylist()):
+        if not t:
+            continue
+        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+        cjk_ratio[i] = cjk / len(t)
+    out = []
+    langs = list(STOPWORDS)
+    ratio = np.stack(
+        [counts[lang] / np.maximum(totals, 1) for lang in langs], axis=1
+    )
+    best = np.argmax(ratio, axis=1)
+    bestval = ratio[np.arange(n), best]
+    for i in range(n):
+        if cjk_ratio[i] > 0.05:
+            out.append("zh")
+        elif bestval[i] >= 0.03:
+            out.append(langs[int(best[i])])
+        else:
+            out.append("und")
+    return pa.array(out, type=pa.string())
+
+
+def quality_scores_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Exactly-SQL-expressible per-doc quality features:
+
+    - ``char_len``: unicode character count;
+    - ``n_tokens``: spec tokenizer count (``[A-Za-z]+`` runs ≤ 64 bytes);
+    - ``alpha_ratio``: ASCII-alphabetic chars / char_len (0 for empty);
+    - ``digit_ratio``: ASCII digits / char_len (0 for empty).
+    """
+    texts = batch.column(text_col).combine_chunks()
+    char_len = pc.utf8_length(texts).cast(pa.int64())
+    from .tokenize import token_counts_per_doc
+
+    n_tokens = pa.array(token_counts_per_doc(texts), type=pa.int64())
+    alpha = pc.utf8_length(
+        pc.replace_substring_regex(texts, pattern="[^A-Za-z]", replacement="")
+    ).cast(pa.float64())
+    digit = pc.utf8_length(
+        pc.replace_substring_regex(texts, pattern="[^0-9]", replacement="")
+    ).cast(pa.float64())
+    denom = pc.max_element_wise(char_len.cast(pa.float64()), pa.scalar(1.0))
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "char_len": char_len,
+            "n_tokens": n_tokens,
+            # single IEEE division → bitwise identical to the SQL oracle
+            "alpha_ratio": pc.divide(alpha, denom),
+            "digit_ratio": pc.divide(digit, denom),
+        }
+    )
+
+
+FP_BASE = U64(1099511628211)
+
+
+def doc_fingerprints_batch(texts: pa.Array, seed: int = 0xF1F0) -> np.ndarray:
+    """Order-sensitive rolling token-hash fingerprint per document:
+    ``fp = Σ h(tok_i) · B^i  (mod 2^64)`` with B the FNV prime — a
+    Rabin-Karp-style polynomial over the token stream, then finalized with
+    splitmix64.  Deterministic; swapped tokens change the fingerprint."""
+    toks = tokenize_column(texts, with_doc_index=True)
+    h = hash_array(toks.column("token"), seed)
+    didx = toks.column("doc_idx").to_numpy()
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(h):
+        # position within each doc
+        starts = np.searchsorted(didx, np.arange(n))
+        pos = np.arange(len(didx), dtype=np.int64) - starts[didx]
+        # B^pos mod 2^64 via repeated squaring on the exponent bits
+        powers = np.ones(len(pos), dtype=np.uint64)
+        base_pow = np.uint64(FP_BASE)
+        max_bits = int(pos.max()).bit_length() if len(pos) else 0
+        p = pos.astype(np.uint64)
+        with np.errstate(over="ignore"):  # mod-2^64 arithmetic is intended
+            for bit in range(max_bits):
+                mask = ((p >> U64(bit)) & U64(1)) == 1
+                powers[mask] *= base_pow
+                base_pow = base_pow * base_pow
+            np.add.at(out, didx, h * powers)
+    return splitmix64(out)

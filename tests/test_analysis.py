@@ -1,0 +1,50 @@
+"""Text analysis: language ID, quality scores, fingerprints."""
+
+import numpy as np
+import pyarrow as pa
+
+from hksketch.text.analysis import (
+    doc_fingerprints_batch,
+    lang_id_batch,
+    quality_scores_batch,
+)
+
+
+def test_lang_id_heuristic():
+    texts = pa.array(
+        [
+            "the cat sat on the mat and it was happy with that",
+            "der hund ist nicht in das haus und ich bin mit den kindern",
+            "le chat est dans la maison et les enfants sont pour le jardin",
+            "el perro es un animal y la casa es para los gatos del pueblo",
+            "这是一个中文句子用来测试语言识别",
+            "xyzzy plugh qwerty",
+        ],
+        type=pa.string(),
+    )
+    out = lang_id_batch(texts).to_pylist()
+    assert out == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_quality_scores():
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+         "text": pa.array(["abc 123!", "", "x" * 70 + " ok"], type=pa.string())}
+    )
+    out = quality_scores_batch(t, "text", "doc_id")
+    assert out.column("char_len").to_pylist() == [8, 0, 73]
+    # "abc" yes; "123" no; 70-byte run skipped? no — 70 ≤ 64 is false → skipped
+    assert out.column("n_tokens").to_pylist() == [1, 0, 1]
+    assert out.column("alpha_ratio").to_pylist()[0] == 3 / 8
+    assert out.column("digit_ratio").to_pylist()[0] == 3 / 8
+    assert out.column("alpha_ratio").to_pylist()[1] == 0.0
+
+
+def test_doc_fingerprints_order_sensitive_and_deterministic():
+    a = pa.array(["alpha beta gamma", "beta alpha gamma", "alpha beta gamma"],
+                 type=pa.string())
+    fps = doc_fingerprints_batch(a)
+    assert fps[0] == fps[2]  # identical text → identical fingerprint
+    assert fps[0] != fps[1]  # order matters (rolling hash)
+    again = doc_fingerprints_batch(a)
+    assert np.array_equal(fps, again)

@@ -1,0 +1,113 @@
+"""Dedup suite: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hksketch.dedup.minhash import MinHasher
+from hksketch.dedup.ngram import jaccard, ngram_jaccard, shingle_set
+from hksketch.dedup.simhash import SimHasher, hamming64
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "while the hunter watches quietly from behind an old oak tree near the river"
+)
+NEAR = BASE.replace("quietly", "silently")  # one-token change
+FAR = "completely different content about databases indexes queries and storage engines"
+
+
+def test_ngram_jaccard_basics():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert 0.5 < ngram_jaccard(BASE, NEAR) < 1.0
+    assert ngram_jaccard(BASE, FAR) == 0.0
+    assert jaccard(frozenset(), frozenset()) == 1.0
+    assert shingle_set("a b", 3) == frozenset()
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=256, ngram=3, seed=1)
+    texts = pa.array([BASE, NEAR, FAR], type=pa.string())
+    sig = mh.signatures(texts)
+    est_near = float((sig[0] == sig[1]).mean())
+    true_near = ngram_jaccard(BASE, NEAR)
+    assert abs(est_near - true_near) < 0.15
+    assert float((sig[0] == sig[2]).mean()) < 0.05
+
+
+def test_minhash_deterministic_across_instances():
+    texts = pa.array([BASE, NEAR], type=pa.string())
+    a = MinHasher(128, 3, seed=9).signatures(texts)
+    b = MinHasher(128, 3, seed=9).signatures(texts)
+    assert np.array_equal(a, b)
+    c = MinHasher(128, 3, seed=10).signatures(texts)
+    assert not np.array_equal(a, c)
+
+
+def test_simhash_hamming_reflects_similarity():
+    sh = SimHasher(seed=1)
+    sig = sh.signatures(pa.array([BASE, NEAR, FAR], type=pa.string()))
+    d_near = int(hamming64(sig[0:1], sig[1:2])[0])
+    d_far = int(hamming64(sig[0:1], sig[2:3])[0])
+    assert d_near < d_far
+    assert d_near <= 8
+    assert d_far > 10
+
+
+def test_exact_dedup_pipeline(ray_session):
+    import ray.data as rd
+
+    from hksketch.dedup.exact import exact_dedup
+
+    rows = [
+        {"doc_id": 1, "text": "aaa"},
+        {"doc_id": 2, "text": "bbb"},
+        {"doc_id": 3, "text": "aaa"},  # dup of 1
+        {"doc_id": 4, "text": "ccc"},
+        {"doc_id": 5, "text": "bbb"},  # dup of 2
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    kept = sorted(r["doc_id"] for r in exact_dedup(ds, "text", "doc_id").take_all())
+    assert kept == [1, 2, 4]
+
+
+def test_minhash_lsh_pipeline_finds_planted_dupes(ray_session):
+    import ray.data as rd
+
+    from hksketch.dedup.minhash import minhash_near_dupes
+
+    docs = [{"doc_id": 1, "text": BASE}, {"doc_id": 2, "text": NEAR},
+            {"doc_id": 3, "text": FAR}]
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [
+        "".join(letters[(i // 26**p) % 26] for p in range(3)) for i in range(500)
+    ]
+    for i in range(4, 30):  # noise docs (alphabetic words: digits are separators)
+        rng = np.random.default_rng(i)
+        docs.append(
+            {"doc_id": i,
+             "text": " ".join(vocab[int(x)] for x in rng.integers(0, 500, 40))}
+        )
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    texts = {d["doc_id"]: d["text"] for d in docs}
+    out = minhash_near_dupes(
+        ds, "text", "doc_id", num_perm=128, bands=32, seed=1,
+        verify_threshold=0.5, texts_for_verify=lambda ids: texts,
+    )
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)  # no false positives survive verify
+
+
+def test_simhash_pipeline_finds_planted_dupes(ray_session):
+    import ray.data as rd
+
+    from hksketch.dedup.simhash import simhash_near_dupes
+
+    docs = [{"doc_id": 1, "text": BASE}, {"doc_id": 2, "text": NEAR},
+            {"doc_id": 3, "text": FAR}]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    out = simhash_near_dupes(ds, "text", "doc_id", max_hamming=8, seed=1)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
