@@ -86,9 +86,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             res.to_pandas()
         times[name] = round(time.perf_counter() - t0, 4)
 
+    # web-pages heavy pass (the BASELINE.json docs/sec metric) on the
+    # deterministic Common-Crawl-style fixture
+    from hksketch.pipelines.fixtures import generate_webpages
+    from hksketch.pipelines.flagship import bench_webpages
+
+    pages_dir = generate_webpages(
+        os.environ.get("HK_BENCH_PAGES_DIR", "/tmp/hkfix/webpages_bench"),
+        n_pages=int(os.environ.get("HK_BENCH_PAGES", "200000")),
+        n_hosts=20_000,
+        vocab_size=50_000,
+        seed=42,
+        files=32,
+    )
+    t0 = time.perf_counter()
+    web = bench_webpages(pages_dir)
+    web_sec = round(time.perf_counter() - t0, 4)
+    times["webpages_pass"] = web_sec
+
     total = round(sum(times.values()), 4)
-    # token throughput from the flagship tokenize+sketch stage
-    tok_t = times.get("topk_tokens_sketch", float("nan"))
     out = {
         "metric": "hksketch_headline_sec",
         "value": total,
@@ -96,7 +112,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": times,
         "sf": sf_dir,
         "num_cpus": num_cpus,
-        "docs_per_sec": round(n_docs / tok_t, 1) if tok_t else None,
+        "docs_per_sec": round(web["n_pages"] / web_sec, 1),
+        "tokens_per_sec": round(web["total_tokens"] / web_sec, 1),
+        "web_pages": web["n_pages"],
         "docs": n_docs,
         "events": n_events,
     }

@@ -44,12 +44,11 @@ class MinHasher:
     def shingle_hashes(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         """→ (shingle_hash uint64[], doc_idx int64[]) over word n-grams."""
         toks = tokenize_column(texts, with_doc_index=True)
-        words = toks.column("token").to_pylist()
         idx = toks.column("doc_idx").to_numpy()
         n = self.ngram
-        if len(words) == 0:
+        if toks.num_rows == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-        base = hash_array(pa.array(words, type=pa.string()), self.seed)
+        base = hash_array(toks.column("token"), self.seed)
         # rolling n-gram hash: combine n consecutive token hashes (order-aware)
         if len(base) < n:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
@@ -69,9 +68,14 @@ class MinHasher:
         sig = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         if len(sh) == 0:
             return sig
-        for p in range(self.num_perm):
-            transformed = sh * self.mult[p] + self.offs[p]  # wraps mod 2^64
-            np.minimum.at(sig[:, p], didx, transformed)
+        # didx is nondecreasing (shingles in document order): segment mins
+        # via reduceat are ~20x faster than np.minimum.at scatter.
+        docs_with = np.unique(didx)
+        starts = np.searchsorted(didx, docs_with)
+        with np.errstate(over="ignore"):  # mod-2^64 permutations
+            for p in range(self.num_perm):
+                transformed = sh * self.mult[p] + self.offs[p]
+                sig[docs_with, p] = np.minimum.reduceat(transformed, starts)
         return sig
 
     def band_rows(
@@ -99,6 +103,68 @@ class MinHasher:
                 "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
             }
         )
+
+
+def lsh_candidate_pairs(rows, shards: int = 256) -> pa.Table:
+    """(band_id, band_hash, doc_id) rows → candidate (a, b) pairs.
+
+    Scale-critical shape: a groupby on the raw (band_id, band_hash) key
+    creates millions of size-1 groups (40s+ on 3M rows); instead the bucket
+    key is folded to ONE uint64, sharded to ``shards`` groups, and duplicate
+    buckets are found per shard with a vectorized sorted-run scan — the
+    shuffle fan-in is bounded and per-group work is numpy, not per-bucket
+    Python."""
+    import pandas as pd
+
+    def shard(b: pa.Table) -> pa.Table:
+        bkey = splitmix64(
+            b.column("band_hash").to_numpy(zero_copy_only=False)
+            ^ (b.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+               * U64(0x9E3779B97F4A7C15))
+        )
+        return pa.table(
+            {
+                "bkey": pa.array(bkey, type=pa.uint64()),
+                "shard": pa.array((bkey & U64(shards - 1)).astype(np.int32)),
+                "doc_id": b.column("doc_id"),
+            }
+        )
+
+    sharded = rows.map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        k = g["bkey"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        dup = np.flatnonzero(k[1:] == k[:-1])  # collision positions
+        if len(dup) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        out_a, out_b = [], []
+        # walk collision runs (rare by construction)
+        run_start = dup[0]
+        prev = dup[0]
+        runs = []
+        for i in dup[1:]:
+            if i != prev + 1:
+                runs.append((run_start, prev + 2))
+                run_start = i
+            prev = i
+        runs.append((run_start, prev + 2))
+        for s, e in runs:
+            ids = np.unique(d[s:e])
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    out_a.append(int(ids[x]))
+                    out_b.append(int(ids[y]))
+        return pd.DataFrame({"a": out_a, "b": out_b}).astype("int64")
+
+    got = sharded.groupby("shard").map_groups(pairs, batch_format="pandas").to_pandas()
+    got = got.drop_duplicates().astype({"a": "int64", "b": "int64"})
+    return pa.Table.from_pandas(
+        got.sort_values(["a", "b"]).reset_index(drop=True), preserve_index=False
+    )
 
 
 def minhash_near_dupes(
@@ -129,22 +195,7 @@ def minhash_near_dupes(
         )
 
     rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_pairs(g):
-        import pandas as pd
-
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["a", "b"])
-
-    cand = (
-        rows.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    cand = cand.drop_duplicates().astype({"a": "int64", "b": "int64"})
+    cand = lsh_candidate_pairs(rows).to_pandas()
     if verify_threshold is None or texts_for_verify is None or len(cand) == 0:
         t = pa.table(
             {"a": pa.array(cand["a"], type=pa.int64()),

@@ -29,16 +29,15 @@ class SimHasher:
         h = hash_array(toks.column("token"), self.seed)
         didx = toks.column("doc_idx").to_numpy()
         n_docs = len(texts)
-        votes = np.zeros((n_docs, 64), dtype=np.int64)
-        if len(h):
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & U64(1)).astype(
-                np.int64
-            ) * 2 - 1  # ±1 votes
-            np.add.at(votes, didx, bits)
         sig = np.zeros(n_docs, dtype=np.uint64)
-        pos = votes > 0
-        for b in range(64):
-            sig |= pos[:, b].astype(np.uint64) << U64(b)
+        if len(h):
+            # didx nondecreasing → per-doc ±1 bit votes via segment sums
+            docs_with = np.unique(didx)
+            starts = np.searchsorted(didx, docs_with)
+            for b in range(64):
+                bit = (((h >> U64(b)) & U64(1)).astype(np.int32) << 1) - 1
+                votes = np.add.reduceat(bit, starts)
+                sig[docs_with] |= (votes > 0).astype(np.uint64) << U64(b)
         return sig
 
 
@@ -81,27 +80,67 @@ def simhash_near_dupes(
 
     rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
+    # fold (block_id, block_val) to one uint64 bucket key and shard it —
+    # same scale shape as dedup.minhash.lsh_candidate_pairs (a raw groupby
+    # would create one tiny group per distinct bucket)
+    from ..hashing import splitmix64
+
+    SHARDS = 256
+
+    def shard(b: pa.Table) -> pa.Table:
+        bkey = splitmix64(
+            b.column("block_val").to_numpy(zero_copy_only=False)
+            ^ (b.column("block_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+               * U64(0x9E3779B97F4A7C15))
+        )
+        return pa.table(
+            {
+                "bkey": pa.array(bkey, type=pa.uint64()),
+                "shard": pa.array((bkey & U64(SHARDS - 1)).astype(np.int32)),
+                "doc_id": b.column("doc_id"),
+                "sig": b.column("sig"),
+            }
+        )
+
+    sharded = rows.map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+
     def bucket_pairs(g):
         import pandas as pd
 
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        recs = sorted(set(zip(g["doc_id"].tolist(), g["sig"].tolist())))
+        k = g["bkey"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        s = g["sig"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d, s = k[order], d[order], s[order]
+        dup = np.flatnonzero(k[1:] == k[:-1])
+        if len(dup) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        runs, run_start, prev = [], dup[0], dup[0]
+        for i in dup[1:]:
+            if i != prev + 1:
+                runs.append((run_start, prev + 2))
+                run_start = i
+            prev = i
+        runs.append((run_start, prev + 2))
         out = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = int(
-                    hamming64(
-                        np.array([recs[i][1]], dtype=np.uint64),
-                        np.array([recs[j][1]], dtype=np.uint64),
-                    )[0]
-                )
-                if d <= max_hamming:
-                    out.append((recs[i][0], recs[j][0], d))
+        for st, e in runs:
+            recs = sorted(set(zip(d[st:e].tolist(), s[st:e].tolist())))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    dist = int(
+                        hamming64(
+                            np.array([recs[i][1]], dtype=np.uint64),
+                            np.array([recs[j][1]], dtype=np.uint64),
+                        )[0]
+                    )
+                    if dist <= max_hamming:
+                        out.append((recs[i][0], recs[j][0], dist))
         return pd.DataFrame(out, columns=["a", "b", "hamming"])
 
     pairs = (
-        rows.groupby(["block_id", "block_val"])
+        sharded.groupby("shard")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )

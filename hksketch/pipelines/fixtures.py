@@ -82,14 +82,38 @@ def generate_webpages(
         np.where(rng.random(n_pages) < 0.5, "de", "fr"),
     )
 
-    urls, texts = [], []
     offs = np.concatenate([[0], np.cumsum(n_words)])
-    for i in range(n_pages):
-        h = int(host_ids[i])
-        c = path_counter.get(h, 0)
-        path_counter[h] = c + 1
-        urls.append(f"https://host{h}.example/p/{c}")
-        texts.append(" ".join(vocab[word_ids[offs[i] : offs[i + 1]]]))
+    try:  # vectorized assembly (polars): ~20x faster for large fixtures
+        import polars as pl
+
+        page_of_word = np.repeat(np.arange(n_pages, dtype=np.int64), n_words)
+        words = pl.Series("w", vocab.tolist(), dtype=pl.String).gather(word_ids)
+        texts = (
+            pl.DataFrame({"p": page_of_word, "w": words})
+            .group_by("p", maintain_order=True)
+            .agg(pl.col("w").str.join(" ").alias("t"))["t"]
+            .to_list()
+        )
+        # per-host deterministic path counter
+        order = np.argsort(host_ids, kind="stable")
+        seq = np.empty(n_pages, dtype=np.int64)
+        sh = host_ids[order]
+        run = np.arange(n_pages) - np.maximum.accumulate(
+            np.where(np.r_[True, sh[1:] != sh[:-1]], np.arange(n_pages), 0)
+        )
+        seq[order] = run
+        urls = [
+            f"https://host{int(h)}.example/p/{int(c)}"
+            for h, c in zip(host_ids, seq)
+        ]
+    except Exception:
+        urls, texts = [], []
+        for i in range(n_pages):
+            h = int(host_ids[i])
+            c = path_counter.get(h, 0)
+            path_counter[h] = c + 1
+            urls.append(f"https://host{h}.example/p/{c}")
+            texts.append(" ".join(vocab[word_ids[offs[i] : offs[i + 1]]]))
 
     htmls = [PREFIX + t.encode() + SUFFIX for t in texts]
     ts = (EPOCH_US + np.arange(n_pages, dtype=np.int64) * 1_000_000).astype(

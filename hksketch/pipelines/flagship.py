@@ -117,6 +117,105 @@ def heavy_hitter_tokens(
     return t.filter(pc.greater_equal(t.column("count"), pa.scalar(thresh)))
 
 
+def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
+    """The scaling-benchmark workload: a full training-data pass over the
+    Common-Crawl-style fixture —
+
+    read(url, html) → extract text (exact envelope unwrap) →
+    [a] fused tokenize + HeavyKeeper top-k tokens (tree merge)
+    [b] hostname top-k
+    [c] HLL distinct urls
+    [d] per-doc stats: quality scores + rolling-hash fingerprint + SimHash
+    [e] MinHash band rows → bucket groupby (the LSH shuffle)
+
+    The extracted pages are materialized ONCE (sized well under the object
+    store) and every sub-pipeline streams from that shared intermediate.
+    Returns row counts so callers can compute docs/sec.
+    """
+    import pyarrow.compute as _pc
+
+    from ..dedup.minhash import MinHasher
+    from ..dedup.simhash import SimHasher
+    from ..ray_glue.aggregate import HLLCountAggregate
+    from ..text.analysis import doc_fingerprints_batch, quality_scores_batch
+    from ..text.extract import extract_text_column
+
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        text = extract_text_column(batch.column("html"))
+        host = _pc.replace_substring_regex(
+            batch.column("url"), pattern=r"^https?://([^/]*)/.*$", replacement=r"\1"
+        )
+        return pa.table({"url": batch.column("url"), "host": host, "text": text})
+
+    pages = ds.map_batches(
+        extract, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    ).materialize()
+    n_pages = pages.count()
+
+    tok_cfg = sketch_config("bucketed", k=4096, width=1 << 15, depth=4, decay=0.9, seed=seed)
+    host_cfg = sketch_config("bucketed", k=2048, width=1 << 14, depth=4, decay=0.9, seed=seed)
+    tok_blob = global_sketch(pages, tok_cfg, key_col="text", tokenize=True)
+    host_blob = global_sketch(pages, host_cfg, key_col="host")
+    distinct_urls = pages.aggregate(
+        HLLCountAggregate(on="url", p=14, seed=seed, alias_name="distinct_urls")
+    )["distinct_urls"]
+
+    sh = SimHasher(seed=seed)
+
+    def doc_stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        q = quality_scores_batch(
+            pa.table({"doc_id": batch.column("url"), "text": texts}), "text", "doc_id"
+        )
+        fp = doc_fingerprints_batch(texts)
+        sig = sh.signatures(texts)
+        return pa.table(
+            {
+                "n_tokens": q.column("n_tokens"),
+                "alpha_ratio": q.column("alpha_ratio"),
+                "fingerprint": pa.array(fp, type=pa.uint64()),
+                "simhash": pa.array(sig, type=pa.uint64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    stats_out = pages.map_batches(
+        doc_stats, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    ).aggregate(Sum("n_tokens", alias_name="total_tokens"))
+    total_tokens = int(stats_out["total_tokens"])
+
+    mh = MinHasher(num_perm=64, ngram=3, seed=seed)
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        from ..hashing import hash_array
+
+        doc_ids = (hash_array(batch.column("url"), 7) >> np.uint64(1)).astype(
+            np.int64
+        )  # stable global doc id from the url
+        return mh.band_rows(
+            batch.column("text").combine_chunks(), doc_ids, bands=16
+        )
+
+    from ..dedup.minhash import lsh_candidate_pairs
+
+    bands = pages.map_batches(
+        band_stage, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    )
+    n_candidates = lsh_candidate_pairs(bands).num_rows
+
+    return {
+        "n_pages": n_pages,
+        "total_tokens": total_tokens,
+        "distinct_urls": distinct_urls,
+        "lsh_candidates": n_candidates,
+        "topk_tokens": sketch_to_sorted_table(tok_blob, "token", limit=20),
+        "topk_hosts": sketch_to_sorted_table(host_blob, "host", limit=20),
+    }
+
+
 def webpages_flagship(
     pages_dir: str,
     k: int = 100,

@@ -141,7 +141,7 @@ def global_sketch(
     key_col: str,
     weight_col: Optional[str] = None,
     tokenize: bool = False,
-    batch_size: int = 8192,
+    batch_size: int = 16384,
 ):
     """Dataset → ONE merged sketch (bytes).  No shuffle: per-batch partials
     tree-combined by the aggregate."""
@@ -161,7 +161,7 @@ def grouped_sketch(
     group_col: str,
     weight_col: Optional[str] = None,
     tokenize: bool = False,
-    batch_size: int = 8192,
+    batch_size: int = 16384,
 ):
     """Dataset → Dataset[(group_col, sketch: binary)]; shuffle carries only
     per-(batch, group) partial blobs."""

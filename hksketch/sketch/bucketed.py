@@ -247,6 +247,58 @@ class BucketedTopK:
         if pq.is_full():
             self.min_pq_count = pq.min_count()
 
+
+    @classmethod
+    def builder(cls):
+        from .base import SketchBuilder
+
+        return SketchBuilder(cls)
+
+    def add_with_evicted(self, item: Any, increment: int = 1):
+        """Single-event insert reporting (evicted, newly_tracked) — the
+        reference C6 eviction contract (src/bucketed.rs:187-258)."""
+        if increment == 0:
+            return (None, False)
+        fp = hash_scalar(item, self.seed)
+        b = int(bucket_indices(np.array([fp], dtype=np.uint64), self.width)[0])
+        c = self._add_one(fp, b, int(increment))
+        return self._pq_single(fp, item, c)
+
+    def _pq_single(self, fp: int, item: Any, count: int | None):
+        if count is None or count == 0:
+            return (None, False)
+        pq = self.pq
+        if fp in pq:
+            pq.update_if_present(fp, count)
+            if pq.is_full():
+                self.min_pq_count = pq.min_count()
+            return (None, False)
+        if pq.is_full() and count <= pq.min_count():
+            return (None, False)
+        had_room = not pq.is_full()
+        evicted = pq.upsert(fp, item, count)
+        if pq.is_full():
+            self.min_pq_count = pq.min_count()
+        return (evicted, evicted is not None or had_room)
+
+    def debug(self) -> str:
+        """Dump params, non-zero cells (count desc) and PQ contents
+        (reference C13, src/heavykeeper.rs:461-495)."""
+        lines = [
+            f"{type(self).__name__}(k={self.k}, width={self.width}, "
+            f"depth={self.depth}, decay={self.decay}, seed={self.seed})",
+        ]
+        nz = np.argwhere(self.cnt > 0)
+        cells = sorted(
+            ((int(self.cnt[r, c]), int(self.fp[r, c]), int(r), int(c)) for r, c in nz),
+            reverse=True,
+        )
+        for count, fp, r, c in cells[:50]:
+            lines.append(f"  cell[{r},{c}] fp={fp:016x} count={count}")
+        for item, count in self.pq.iter_sorted():
+            lines.append(f"  pq {item!r} -> {count}")
+        return "\n".join(lines)
+
     # -- queries ---------------------------------------------------------
 
     def bucket_count_fp(self, fp: int) -> int:

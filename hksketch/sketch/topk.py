@@ -185,6 +185,55 @@ class TopK:
                 continue
             pq.upsert(fp, arr[int(first_idx[i])].as_py(), count)
 
+
+    @classmethod
+    def builder(cls):
+        from .base import SketchBuilder
+
+        return SketchBuilder(cls)
+
+    def add_with_evicted(self, item: Any, increment: int = 1):
+        """Single-event insert reporting (evicted, newly_tracked) — the
+        reference C6 eviction contract (src/heavykeeper.rs:281-354)."""
+        if increment == 0:
+            return (None, False)
+        fp = hash_scalar(item, self.seed)
+        row_h = derive_row_hashes(np.array([fp], dtype=np.uint64), self.depth)[:, 0]
+        max_count = 0
+        for r in range(self.depth):
+            c = self._add_one_row(r, int(row_h[r]), fp, int(increment))
+            if c is not None and c > max_count:
+                max_count = c
+        if max_count == 0:
+            return (None, False)
+        pq = self.pq
+        if fp in pq:
+            pq.update_if_present(fp, max_count)
+            return (None, False)
+        if pq.is_full() and max_count <= pq.min_count():
+            return (None, False)
+        had_room = not pq.is_full()
+        evicted = pq.upsert(fp, item, max_count)
+        return (evicted, evicted is not None or had_room)
+
+    def debug(self) -> str:
+        """Dump params, non-zero buckets (count desc) and PQ contents
+        (reference C13, src/heavykeeper.rs:461-495)."""
+        lines = [
+            f"TopK(k={self.k}, width={self.width}, depth={self.depth}, "
+            f"decay={self.decay}, seed={self.seed})",
+        ]
+        nz = np.argwhere(self.cnt > 0)
+        cells = sorted(
+            ((int(self.cnt[r, c]), int(self.fp[r, c]), int(r), int(c)) for r, c in nz),
+            reverse=True,
+        )
+        for count, fp, r, c in cells[:50]:
+            lines.append(f"  row {r} bucket {c} fp={fp:016x} count={count}")
+        for item, count in self.pq.iter_sorted():
+            lines.append(f"  pq {item!r} -> {count}")
+        return "\n".join(lines)
+
     # -- queries ---------------------------------------------------------
 
     def count(self, item: Any) -> int:

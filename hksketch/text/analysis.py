@@ -77,12 +77,21 @@ def quality_scores_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Tabl
     from .tokenize import token_counts_per_doc
 
     n_tokens = pa.array(token_counts_per_doc(texts), type=pa.int64())
-    alpha = pc.utf8_length(
-        pc.replace_substring_regex(texts, pattern="[^A-Za-z]", replacement="")
-    ).cast(pa.float64())
-    digit = pc.utf8_length(
-        pc.replace_substring_regex(texts, pattern="[^0-9]", replacement="")
-    ).cast(pa.float64())
+    try:  # polars count_matches: same counts, ~10x faster than regex replace
+        import polars as pl
+
+        s = pl.from_arrow(texts)
+        alpha = pa.array(
+            s.str.count_matches("[A-Za-z]").to_numpy().astype("float64")
+        )
+        digit = pa.array(s.str.count_matches("[0-9]").to_numpy().astype("float64"))
+    except Exception:  # pragma: no cover
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(texts, pattern="[^A-Za-z]", replacement="")
+        ).cast(pa.float64())
+        digit = pc.utf8_length(
+            pc.replace_substring_regex(texts, pattern="[^0-9]", replacement="")
+        ).cast(pa.float64())
     denom = pc.max_element_wise(char_len.cast(pa.float64()), pa.scalar(1.0))
     return pa.table(
         {
@@ -110,9 +119,9 @@ def doc_fingerprints_batch(texts: pa.Array, seed: int = 0xF1F0) -> np.ndarray:
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if len(h):
-        # position within each doc
-        starts = np.searchsorted(didx, np.arange(n))
-        pos = np.arange(len(didx), dtype=np.int64) - starts[didx]
+        # position within each doc (didx nondecreasing: tokens in doc order)
+        first = np.searchsorted(didx, np.arange(n))
+        pos = np.arange(len(didx), dtype=np.int64) - first[didx]
         # B^pos mod 2^64 via repeated squaring on the exponent bits
         powers = np.ones(len(pos), dtype=np.uint64)
         base_pow = np.uint64(FP_BASE)
@@ -123,5 +132,7 @@ def doc_fingerprints_batch(texts: pa.Array, seed: int = 0xF1F0) -> np.ndarray:
                 mask = ((p >> U64(bit)) & U64(1)) == 1
                 powers[mask] *= base_pow
                 base_pow = base_pow * base_pow
-            np.add.at(out, didx, h * powers)
+            docs_with = np.unique(didx)
+            starts = np.searchsorted(didx, docs_with)
+            out[docs_with] = np.add.reduceat(h * powers, starts)
     return splitmix64(out)
