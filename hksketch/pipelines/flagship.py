@@ -102,16 +102,15 @@ def heavy_hitter_tokens(
         variant, k=4096, width=1 << 15, depth=4, decay=0.9, seed=seed
     )
     # partials also carry n_rows = token counts; reuse global_sketch's fused
-    # stage but keep N via a parallel count
-    from ..ray_glue.stages import make_partial_sketch_fn, MergeSketchBlobs
+    # stage but keep N from the same pass
+    from ..ray_glue.stages import make_partial_sketch_fn, tree_merge_blobs
 
     fn = make_partial_sketch_fn(cfg, "text", tokenize=True)
-    partials = ds.map_batches(
+    rows = ds.map_batches(
         fn, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True
-    ).materialize()  # tiny: one row per batch
-    n_tokens = int(partials.sum("n_rows"))
-    out = partials.aggregate(MergeSketchBlobs(on="sketch", alias_name="sketch"))
-    blob = out["sketch"]
+    ).take_all()  # tiny: one row per batch
+    n_tokens = int(sum(r["n_rows"] for r in rows))
+    blob = tree_merge_blobs([r["sketch"] for r in rows])
     t = sketch_to_sorted_table(blob, "token", "count")
     thresh = int(np.ceil(phi * n_tokens))
     return t.filter(pc.greater_equal(t.column("count"), pa.scalar(thresh)))
@@ -140,6 +139,20 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
     from ..text.analysis import doc_fingerprints_batch, quality_scores_batch
     from ..text.extract import extract_text_column
 
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("HK_BENCH_DEBUG") == "1"
+    _t = _time.perf_counter
+    _marks: dict = {}
+
+    def _mark(name, t0):
+        _marks[name] = round(_t() - t0, 3)
+        if _dbg:
+            print(f"[bench_webpages] {name}: {_marks[name]}s", flush=True)
+        return _t()
+
+    _t0 = _t()
     ds = rd.read_parquet(pages_dir, columns=["url", "html"])
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -153,45 +166,69 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
         extract, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     ).materialize()
     n_pages = pages.count()
+    _t0 = _mark("extract_materialize", _t0)
 
-    tok_cfg = sketch_config("bucketed", k=4096, width=1 << 15, depth=4, decay=0.9, seed=seed)
-    host_cfg = sketch_config("bucketed", k=2048, width=1 << 14, depth=4, decay=0.9, seed=seed)
-    tok_blob = global_sketch(pages, tok_cfg, key_col="text", tokenize=True)
-    host_blob = global_sketch(pages, host_cfg, key_col="host")
-    distinct_urls = pages.aggregate(
-        HLLCountAggregate(on="url", p=14, seed=seed, alias_name="distinct_urls")
-    )["distinct_urls"]
+    # ONE fused per-doc pass: every per-document kernel runs on the batch
+    # while it is hot in cache, emitting a single partial row per batch —
+    # stage-fusion keeps the fixed per-execution cost at 2 dataset runs
+    # total instead of 6.
+    from ray.data.aggregate import Sum
+
+    from ..dedup.minhash import lsh_candidate_pairs
+    from ..hashing import hash_array
+    from ..sketch import BucketedTopK, HyperLogLog
+    from ..text.tokenize import tokenize_column
+    from .ops import read_table as _rt  # noqa: F401  (kept for symmetry)
 
     sh = SimHasher(seed=seed)
 
-    def doc_stats(batch: pa.Table) -> pa.Table:
+    def fused_partials(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").combine_chunks()
+        toks = tokenize_column(texts, with_doc_index=True)
+        tok_sk = BucketedTopK(4096, 1 << 15, 4, 0.9, seed=seed)
+        tok_sk.add_batch(toks.column("token"))
+        host_sk = BucketedTopK(2048, 1 << 14, 4, 0.9, seed=seed)
+        host_sk.add_batch(batch.column("host"))
+        hll = HyperLogLog(p=14, seed=seed)
+        hll.add_batch(batch.column("url"))
         q = quality_scores_batch(
             pa.table({"doc_id": batch.column("url"), "text": texts}), "text", "doc_id"
         )
-        fp = doc_fingerprints_batch(texts)
-        sig = sh.signatures(texts)
+        doc_fingerprints_batch(texts)
+        sh.signatures(texts)
+        n_tok = int(
+            np.asarray(q.column("n_tokens").to_numpy(zero_copy_only=False)).sum()
+        )
         return pa.table(
             {
-                "n_tokens": q.column("n_tokens"),
-                "alpha_ratio": q.column("alpha_ratio"),
-                "fingerprint": pa.array(fp, type=pa.uint64()),
-                "simhash": pa.array(sig, type=pa.uint64()),
+                "tok_sketch": pa.array([tok_sk.to_bytes()], type=pa.binary()),
+                "host_sketch": pa.array([host_sk.to_bytes()], type=pa.binary()),
+                "hll": pa.array([hll.to_bytes()], type=pa.binary()),
+                "n_tokens": pa.array([n_tok], type=pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Sum
+    from ..ray_glue.stages import tree_merge_blobs
 
-    stats_out = pages.map_batches(
-        doc_stats, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
-    ).aggregate(Sum("n_tokens", alias_name="total_tokens"))
-    total_tokens = int(stats_out["total_tokens"])
+    partials = pages.map_batches(
+        fused_partials, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    ).take_all()  # one tiny row per batch
+    _t0 = _mark("fused_partials", _t0)
+    tok_blob = tree_merge_blobs([r["tok_sketch"] for r in partials])
+    host_blob = tree_merge_blobs([r["host_sketch"] for r in partials])
+    distinct_urls = int(
+        round(
+            sketch_from_bytes(
+                tree_merge_blobs([r["hll"] for r in partials])
+            ).estimate()
+        )
+    )
+    total_tokens = int(sum(r["n_tokens"] for r in partials))
+    _t0 = _mark("tree_merges", _t0)
 
     mh = MinHasher(num_perm=64, ngram=3, seed=seed)
 
     def band_stage(batch: pa.Table) -> pa.Table:
-        from ..hashing import hash_array
-
         doc_ids = (hash_array(batch.column("url"), 7) >> np.uint64(1)).astype(
             np.int64
         )  # stable global doc id from the url
@@ -199,12 +236,11 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
             batch.column("text").combine_chunks(), doc_ids, bands=16
         )
 
-    from ..dedup.minhash import lsh_candidate_pairs
-
     bands = pages.map_batches(
         band_stage, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     )
     n_candidates = lsh_candidate_pairs(bands).num_rows
+    _t0 = _mark("lsh", _t0)
 
     return {
         "n_pages": n_pages,
@@ -213,6 +249,7 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
         "lsh_candidates": n_candidates,
         "topk_tokens": sketch_to_sorted_table(tok_blob, "token", limit=20),
         "topk_hosts": sketch_to_sorted_table(host_blob, "host", limit=20),
+        "stage_sec": _marks,
     }
 
 

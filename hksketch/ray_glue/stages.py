@@ -135,23 +135,50 @@ def make_partial_sketch_fn(
     return fn
 
 
+@ray.remote
+def _merge_blob_chunk(blobs: list[bytes]) -> bytes:
+    acc = sketch_from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(sketch_from_bytes(b))
+    return acc.to_bytes()
+
+
+def tree_merge_blobs(blobs: list[bytes], fanin: int = 8) -> bytes:
+    """Deterministic parallel tree reduce of serialized partial sketches
+    (partials stay in partition order, SURVEY.md §7.5.3).  Raw Ray tasks are
+    justified here: Ray Data's Aggregate operator pays seconds of all-to-all
+    fixed cost to merge a few dozen one-row blocks."""
+    blobs = [b for b in blobs if b is not None]
+    if not blobs:
+        return b""
+    while len(blobs) > fanin:
+        refs = [
+            _merge_blob_chunk.remote(blobs[i : i + fanin])
+            for i in range(0, len(blobs), fanin)
+        ]
+        blobs = ray.get(refs)
+    acc = sketch_from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(sketch_from_bytes(b))
+    return acc.to_bytes()
+
+
 def global_sketch(
     ds: "ray.data.Dataset",
     cfg: dict,
     key_col: str,
     weight_col: Optional[str] = None,
     tokenize: bool = False,
-    batch_size: int = 16384,
+    batch_size: int = 8192,
 ):
     """Dataset → ONE merged sketch (bytes).  No shuffle: per-batch partials
-    tree-combined by the aggregate."""
+    stream to the driver (one tiny row per batch) and tree-merge."""
     fn = make_partial_sketch_fn(cfg, key_col, weight_col, tokenize=tokenize)
     partials = ds.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    agg = MergeSketchBlobs(on="sketch", alias_name="sketch")
-    out = partials.aggregate(agg)
-    return out["sketch"]
+    blobs = [r["sketch"] for r in partials.take_all()]
+    return tree_merge_blobs(blobs)
 
 
 def grouped_sketch(
