@@ -524,6 +524,54 @@ def _q_tokens_per_source_topk(sf_dir: str):
     return counts.groupby("source").map_groups(top3, batch_format="pandas")
 
 
+def _q_tokens_per_lang_topk_sketch(sf_dir: str):
+    """Per-group HeavyKeeper sketches (few large groups → per-batch partial
+    pre-aggregation, shuffle carries blobs only)."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "documents", ["lang", "text"])
+    cfg = sketch_config("bucketed", k=512, width=1 << 13, depth=4, decay=0.9, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="text", group_col="lang", tokenize=True)
+    langs, tokens, counts = [], [], []
+    for row in sorted(out.take_all(), key=lambda r: r["lang"]):
+        sk = sketch_from_bytes(row["sketch"])
+        top = sorted(sk.list(), key=lambda ic: (-ic[1], ic[0]))[:3]
+        for tok, c in top:
+            langs.append(row["lang"])
+            tokens.append(tok)
+            counts.append(int(c))
+    return pa.table(
+        {"lang": pa.array(langs, type=pa.string()),
+         "token": pa.array(tokens, type=pa.string()),
+         "count": pa.array(counts, type=pa.int64())}
+    )
+
+
+def _q_user_sessions(sf_dir: str):
+    """Sessionization: per-user event stream sorted by (ts, event_id),
+    session break on gap > 12h (streaming-shaped op via groupby+map_groups;
+    ordering assumption: within-group sort, ray_guide streaming pattern)."""
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        n = 1 + int((gaps > 43200).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -557,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
+        "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -707,5 +757,33 @@ WITH toks AS (
   FROM c
 )
 SELECT source, token, count FROM r WHERE rn <= 3
+""",
+        "tokens_per_lang_topk_sketch": """
+WITH toks AS (
+  SELECT lang, lower(tok) AS token
+  FROM (SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
+  WHERE length(tok) <= 64
+), c AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS count
+  FROM toks GROUP BY lang, token
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY count DESC, token ASC) AS rn
+  FROM c
+)
+SELECT lang, token, count FROM r WHERE rn <= 3
+""",
+        "user_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                          AND epoch(ts - prev) > 43200 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id
 """,
     }
