@@ -524,6 +524,32 @@ def _q_tokens_per_source_topk(sf_dir: str):
     return counts.groupby("source").map_groups(top3, batch_format="pandas")
 
 
+def _q_topk_parts_by_qty_sketch(sf_dir: str):
+    """WEIGHTED heavy hitters: HeavyKeeper with increment = l_quantity
+    (the reference's weighted ``add(item, increment)``, C5)."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.flagship import sketch_to_sorted_table
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+
+    ds = read_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def int_qty(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"l_partkey": b.column("l_partkey"),
+             "qty": pc.cast(b.column("l_quantity"), pa.uint64())}
+        )
+
+    ds = ds.map_batches(int_qty, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = sketch_config("bucketed", k=4096, width=1 << 15, depth=4, decay=0.9, seed=SEED)
+    blob = global_sketch(ds, cfg, key_col="l_partkey", weight_col="qty")
+    return sketch_to_sorted_table(blob, "l_partkey", "total_qty", limit=25)
+
+
 def _q_tokens_per_lang_topk_sketch(sf_dir: str):
     """Per-group HeavyKeeper sketches (few large groups → per-batch partial
     pre-aggregation, shuffle carries blobs only)."""
@@ -607,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_per_source_topk": _q_tokens_per_source_topk,
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
         "user_sessions": _q_user_sessions,
+        "topk_parts_by_qty_sketch": _q_topk_parts_by_qty_sketch,
     }
 
 
@@ -785,5 +812,10 @@ SELECT user_id,
                           AND epoch(ts - prev) > 43200 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id
+""",
+        "topk_parts_by_qty_sketch": """
+SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY l_partkey
+ORDER BY total_qty DESC, l_partkey ASC LIMIT 25
 """,
     }

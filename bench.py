@@ -23,6 +23,16 @@ import sys
 import time
 
 
+
+# Ray logs a benign "Failed to hash the schemas" warning when deduplicating
+# schemas of blob-carrying blocks; silence that one logger.
+import logging
+
+logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+    logging.ERROR
+)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # one Rust thread per Ray worker: each map_batches task reserves 1 CPU,
     # so an unpinned polars pool (32 threads/worker) oversubscribes the box

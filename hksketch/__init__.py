@@ -14,3 +14,12 @@ Layout (SURVEY.md §7.0):
 """
 
 __version__ = "0.1.0"
+
+# Ray logs a benign "Failed to hash the schemas (for deduplication)" warning
+# on blob-carrying blocks; importing hksketch (driver AND workers) silences
+# that single logger so pipeline output stays readable.
+import logging as _logging
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+    _logging.ERROR
+)

@@ -17,6 +17,16 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+
+# Ray logs a benign "Failed to hash the schemas" warning when deduplicating
+# schemas of blob-carrying blocks; silence that one logger.
+import logging
+
+logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+    logging.ERROR
+)
+
+
 def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
 

@@ -5,6 +5,16 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+# Ray logs a benign "Failed to hash the schemas" warning when deduplicating
+# schemas of blob-carrying blocks; silence that one logger.
+import logging
+
+logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+    logging.ERROR
+)
+
+
 FIXDIR = "/tmp/hkfix"
 
 
