@@ -60,7 +60,22 @@ def _blake2b_u64(value: bytes, seed: int) -> int:
     )[0]
 
 
-def hash_array(values: Any, seed: int) -> np.ndarray:
+HASH_FNS = ("auto", "polars", "blake2b")
+
+
+def resolve_hash_fn(fn: str) -> str:
+    """'auto' → the fastest available backend (pluggable-hasher support,
+    reference C3 `with_hasher`, src/heavykeeper.rs:123-131)."""
+    if fn not in HASH_FNS:
+        raise ValueError(f"unknown hash fn {fn!r}; one of {HASH_FNS}")
+    if fn == "auto":
+        return "polars" if _HAVE_POLARS else "blake2b"
+    if fn == "polars" and not _HAVE_POLARS:
+        raise ValueError("polars hash backend unavailable")
+    return fn
+
+
+def hash_array(values: Any, seed: int, fn: str = "auto") -> np.ndarray:
     """Hash a column of keys to uint64, deterministically for a fixed seed.
 
     Accepts pyarrow Array/ChunkedArray, numpy arrays, or python sequences of
@@ -68,7 +83,7 @@ def hash_array(values: Any, seed: int) -> np.ndarray:
     (polars hashes both as raw bytes).  Returns a uint64 numpy array.
     """
     arr = _as_arrow_array(values)
-    if _HAVE_POLARS:
+    if resolve_hash_fn(fn) == "polars":
         s = pl.from_arrow(arr)
         if isinstance(s, pl.DataFrame):  # struct columns arrive as a frame
             s = s.to_series()
@@ -88,9 +103,9 @@ def hash_array(values: Any, seed: int) -> np.ndarray:
     return out
 
 
-def hash_scalar(value: Any, seed: int) -> int:
+def hash_scalar(value: Any, seed: int, fn: str = "auto") -> int:
     """Hash one key; identical to ``hash_array([value], seed)[0]``."""
-    return int(hash_array([value], seed)[0])
+    return int(hash_array([value], seed, fn)[0])
 
 
 def rotl64(x: np.ndarray, r: np.uint64 = _ROT) -> np.ndarray:

@@ -219,7 +219,7 @@ class SketchBuilder:
     Missing required fields raise ``BuilderError`` at build()."""
 
     _REQUIRED = ("k", "width", "depth", "decay")
-    _OPTIONAL = {"seed": DEFAULT_SEED}
+    _OPTIONAL = {"seed": DEFAULT_SEED, "hash_fn": "auto"}
 
     def __init__(self, cls, extra_optional: dict | None = None):
         self._cls = cls

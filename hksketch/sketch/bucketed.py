@@ -62,13 +62,17 @@ class BucketedTopK:
         depth: int,
         decay: float,
         seed: int = DEFAULT_SEED,
+        hash_fn: str = "auto",
     ):
         validate_topk_params(k, width, depth, decay)
+        from ..hashing import resolve_hash_fn
+
         self.k = int(k)
         self.width = int(width)
         self.depth = int(depth)
         self.decay = float(decay)
         self.seed = int(seed)
+        self.hash_fn = resolve_hash_fn(hash_fn)
         # cells[b, c]: bucket b holds `depth` cells
         self.fp = np.zeros((self.width, self.depth), dtype=np.uint64)
         self.cnt = np.zeros((self.width, self.depth), dtype=np.uint64)
@@ -80,7 +84,7 @@ class BucketedTopK:
     # -- hashing ---------------------------------------------------------
 
     def _hash(self, values: Any) -> np.ndarray:
-        return hash_array(values, self.seed)
+        return hash_array(values, self.seed, self.hash_fn)
 
     # -- core add --------------------------------------------------------
 
@@ -259,7 +263,7 @@ class BucketedTopK:
         reference C6 eviction contract (src/bucketed.rs:187-258)."""
         if increment == 0:
             return (None, False)
-        fp = hash_scalar(item, self.seed)
+        fp = hash_scalar(item, self.seed, self.hash_fn)
         b = int(bucket_indices(np.array([fp], dtype=np.uint64), self.width)[0])
         c = self._add_one(fp, b, int(increment))
         return self._pq_single(fp, item, c)
@@ -309,10 +313,10 @@ class BucketedTopK:
         return 0
 
     def bucket_count(self, item: Any) -> int:
-        return self.bucket_count_fp(hash_scalar(item, self.seed))
+        return self.bucket_count_fp(hash_scalar(item, self.seed, self.hash_fn))
 
     def count(self, item: Any) -> int:
-        fp = hash_scalar(item, self.seed)
+        fp = hash_scalar(item, self.seed, self.hash_fn)
         c = self.pq.get(fp)
         if c is not None:
             return c
@@ -338,7 +342,7 @@ class BucketedTopK:
         return self.count(item) > 0
 
     def contains_top_k(self, item: Any) -> bool:
-        return hash_scalar(item, self.seed) in self.pq
+        return hash_scalar(item, self.seed, self.hash_fn) in self.pq
 
     def list(self) -> list[tuple[Any, int]]:
         """(item, count) sorted count desc, insertion-sequence asc."""
@@ -373,10 +377,12 @@ class BucketedTopK:
                 raise IncompatibleSketchError(
                     f"incompatible {attr}: {getattr(self, attr)} vs {getattr(other, attr)}"
                 )
-        # hasher probe (src/bucketed.rs:373-375): differing seeds hash the
-        # probe differently, so cross-seed merges are rejected.
-        if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
-            raise IncompatibleSketchError("incompatible hasher (different seeds)")
+        # hasher probe (src/bucketed.rs:373-375): differing seeds/backends
+        # hash the probe differently, so cross-hasher merges are rejected.
+        if hash_scalar(MERGE_PROBE, self.seed, self.hash_fn) != hash_scalar(
+            MERGE_PROBE, other.seed, other.hash_fn
+        ):
+            raise IncompatibleSketchError("incompatible hasher (seed/backend)")
 
     def merge(self, other: "BucketedTopK") -> "BucketedTopK":
         """In-place merge of ``other`` (src/bucketed.rs:348-449): PQ first
@@ -455,6 +461,7 @@ class BucketedTopK:
             "depth": self.depth,
             "decay": self.decay,
             "seed": self.seed,
+            "hash_fn": self.hash_fn,
             "min_pq_count": self.min_pq_count,
             "seq": self.pq.seq_counter,
             "rng_state": rng_state_to_json(self.rng),
@@ -470,7 +477,10 @@ class BucketedTopK:
 
     @classmethod
     def _from_parts(cls, meta, arrays, tables) -> "BucketedTopK":
-        self = cls(meta["k"], meta["width"], meta["depth"], meta["decay"], meta["seed"])
+        self = cls(
+            meta["k"], meta["width"], meta["depth"], meta["decay"], meta["seed"],
+            meta.get("hash_fn", "auto"),
+        )
         self.fp = arrays["fp"].reshape(self.width, self.depth)
         self.cnt = arrays["cnt"].reshape(self.width, self.depth)
         self.pq = pq_from_table(tables["pq"], self.k, meta["seq"])

@@ -64,8 +64,12 @@ class CuckooTopK:
         decay: float,
         seed: int = DEFAULT_SEED,
         max_kicks: int = DEFAULT_MAX_KICKS,
+        hash_fn: str = "auto",
     ):
         validate_topk_params(k, width, depth, decay)
+        from ..hashing import resolve_hash_fn
+
+        self.hash_fn = resolve_hash_fn(hash_fn)
         if not isinstance(max_kicks, (int, np.integer)) or max_kicks < 1:
             raise BuilderError(f"max_kicks must be >= 1, got {max_kicks!r}")
         self.k = int(k)
@@ -109,7 +113,7 @@ class CuckooTopK:
         n = len(arr)
         if n == 0:
             return
-        h = hash_array(arr, self.seed)
+        h = hash_array(arr, self.seed, self.hash_fn)
         uniq, first_idx, wsum = collapse_batch(h, weights)
         m = len(uniq)
         if m == 0:
@@ -303,7 +307,7 @@ class CuckooTopK:
         reference C6 eviction contract (src/cuckoo.rs:246-273)."""
         if increment == 0:
             return (None, False)
-        fp = hash_scalar(item, self.seed)
+        fp = hash_scalar(item, self.seed, self.hash_fn)
         c = self._add_one(fp, int(increment))
         return self._pq_single(fp, item, c)
 
@@ -354,10 +358,10 @@ class CuckooTopK:
         return 0
 
     def bucket_count(self, item: Any) -> int:
-        return self.bucket_count_fp(hash_scalar(item, self.seed))
+        return self.bucket_count_fp(hash_scalar(item, self.seed, self.hash_fn))
 
     def count(self, item: Any) -> int:
-        fp = hash_scalar(item, self.seed)
+        fp = hash_scalar(item, self.seed, self.hash_fn)
         c = self.pq.get(fp)
         if c is not None:
             return c
@@ -367,7 +371,7 @@ class CuckooTopK:
         """Vectorized point queries: PQ if tracked, else heavy slot in either
         candidate bucket, else primary lobby (src/cuckoo.rs:280-312)."""
         arr = _as_arrow_array(items)
-        h = hash_array(arr, self.seed)
+        h = hash_array(arr, self.seed, self.hash_fn)
         primary, alternate = self._bucket_pair_vec(h)
         out = np.zeros(len(h), dtype=np.uint64)
         pm = (self.heavy_fp[primary] == h[:, None]) & (self.heavy_cnt[primary] > 0)
@@ -386,7 +390,7 @@ class CuckooTopK:
         return self.count(item) > 0
 
     def contains_top_k(self, item: Any) -> bool:
-        return hash_scalar(item, self.seed) in self.pq
+        return hash_scalar(item, self.seed, self.hash_fn) in self.pq
 
     def list(self) -> list[tuple[Any, int]]:
         return list(self.pq.iter_sorted())
@@ -422,8 +426,10 @@ class CuckooTopK:
                 raise IncompatibleSketchError(
                     f"incompatible {attr}: {getattr(self, attr)} vs {getattr(other, attr)}"
                 )
-        if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
-            raise IncompatibleSketchError("incompatible hasher (different seeds)")
+        if hash_scalar(MERGE_PROBE, self.seed, self.hash_fn) != hash_scalar(
+            MERGE_PROBE, other.seed, other.hash_fn
+        ):
+            raise IncompatibleSketchError("incompatible hasher (seed/backend)")
 
     def merge(self, other: "CuckooTopK") -> "CuckooTopK":
         """Deterministic merge — no decay rolls (src/cuckoo.rs:408-553)."""
@@ -520,6 +526,7 @@ class CuckooTopK:
             "decay": self.decay,
             "seed": self.seed,
             "max_kicks": self.max_kicks,
+            "hash_fn": self.hash_fn,
             "min_pq_count": self.min_pq_count,
             "seq": self.pq.seq_counter,
             "rng_state": rng_state_to_json(self.rng),
@@ -549,6 +556,7 @@ class CuckooTopK:
             meta["decay"],
             meta["seed"],
             meta.get("max_kicks", DEFAULT_MAX_KICKS),
+            meta.get("hash_fn", "auto"),
         )
         self.lobby_fp = arrays["lobby_fp"]
         self.lobby_cnt = arrays["lobby_cnt"]

@@ -65,13 +65,17 @@ class TopK:
         depth: int,
         decay: float,
         seed: int = DEFAULT_SEED,
+        hash_fn: str = "auto",
     ):
         validate_topk_params(k, width, depth, decay)
+        from ..hashing import resolve_hash_fn
+
         self.k = int(k)
         self.width = int(width)
         self.depth = int(depth)
         self.decay = float(decay)
         self.seed = int(seed)
+        self.hash_fn = resolve_hash_fn(hash_fn)
         self.fp = np.zeros((self.depth, self.width), dtype=np.uint64)
         self.cnt = np.zeros((self.depth, self.width), dtype=np.uint64)
         self.decay_tbl = precompute_decay_thresholds(self.decay)
@@ -86,7 +90,7 @@ class TopK:
         n = len(arr)
         if n == 0:
             return
-        h = hash_array(arr, self.seed)
+        h = hash_array(arr, self.seed, self.hash_fn)
         uniq, first_idx, wsum = collapse_batch(h, weights)
         if len(uniq) == 0:
             return
@@ -197,7 +201,7 @@ class TopK:
         reference C6 eviction contract (src/heavykeeper.rs:281-354)."""
         if increment == 0:
             return (None, False)
-        fp = hash_scalar(item, self.seed)
+        fp = hash_scalar(item, self.seed, self.hash_fn)
         row_h = derive_row_hashes(np.array([fp], dtype=np.uint64), self.depth)[:, 0]
         max_count = 0
         for r in range(self.depth):
@@ -237,7 +241,7 @@ class TopK:
     # -- queries ---------------------------------------------------------
 
     def count(self, item: Any) -> int:
-        fp = hash_scalar(item, self.seed)
+        fp = hash_scalar(item, self.seed, self.hash_fn)
         c = self.pq.get(fp)
         if c is not None:
             return c
@@ -259,7 +263,7 @@ class TopK:
         """Vectorized point queries: PQ count if tracked, else MIN over rows
         with a matching fingerprint (src/heavykeeper.rs:220-246)."""
         arr = _as_arrow_array(items)
-        h = hash_array(arr, self.seed)
+        h = hash_array(arr, self.seed, self.hash_fn)
         rows_h = derive_row_hashes(h, self.depth)
         best = np.full(len(h), U64(U64_MAX))
         anym = np.zeros(len(h), dtype=bool)
@@ -275,7 +279,7 @@ class TopK:
         return self.count(item) > 0
 
     def contains_top_k(self, item: Any) -> bool:
-        return hash_scalar(item, self.seed) in self.pq
+        return hash_scalar(item, self.seed, self.hash_fn) in self.pq
 
     def list(self) -> list[tuple[Any, int]]:
         return list(self.pq.iter_sorted())
@@ -306,8 +310,10 @@ class TopK:
                 raise IncompatibleSketchError(
                     f"incompatible {attr}: {getattr(self, attr)} vs {getattr(other, attr)}"
                 )
-        if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
-            raise IncompatibleSketchError("incompatible hasher (different seeds)")
+        if hash_scalar(MERGE_PROBE, self.seed, self.hash_fn) != hash_scalar(
+            MERGE_PROBE, other.seed, other.hash_fn
+        ):
+            raise IncompatibleSketchError("incompatible hasher (seed/backend)")
 
     def merge(self, other: "TopK") -> "TopK":
         """Elementwise bucket merge + per-item PQ count sum
@@ -334,6 +340,7 @@ class TopK:
             "depth": self.depth,
             "decay": self.decay,
             "seed": self.seed,
+            "hash_fn": self.hash_fn,
             "seq": self.pq.seq_counter,
             "rng_state": rng_state_to_json(self.rng),
         }
@@ -348,7 +355,10 @@ class TopK:
 
     @classmethod
     def _from_parts(cls, meta, arrays, tables) -> "TopK":
-        self = cls(meta["k"], meta["width"], meta["depth"], meta["decay"], meta["seed"])
+        self = cls(
+            meta["k"], meta["width"], meta["depth"], meta["decay"], meta["seed"],
+            meta.get("hash_fn", "auto"),
+        )
         self.fp = arrays["fp"].reshape(self.depth, self.width)
         self.cnt = arrays["cnt"].reshape(self.depth, self.width)
         self.pq = pq_from_table(tables["pq"], self.k, meta["seq"])
