@@ -598,6 +598,24 @@ def _q_user_sessions(sf_dir: str):
     return out
 
 
+def _q_sample_events(sf_dir: str):
+    """Mergeable bottom-k uniform row sample as a UDAF (rows-only check:
+    the sample is seeded-random, not SQL-reproducible)."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import SketchAggregate, sketch_config
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["event_id"])
+    agg = SketchAggregate(
+        sketch_config("reservoir", k=100, seed=SEED), on="event_id", alias_name="s"
+    )
+    blob = ds.aggregate(agg)["s"]
+    ids = sorted(sketch_from_bytes(blob).sample())
+    return pa.table({"event_id": pa.array(ids, type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -634,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
         "user_sessions": _q_user_sessions,
         "topk_parts_by_qty_sketch": _q_topk_parts_by_qty_sketch,
+        "sample_events": _q_sample_events,
     }
 
 

@@ -23,12 +23,30 @@ class SimHasher:
     def __init__(self, seed: int = 1):
         self.seed = int(seed)
 
-    def signatures(self, texts: pa.Array) -> np.ndarray:
-        """(n_docs,) uint64 simhash: sign of per-bit weighted votes."""
-        toks = tokenize_column(texts, with_doc_index=True)
-        h = hash_array(toks.column("token"), self.seed)
-        didx = toks.column("doc_idx").to_numpy()
-        n_docs = len(texts)
+    def signatures(
+        self,
+        texts: pa.Array | None = None,
+        *,
+        token_hashes: np.ndarray | None = None,
+        doc_idx: np.ndarray | None = None,
+        n_docs: int | None = None,
+    ) -> np.ndarray:
+        """(n_docs,) uint64 simhash: sign of per-bit weighted votes.
+        Accepts precomputed token hashes (per-use stream derived) to share
+        one tokenize+hash pass across operators."""
+        from ..hashing import splitmix64
+
+        if token_hashes is not None:
+            h = splitmix64(
+                token_hashes ^ splitmix64(np.array([self.seed], dtype=np.uint64))
+            )
+            didx = doc_idx
+            n_docs = int(n_docs)
+        else:
+            toks = tokenize_column(texts, with_doc_index=True)
+            h = hash_array(toks.column("token"), self.seed)
+            didx = toks.column("doc_idx").to_numpy()
+            n_docs = len(texts)
         sig = np.zeros(n_docs, dtype=np.uint64)
         if len(h):
             # didx nondecreasing → per-doc ±1 bit votes via segment sums

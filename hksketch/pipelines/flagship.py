@@ -183,22 +183,29 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
     sh = SimHasher(seed=seed)
 
     def fused_partials(batch: pa.Table) -> pa.Table:
+        # tokenize and hash ONCE; every per-doc operator shares the pass
         texts = batch.column("text").combine_chunks()
         toks = tokenize_column(texts, with_doc_index=True)
+        didx = toks.column("doc_idx").to_numpy()
+        th = hash_array(toks.column("token"), seed)  # sketch-compatible base
         tok_sk = BucketedTopK(4096, 1 << 15, 4, 0.9, seed=seed)
-        tok_sk.add_batch(toks.column("token"))
+        tok_sk.add_batch(toks.column("token"), hashes=th)
         host_sk = BucketedTopK(2048, 1 << 14, 4, 0.9, seed=seed)
         host_sk.add_batch(batch.column("host"))
         hll = HyperLogLog(p=14, seed=seed)
         hll.add_batch(batch.column("url"))
+        per_doc_tokens = np.bincount(didx, minlength=batch.num_rows)
         q = quality_scores_batch(
-            pa.table({"doc_id": batch.column("url"), "text": texts}), "text", "doc_id"
+            pa.table({"doc_id": batch.column("url"), "text": texts}),
+            "text",
+            "doc_id",
+            n_tokens_precomputed=per_doc_tokens,
         )
-        doc_fingerprints_batch(texts)
-        sh.signatures(texts)
-        n_tok = int(
-            np.asarray(q.column("n_tokens").to_numpy(zero_copy_only=False)).sum()
+        doc_fingerprints_batch(
+            token_hashes=th, doc_idx=didx, n_docs=batch.num_rows
         )
+        sh.signatures(token_hashes=th, doc_idx=didx, n_docs=batch.num_rows)
+        n_tok = int(per_doc_tokens.sum())
         return pa.table(
             {
                 "tok_sketch": pa.array([tok_sk.to_bytes()], type=pa.binary()),

@@ -33,6 +33,7 @@ from ..sketch import (
     CountMinSketch,
     CuckooTopK,
     HyperLogLog,
+    ReservoirSample,
     TDigest,
     TopK,
     sketch_from_bytes,
@@ -57,6 +58,7 @@ _KINDS = {
     "bloom": BloomFilter,
     "tdigest": TDigest,
     "kll": KLL,
+    "reservoir": ReservoirSample,
 }
 
 
@@ -120,7 +122,7 @@ class SketchAggregate(AggregateFnV2):
         if kind in ("tdigest", "kll"):
             vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
             sk.add_batch(vals)
-        elif kind in ("hll", "bloom"):
+        elif kind in ("hll", "bloom", "reservoir"):
             sk.add_batch(col)
         else:  # frequency sketches accept optional weights
             w = None

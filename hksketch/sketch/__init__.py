@@ -20,6 +20,7 @@ from .cuckoo import CuckooTopK
 from .hll import HyperLogLog
 from .kll import KLL
 from .pq import TopKQueue
+from .reservoir import ReservoirSample
 from .tdigest import TDigest
 from .topk import TopK
 
@@ -33,6 +34,7 @@ __all__ = [
     "TDigest",
     "KLL",
     "TopKQueue",
+    "ReservoirSample",
     "SketchError",
     "BuilderError",
     "IncompatibleSketchError",

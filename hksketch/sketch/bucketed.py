@@ -91,14 +91,18 @@ class BucketedTopK:
     def add(self, item: Any, increment: int = 1) -> None:
         self.add_batch([item], np.array([increment], dtype=np.uint64))
 
-    def add_batch(self, items: Any, weights: Any | None = None) -> None:
+    def add_batch(
+        self, items: Any, weights: Any | None = None, hashes: Any | None = None
+    ) -> None:
         """Add a column of keys with optional weights (one weighted stream
-        event per row; weight 0 rows are no-ops, src/bucketed.rs:193-195)."""
+        event per row; weight 0 rows are no-ops, src/bucketed.rs:193-195).
+        ``hashes`` may carry precomputed ``hash_array(items, seed, hash_fn)``
+        values to share one hash pass across fused operators."""
         arr = _as_arrow_array(items)
         n = len(arr)
         if n == 0:
             return
-        h = self._hash(arr)
+        h = hashes if hashes is not None else self._hash(arr)
         uniq, first_idx, wsum = collapse_batch(h, weights)
         if len(uniq) == 0:
             return

@@ -64,19 +64,31 @@ def lang_id_batch(texts: pa.Array) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
-def quality_scores_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+def quality_scores_batch(
+    batch: pa.Table,
+    text_col: str,
+    id_col: str,
+    n_tokens_precomputed: np.ndarray | None = None,
+) -> pa.Table:
     """Exactly-SQL-expressible per-doc quality features:
 
     - ``char_len``: unicode character count;
     - ``n_tokens``: spec tokenizer count (``[A-Za-z]+`` runs ≤ 64 bytes);
     - ``alpha_ratio``: ASCII-alphabetic chars / char_len (0 for empty);
     - ``digit_ratio``: ASCII digits / char_len (0 for empty).
-    """
+
+    ``n_tokens_precomputed`` (from a shared tokenize pass) skips the
+    internal re-tokenize."""
     texts = batch.column(text_col).combine_chunks()
     char_len = pc.utf8_length(texts).cast(pa.int64())
-    from .tokenize import token_counts_per_doc
+    if n_tokens_precomputed is not None:
+        n_tokens = pa.array(
+            np.asarray(n_tokens_precomputed, dtype=np.int64), type=pa.int64()
+        )
+    else:
+        from .tokenize import token_counts_per_doc
 
-    n_tokens = pa.array(token_counts_per_doc(texts), type=pa.int64())
+        n_tokens = pa.array(token_counts_per_doc(texts), type=pa.int64())
     try:  # polars count_matches: same counts, ~10x faster than regex replace
         import polars as pl
 
@@ -108,30 +120,47 @@ def quality_scores_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Tabl
 FP_BASE = U64(1099511628211)
 
 
-def doc_fingerprints_batch(texts: pa.Array, seed: int = 0xF1F0) -> np.ndarray:
+def doc_fingerprints_batch(
+    texts: pa.Array | None = None,
+    seed: int = 0xF1F0,
+    *,
+    token_hashes: np.ndarray | None = None,
+    doc_idx: np.ndarray | None = None,
+    n_docs: int | None = None,
+) -> np.ndarray:
     """Order-sensitive rolling token-hash fingerprint per document:
     ``fp = Σ h(tok_i) · B^i  (mod 2^64)`` with B the FNV prime — a
     Rabin-Karp-style polynomial over the token stream, then finalized with
-    splitmix64.  Deterministic; swapped tokens change the fingerprint."""
-    toks = tokenize_column(texts, with_doc_index=True)
-    h = hash_array(toks.column("token"), seed)
-    didx = toks.column("doc_idx").to_numpy()
-    n = len(texts)
+    splitmix64.  Deterministic; swapped tokens change the fingerprint.
+
+    Pass ``token_hashes``/``doc_idx`` (from a shared tokenize+hash pass) to
+    skip re-tokenizing; a per-use stream is derived from the base hashes so
+    sharing one hash pass doesn't correlate the operators."""
+    if token_hashes is not None:
+        h = splitmix64(token_hashes ^ splitmix64(np.array([seed], dtype=np.uint64)))
+        didx = doc_idx
+        n = int(n_docs)
+    else:
+        toks = tokenize_column(texts, with_doc_index=True)
+        h = hash_array(toks.column("token"), seed)
+        didx = toks.column("doc_idx").to_numpy()
+        n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if len(h):
         # position within each doc (didx nondecreasing: tokens in doc order)
         first = np.searchsorted(didx, np.arange(n))
         pos = np.arange(len(didx), dtype=np.int64) - first[didx]
-        # B^pos mod 2^64 via repeated squaring on the exponent bits
-        powers = np.ones(len(pos), dtype=np.uint64)
-        base_pow = np.uint64(FP_BASE)
-        max_bits = int(pos.max()).bit_length() if len(pos) else 0
-        p = pos.astype(np.uint64)
+        # B^pos mod 2^64 via ONE cumulative-product table indexed by pos
+        # (positions are bounded by the longest document's token count)
         with np.errstate(over="ignore"):  # mod-2^64 arithmetic is intended
-            for bit in range(max_bits):
-                mask = ((p >> U64(bit)) & U64(1)) == 1
-                powers[mask] *= base_pow
-                base_pow = base_pow * base_pow
+            max_pos = int(pos.max())
+            table = np.empty(max_pos + 1, dtype=np.uint64)
+            table[0] = 1
+            if max_pos:
+                np.cumprod(
+                    np.full(max_pos, FP_BASE, dtype=np.uint64), out=table[1:]
+                )
+            powers = table[pos]
             docs_with = np.unique(didx)
             starts = np.searchsorted(didx, docs_with)
             out[docs_with] = np.add.reduceat(h * powers, starts)
