@@ -161,6 +161,10 @@ def lsh_candidate_pairs(rows, shards: int = 256) -> pa.Table:
         return pd.DataFrame({"a": out_a, "b": out_b}).astype("int64")
 
     got = sharded.groupby("shard").map_groups(pairs, batch_format="pandas").to_pandas()
+    if len(got) == 0 or "a" not in got.columns:  # zero collisions anywhere
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
     got = got.drop_duplicates().astype({"a": "int64", "b": "int64"})
     return pa.Table.from_pandas(
         got.sort_values(["a", "b"]).reset_index(drop=True), preserve_index=False
