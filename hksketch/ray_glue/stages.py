@@ -170,15 +170,34 @@ def global_sketch(
     weight_col: Optional[str] = None,
     tokenize: bool = False,
     batch_size: int = 8192,
+    merge_via: str = "auto",
 ):
     """Dataset → ONE merged sketch (bytes).  No shuffle: per-batch partials
-    stream to the driver (one tiny row per batch) and tree-merge."""
+    tree-merge.
+
+    ``merge_via``: ``"driver"`` streams the (one-row-per-batch) partials to
+    the driver and tree-merges with Ray tasks — lowest constant cost, right
+    when partial count is modest; ``"aggregate"`` keeps everything inside
+    Ray Data's Aggregate operator (no driver materialization) — right at
+    cluster scale where partial count is unbounded (10^12-doc inputs have
+    ~millions of partials; 200 KB × 10^6 must never land on one driver).
+    ``"auto"`` picks by the dataset's known block count (≤512 → driver).
+    """
     fn = make_partial_sketch_fn(cfg, key_col, weight_col, tokenize=tokenize)
     partials = ds.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    blobs = [r["sketch"] for r in partials.take_all()]
-    return tree_merge_blobs(blobs)
+    if merge_via == "auto":
+        try:
+            nfiles = len(ds.input_files())
+        except Exception:
+            nfiles = None
+        merge_via = "driver" if (nfiles is None or nfiles <= 512) else "aggregate"
+    if merge_via == "driver":
+        blobs = [r["sketch"] for r in partials.take_all()]
+        return tree_merge_blobs(blobs)
+    out = partials.aggregate(MergeSketchBlobs(on="sketch", alias_name="sketch"))
+    return out["sketch"]
 
 
 def grouped_sketch(
