@@ -598,6 +598,83 @@ def _q_user_sessions(sf_dir: str):
     return out
 
 
+def _q_orders_semijoin_bloom(sf_dir: str):
+    """Semi-join via broadcast Bloom filter (ray_guide join pattern): keep
+    orders whose customer is in the BUILDING segment.  The Bloom of the
+    small side's keys is built distributed, ray.put once, and probed
+    vectorized per batch — no shuffle.  False positives are possible in
+    general; at this filter size the probe set is exact (verified vs the
+    SQL join) and deterministic for the fixed seed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import BloomAggregate
+    from hksketch.sketch import sketch_from_bytes
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    side = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    blob = side.aggregate(
+        BloomAggregate(on="c_custkey", m_bits=1 << 22, k=7, seed=SEED, alias_name="s")
+    )["s"]
+    blob_ref = ray.put(blob)
+
+    class Probe:
+        def __init__(self):
+            self.bf = sketch_from_bytes(ray.get(blob_ref))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keep = self.bf.contains_batch(b.column("o_custkey").combine_chunks())
+            return b.filter(pa.array(keep))
+
+    from ray.data.aggregate import Count
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    kept = orders.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+    out = kept.aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n")
+    )  # one execution for both aggregates
+    return pa.table(
+        {"n_orders": pa.array([out["n"]], type=pa.int64()),
+         "revenue": pa.array([out["revenue"]], type=pa.float64())}
+    )
+
+
+def _q_last_login_before_error(sf_dir: str):
+    """As-of join inside one keyed stream (ray_guide as-of pattern): for
+    each user, the timestamp of the latest 'login' event preceding their
+    latest 'error' event.  Per-user ordered scan via groupby+map_groups."""
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def asof(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        errors = g[g["event_type"] == "error"]
+        if len(errors) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "last_error": pd.Series(dtype="datetime64[us]"),
+                                 "prev_login": pd.Series(dtype="datetime64[us]")})
+        last_err = errors["ts"].iloc[-1]
+        logins = g[(g["event_type"] == "login") & (g["ts"] < last_err)]
+        prev_login = logins["ts"].iloc[-1] if len(logins) else pd.NaT
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "last_error": [last_err],
+             "prev_login": [prev_login]}
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 def _q_sample_events(sf_dir: str):
     """Mergeable bottom-k uniform row sample as a UDAF (rows-only check:
     the sample is seeded-random, not SQL-reproducible)."""
@@ -653,6 +730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "topk_parts_by_qty_sketch": _q_topk_parts_by_qty_sketch,
         "sample_events": _q_sample_events,
+        "orders_semijoin_bloom": _q_orders_semijoin_bloom,
+        "last_login_before_error": _q_last_login_before_error,
     }
 
 
@@ -836,5 +915,26 @@ FROM o GROUP BY user_id
 SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
 FROM lineitem GROUP BY l_partkey
 ORDER BY total_qty DESC, l_partkey ASC LIMIT 25
+""",
+        "orders_semijoin_bloom": """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       sum(o_totalprice) AS revenue
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+        "last_login_before_error": """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'error' THEN ts END) AS last_error
+  FROM events GROUP BY user_id
+)
+SELECT p.user_id, p.last_error,
+       max(e.ts) AS prev_login
+FROM per_user p
+LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.event_type = 'login' AND e.ts < p.last_error
+WHERE p.last_error IS NOT NULL
+GROUP BY p.user_id, p.last_error
 """,
     }
