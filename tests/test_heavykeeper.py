@@ -250,6 +250,30 @@ def test_mem_bytes_positive_and_grows(cls):
     assert 0 < small.mem_bytes() < big.mem_bytes()
 
 
+@pytest.mark.parametrize("cls", VARIANTS)
+def test_eviction_reporting_contract(cls):
+    # (evicted, newly_tracked) semantics (src/heavykeeper.rs:1524-1562):
+    # into free space → (None, True); update of tracked → (None, False);
+    # displacing the min → (evicted_item, True); too low → (None, False).
+    tk = cls(2, 1024, 4, 0.9, seed=5)
+    assert tk.add_with_evicted("a", 1) == (None, True)
+    assert tk.add_with_evicted("a", 2) == (None, False)  # tracked update
+    assert tk.add_with_evicted("b", 5) == (None, True)
+    assert tk.add_with_evicted("c", 9) == ("a", True)  # evicts min ("a":3)
+    assert tk.add_with_evicted("d", 1) == (None, False)  # too low to track
+    assert tk.add_with_evicted("z", 0) == (None, False)  # zero increment
+
+
+@pytest.mark.parametrize("cls", VARIANTS)
+def test_builder_fluent_and_missing_fields(cls):
+    t = cls.builder().k(3).width(64).depth(2).decay(0.9).seed(7).build()
+    assert (t.k, t.width, t.depth, t.decay, t.seed) == (3, 64, 2, 0.9, 7)
+    with pytest.raises(BuilderError, match="missing"):
+        cls.builder().k(3).width(64).build()
+    with pytest.raises(AttributeError):
+        cls.builder().bogus_field(1)
+
+
 def test_binary_keys_end_to_end():
     # non-UTF8 binary keys (FIXTURES.md F4 concern)
     tk = BucketedTopK(5, 256, 4, 0.9)
