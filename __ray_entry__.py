@@ -598,6 +598,29 @@ def _q_user_sessions(sf_dir: str):
     return out
 
 
+def _q_nation_orders_join(sf_dir: str):
+    """Hash-partitioned shuffle join with Ray Data's native ``Dataset.join``
+    (both sides 'large' — the pattern for when neither side broadcasts):
+    customer ⋈ orders → order count and revenue per nation key."""
+    from ray.data.aggregate import Count, Sum
+
+    from hksketch.pipelines.ops import read_table
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=4,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+    return out.select_columns(["c_nationkey", "n_orders", "revenue"])
+
+
 def _q_orders_semijoin_bloom(sf_dir: str):
     """Semi-join via broadcast Bloom filter (ray_guide join pattern): keep
     orders whose customer is in the BUILDING segment.  The Bloom of the
@@ -732,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events": _q_sample_events,
         "orders_semijoin_bloom": _q_orders_semijoin_bloom,
         "last_login_before_error": _q_last_login_before_error,
+        "nation_orders_join": _q_nation_orders_join,
     }
 
 
@@ -936,5 +960,11 @@ LEFT JOIN events e
   ON e.user_id = p.user_id AND e.event_type = 'login' AND e.ts < p.last_error
 WHERE p.last_error IS NOT NULL
 GROUP BY p.user_id, p.last_error
+""",
+        "nation_orders_join": """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       sum(o_totalprice) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
 """,
     }
