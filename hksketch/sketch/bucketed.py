@@ -115,53 +115,95 @@ class BucketedTopK:
         arr: pa.Array,
         first_idx: np.ndarray,
     ) -> None:
+        """Per-bucket occurrence-round vectorization: keys are processed in
+        fingerprint-ascending order per bucket; round r handles every
+        bucket's r-th key at once, so each round's buckets are distinct and
+        the whole round runs as NumPy gathers/scatters — match, claim, and
+        the single-roll weight-1 decay (the reference's decay while-loop
+        runs exactly once for increment=1, src/bucketed.rs:452-476).
+        Weighted decays and table-overflow counts stay scalar."""
         m = len(uniq)
         bidx = bucket_indices(uniq, self.width)
 
-        # intra-batch bucket conflicts → ordered scalar path
+        # occurrence rank of each key within its bucket (fingerprint order)
         order = np.argsort(bidx, kind="stable")
-        sorted_b = bidx[order]
-        dup = np.zeros(m, dtype=bool)
-        if m > 1:
-            same_as_prev = np.empty(m, dtype=bool)
-            same_as_prev[0] = False
-            same_as_prev[1:] = sorted_b[1:] == sorted_b[:-1]
-            conflict_sorted = same_as_prev.copy()
-            conflict_sorted[:-1] |= same_as_prev[1:]
-            dup[order] = conflict_sorted
-
-        bfp = self.fp[bidx]  # (m, depth) gathers
-        bcnt = self.cnt[bidx]
-        nonzero = bcnt > 0
-        match_mask = (bfp == uniq[:, None]) & nonzero
-        has_match = match_mask.any(axis=1)
-        match_col = np.argmax(match_mask, axis=1)
-        empty_mask = ~nonzero
-        has_empty = empty_mask.any(axis=1)
-        empty_col = np.argmax(empty_mask, axis=1)
+        sb = bidx[order]
+        starts = np.where(np.r_[True, sb[1:] != sb[:-1]], np.arange(m), 0)
+        rank_sorted = np.arange(m) - np.maximum.accumulate(starts)
+        ranks = np.empty(m, dtype=np.int64)
+        ranks[order] = rank_sorted
 
         final = np.zeros(m, dtype=np.uint64)
         ok = np.ones(m, dtype=bool)  # False → decay failed, no cell count
 
-        vec = ~dup
-        mm = vec & has_match
-        if mm.any():
-            rows, cols = bidx[mm], match_col[mm]
-            old = self.cnt[rows, cols]
-            new = old + wsum[mm]
-            new = np.where(new < old, U64(U64_MAX), new)  # saturating
-            self.cnt[rows, cols] = new
-            final[mm] = new
-        ee = vec & ~has_match & has_empty
-        if ee.any():
-            rows, cols = bidx[ee], empty_col[ee]
-            self.fp[rows, cols] = uniq[ee]
-            self.cnt[rows, cols] = wsum[ee]
-            final[ee] = wsum[ee]
+        max_rank = int(ranks.max()) if m else 0
+        for r in range(max_rank + 1):
+            sel = np.flatnonzero(ranks == r)
+            if len(sel) == 0:
+                break
+            if len(sel) < 48:  # tiny tail rounds: scalar beats setup cost
+                for i in sel:
+                    c = self._add_one(int(uniq[i]), int(bidx[i]), int(wsum[i]))
+                    if c is None:
+                        ok[i] = False
+                    else:
+                        final[i] = c
+                continue
+            rows = bidx[sel]
+            bfp = self.fp[rows]  # fresh gather: state current for round r
+            bcnt = self.cnt[rows]
+            nonzero = bcnt > 0
+            match_mask = (bfp == uniq[sel, None]) & nonzero
+            has_match = match_mask.any(axis=1)
+            match_col = np.argmax(match_mask, axis=1)
+            empty_mask = ~nonzero
+            has_empty = empty_mask.any(axis=1)
+            empty_col = np.argmax(empty_mask, axis=1)
 
-        scalar = dup | (vec & ~has_match & ~has_empty)
-        if scalar.any():
-            for i in np.flatnonzero(scalar):  # fingerprint-ascending order
+            mm = has_match
+            if mm.any():
+                rr, cc = rows[mm], match_col[mm]
+                old = self.cnt[rr, cc]
+                new = old + wsum[sel[mm]]
+                new = np.where(new < old, U64(U64_MAX), new)  # saturating
+                self.cnt[rr, cc] = new
+                final[sel[mm]] = new
+            ee = ~has_match & has_empty
+            if ee.any():
+                rr, cc = rows[ee], empty_col[ee]
+                self.fp[rr, cc] = uniq[sel[ee]]
+                self.cnt[rr, cc] = wsum[sel[ee]]
+                final[sel[ee]] = wsum[sel[ee]]
+
+            needs_decay = ~has_match & ~has_empty
+            fast = needs_decay & (wsum[sel] == U64(1))
+            fi = np.flatnonzero(fast)
+            if len(fi):
+                rr = rows[fi]
+                sub = bcnt[fi]
+                mincol = np.argmin(sub, axis=1)  # first minimal, scan order
+                mincnt = sub[np.arange(len(fi)), mincol]
+                small = mincnt < len(self.decay_tbl)
+                fi, rr, mincol, mincnt = fi[small], rr[small], mincol[small], mincnt[small]
+                if len(fi):
+                    thresholds = self.decay_tbl[mincnt]
+                    rolls = self.rng.integers(
+                        0, U64_MAX, size=len(fi), dtype=np.uint64, endpoint=True
+                    )
+                    succ = rolls < thresholds
+                    newcnt = mincnt - succ.astype(np.uint64)
+                    take = succ & (newcnt == 0)
+                    self.cnt[rr, mincol] = newcnt
+                    self.fp[rr[take], mincol[take]] = uniq[sel[fi[take]]]
+                    self.cnt[rr[take], mincol[take]] = U64(1)
+                    final[sel[fi[take]]] = 1
+                    ok[sel[fi]] = False
+                    ok[sel[fi[take]]] = True
+            # weighted / huge-count decays → exact scalar loop
+            handled = np.zeros(len(sel), dtype=bool)
+            handled[fi] = True
+            slow = needs_decay & ~handled
+            for i in sel[slow]:
                 c = self._add_one(int(uniq[i]), int(bidx[i]), int(wsum[i]))
                 if c is None:
                     ok[i] = False

@@ -158,12 +158,89 @@ class CuckooTopK:
             final[fast] = new
             touched[fast] = True
 
+        # lobby path, per-primary-bucket occurrence rounds (weight-1 decay is
+        # a single roll, src/cuckoo.rs:709-731); winners attempt promotion
+        # scalar (bounded heavy scans); weighted adds stay fully scalar.
         slow = ~fast
-        for i in np.flatnonzero(slow):
+        # keys whose fp IS heavy but fell out of the vectorized fast path
+        # (shared-bucket conflicts) must go through the scalar heavy check,
+        # never the lobby path
+        w1 = slow & (wsum == U64(1)) & ~heavy_hit
+        for i in np.flatnonzero(slow & ~w1):
             c = self._add_one(int(uniq[i]), int(wsum[i]))
             if c is not None:
                 final[i] = c
                 touched[i] = True
+
+        sel_all = np.flatnonzero(w1)
+        if len(sel_all):
+            p_all = primary[sel_all]
+            order = np.argsort(p_all, kind="stable")
+            sp = p_all[order]
+            nsel = len(sel_all)
+            starts = np.where(np.r_[True, sp[1:] != sp[:-1]], np.arange(nsel), 0)
+            rank_sorted = np.arange(nsel) - np.maximum.accumulate(starts)
+            ranks = np.empty(nsel, dtype=np.int64)
+            ranks[order] = rank_sorted
+            for rnd in range(int(ranks.max()) + 1):
+                sel = sel_all[ranks == rnd]
+                if len(sel) == 0:
+                    break
+                if len(sel) < 48:
+                    for i in sel:
+                        c = self._add_one(int(uniq[i]), int(wsum[i]))
+                        if c is not None:
+                            final[i] = c
+                            touched[i] = True
+                    continue
+                pb = primary[sel]
+                lfp = self.lobby_fp[pb]
+                lcnt = self.lobby_cnt[pb]
+                winners = (lcnt == 0) | (lfp == uniq[sel])
+                win_counts = np.where(lcnt == 0, U64(1), lcnt + U64(1))
+                # vectorized lobby add for winners; promotion attempt scalar
+                wi = np.flatnonzero(winners)
+                self.lobby_fp[pb[wi]] = uniq[sel[wi]]
+                self.lobby_cnt[pb[wi]] = win_counts[wi]
+                for j in wi:
+                    i = int(sel[j])
+                    fp = int(uniq[i])
+                    count = int(win_counts[j])
+                    prim, alt = int(pb[j]), int(alternate[i])
+                    if self._promote(fp, count, prim, alt):
+                        if int(self.lobby_fp[prim]) == fp:
+                            self.lobby_fp[prim] = 0
+                            self.lobby_cnt[prim] = 0
+                        final[i] = count
+                        touched[i] = True
+                # losers: single-roll decay of the resident lobby occupant
+                li = np.flatnonzero(~winners)
+                if len(li):
+                    cnts = lcnt[li]
+                    small = cnts < len(self.decay_tbl)
+                    li, cnts = li[small], cnts[small]
+                if len(li):
+                    thresholds = self.decay_tbl[cnts]
+                    rolls = self.rng.integers(
+                        0, U64_MAX, size=len(li), dtype=np.uint64, endpoint=True
+                    )
+                    succ = rolls < thresholds
+                    newcnt = cnts - succ.astype(np.uint64)
+                    take = succ & (newcnt == 0)
+                    self.lobby_cnt[pb[li]] = newcnt
+                    ti = li[take]
+                    self.lobby_fp[pb[ti]] = uniq[sel[ti]]
+                    self.lobby_cnt[pb[ti]] = U64(1)
+                    for j in ti:  # lobby takeover with count 1 → try promote
+                        i = int(sel[j])
+                        fp = int(uniq[i])
+                        prim, alt = int(pb[j]), int(alternate[i])
+                        if self._promote(fp, 1, prim, alt):
+                            if int(self.lobby_fp[prim]) == fp:
+                                self.lobby_fp[prim] = 0
+                                self.lobby_cnt[prim] = 0
+                            final[i] = 1
+                            touched[i] = True
 
         self._update_pq(uniq, final, touched, arr, first_idx)
 

@@ -101,36 +101,70 @@ class TopK:
 
         for r in range(self.depth):
             idx = bucket_indices(row_h[r], self.width)
-            # conflicts: two batch keys hitting the same bucket in this row
-            dup = np.zeros(m, dtype=bool)
-            if m > 1:
-                order = np.argsort(idx, kind="stable")
-                si = idx[order]
-                same = np.empty(m, dtype=bool)
-                same[0] = False
-                same[1:] = si[1:] == si[:-1]
-                conf = same.copy()
-                conf[:-1] |= same[1:]
-                dup[order] = conf
-
-            bfp = self.fp[r, idx]
-            bcnt = self.cnt[r, idx]
-            matches = bfp == uniq  # fp match (src/heavykeeper.rs:303)
-            empty = bcnt == 0
-            fast = (~dup) & (matches | empty)
-            if fast.any():
-                rows = idx[fast]
-                old = self.cnt[r, rows]
-                new = old + wsum[fast]
-                new = np.where(new < old, U64(U64_MAX), new)
-                self.fp[r, rows] = uniq[fast]
-                self.cnt[r, rows] = new
-                max_count[fast] = np.maximum(max_count[fast], new)
-            slow = dup | ~(matches | empty)
-            for i in np.flatnonzero(slow):
-                c = self._add_one_row(r, int(row_h[r, i]), int(uniq[i]), int(wsum[i]))
-                if c is not None and c > int(max_count[i]):
-                    max_count[i] = c
+            # per-bucket occurrence rounds (fingerprint order): each round's
+            # buckets are distinct → fully vectorized match/claim/one-roll
+            # decay; weighted decays and huge counts stay scalar.
+            order = np.argsort(idx, kind="stable")
+            si = idx[order]
+            starts = np.where(np.r_[True, si[1:] != si[:-1]], np.arange(m), 0)
+            rank_sorted = np.arange(m) - np.maximum.accumulate(starts)
+            ranks = np.empty(m, dtype=np.int64)
+            ranks[order] = rank_sorted
+            for rnd in range(int(ranks.max()) + 1 if m else 0):
+                sel = np.flatnonzero(ranks == rnd)
+                if len(sel) == 0:
+                    break
+                if len(sel) < 48:
+                    for i in sel:
+                        c = self._add_one_row(
+                            r, int(row_h[r, i]), int(uniq[i]), int(wsum[i])
+                        )
+                        if c is not None and c > int(max_count[i]):
+                            max_count[i] = c
+                    continue
+                rows = idx[sel]
+                bfp = self.fp[r, rows]
+                bcnt = self.cnt[r, rows]
+                matches = bfp == uniq[sel]  # fp match (src/heavykeeper.rs:303)
+                empty = bcnt == 0
+                fast = matches | empty
+                if fast.any():
+                    rr = rows[fast]
+                    old = self.cnt[r, rr]
+                    new = old + wsum[sel[fast]]
+                    new = np.where(new < old, U64(U64_MAX), new)
+                    self.fp[r, rr] = uniq[sel[fast]]
+                    self.cnt[r, rr] = new
+                    max_count[sel[fast]] = np.maximum(max_count[sel[fast]], new)
+                needs_decay = ~fast
+                fi = np.flatnonzero(needs_decay & (wsum[sel] == U64(1)))
+                if len(fi):
+                    cnts = bcnt[fi]
+                    small = cnts < len(self.decay_tbl)
+                    fi, cnts = fi[small], cnts[small]
+                if len(fi):
+                    rr = rows[fi]
+                    thresholds = self.decay_tbl[cnts]
+                    rolls = self.rng.integers(
+                        0, U64_MAX, size=len(fi), dtype=np.uint64, endpoint=True
+                    )
+                    succ = rolls < thresholds
+                    newcnt = cnts - succ.astype(np.uint64)
+                    take = succ & (newcnt == 0)
+                    self.cnt[r, rr] = newcnt
+                    self.fp[r, rr[take]] = uniq[sel[fi[take]]]
+                    self.cnt[r, rr[take]] = U64(1)
+                    max_count[sel[fi[take]]] = np.maximum(
+                        max_count[sel[fi[take]]], U64(1)
+                    )
+                handled = np.zeros(len(sel), dtype=bool)
+                handled[fi] = True
+                for i in sel[needs_decay & ~handled]:
+                    c = self._add_one_row(
+                        r, int(row_h[r, i]), int(uniq[i]), int(wsum[i])
+                    )
+                    if c is not None and c > int(max_count[i]):
+                        max_count[i] = c
 
         self._update_pq(uniq, max_count, arr, first_idx)
 
