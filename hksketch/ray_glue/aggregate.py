@@ -62,18 +62,29 @@ _KINDS = {
 }
 
 
+def _resolve_kind(kind: str):
+    """Built-in kinds first, then the user-extensible serde registry
+    (``@register_sketch`` in hksketch.sketch.base) — a custom sketch class
+    registered there works through every UDAF/stage in this module."""
+    cls = _KINDS.get(kind)
+    if cls is None:
+        from ..sketch.base import _REGISTRY
+
+        cls = _REGISTRY.get(kind)
+    if cls is None:
+        raise ValueError(f"unknown sketch kind {kind!r}; one of {sorted(_KINDS)}")
+    return cls
+
+
 def sketch_config(kind: str, **params: Any) -> dict:
     """Validated sketch config shipped to every worker (constructing once
     here surfaces parameter errors on the driver, not in remote tasks)."""
-    cls = _KINDS.get(kind)
-    if cls is None:
-        raise ValueError(f"unknown sketch kind {kind!r}; one of {sorted(_KINDS)}")
-    cls(**params)  # validate eagerly
+    _resolve_kind(kind)(**params)  # validate eagerly
     return {"kind": kind, "params": dict(params)}
 
 
 def make_sketch(cfg: dict):
-    return _KINDS[cfg["kind"]](**cfg["params"])
+    return _resolve_kind(cfg["kind"])(**cfg["params"])
 
 
 def _to_arrow(block) -> pa.Table:
