@@ -15,9 +15,10 @@ then other's heavy cells re-inserted by cuckoo semantics with heavy-XOR-lobby
 folding, then other's lobbies (higher-count-wins, ties keep self) —
 deterministic, no decay rolls (`src/cuckoo.rs:410-553`).
 
-Vectorization: the heavy-hit fast path (fingerprint already in a candidate
-bucket) is a NumPy gather/scatter; lobby/promote/kick paths are scalar
-(they are the cold path once elephants are promoted).
+Vectorization: the heavy-hit fast path is a NumPy gather/scatter; the
+lobby path runs in per-primary-bucket occurrence rounds (weight-1 decay is
+exactly one roll) with a bulk promote PREcheck — only promotes that can
+mutate fall to the scalar scan/kick code.
 """
 
 from __future__ import annotations
@@ -202,7 +203,21 @@ class CuckooTopK:
                 wi = np.flatnonzero(winners)
                 self.lobby_fp[pb[wi]] = uniq[sel[wi]]
                 self.lobby_cnt[pb[wi]] = win_counts[wi]
-                for j in wi:
+                # vectorized promote PREcheck: a promote that would fail
+                # (no empty slot, count <= min victim) mutates nothing, and
+                # during adds empties never appear and victim minima never
+                # shrink — so a bulk snapshot precheck is sound; survivors
+                # re-check scalar before mutating.
+                if len(wi):
+                    ap = alternate[sel[wi]]
+                    pcnt = self.heavy_cnt[pb[wi]]
+                    acnt = self.heavy_cnt[ap]
+                    any_empty = (pcnt == 0).any(axis=1) | (acnt == 0).any(axis=1)
+                    vmin = np.minimum(pcnt.min(axis=1), acnt.min(axis=1))
+                    may_succeed = any_empty | (win_counts[wi] > vmin)
+                else:
+                    may_succeed = np.zeros(0, dtype=bool)
+                for j in wi[may_succeed]:
                     i = int(sel[j])
                     fp = int(uniq[i])
                     count = int(win_counts[j])
@@ -231,7 +246,16 @@ class CuckooTopK:
                     ti = li[take]
                     self.lobby_fp[pb[ti]] = uniq[sel[ti]]
                     self.lobby_cnt[pb[ti]] = U64(1)
-                    for j in ti:  # lobby takeover with count 1 → try promote
+                    # count-1 takeovers only promote into an EMPTY slot
+                    # (1 > vmin needs vmin==0); precheck in bulk
+                    if len(ti):
+                        ap = alternate[sel[ti]]
+                        has_empty = (self.heavy_cnt[pb[ti]] == 0).any(axis=1) | (
+                            self.heavy_cnt[ap] == 0
+                        ).any(axis=1)
+                    else:
+                        has_empty = np.zeros(0, dtype=bool)
+                    for j in ti[has_empty]:
                         i = int(sel[j])
                         fp = int(uniq[i])
                         prim, alt = int(pb[j]), int(alternate[i])
