@@ -160,7 +160,16 @@ def main() -> None:
         results = {}
         for n in levels:
             env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(n), HK_BENCH_SCALING_ONLY="1"
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                HK_BENCH_SCALING_ONLY="1",
+                # 2x the plain-bench fixture: enough parallel work that fixed
+                # per-stage costs amortize at the high level (same input for
+                # both levels; cached after first generation)
+                HK_BENCH_PAGES=os.environ.get("HK_BENCH_PAGES", "400000"),
+                HK_BENCH_PAGES_DIR=os.environ.get(
+                    "HK_BENCH_PAGES_DIR", "/tmp/hkfix/webpages_scaling"
+                ),
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

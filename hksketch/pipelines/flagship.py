@@ -23,9 +23,6 @@ from ..ray_glue.stages import global_sketch
 from ..sketch import sketch_from_bytes
 from .ops import read_table
 
-TOKEN_SKETCH = dict(kind_params=dict(k=4096, width=1 << 15, depth=4, decay=0.9))
-
-
 def sketch_to_sorted_table(
     blob: bytes, item_name: str, count_name: str = "count", limit: Optional[int] = None
 ) -> pa.Table:
@@ -178,7 +175,6 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
     from ..hashing import hash_array
     from ..sketch import BucketedTopK, HyperLogLog
     from ..text.tokenize import tokenize_column
-    from .ops import read_table as _rt  # noqa: F401  (kept for symmetry)
 
     sh = SimHasher(seed=seed)
 
