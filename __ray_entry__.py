@@ -516,10 +516,12 @@ def _q_tokens_per_source_topk(sf_dir: str):
     )
 
     def top3(g):
-        import pandas as pd
+        import pyarrow as _pa
 
         g = g.sort_values(["count", "token"], ascending=[False, True]).head(3)
-        return g[["source", "token", "count"]]
+        return _pa.Table.from_pandas(
+            g[["source", "token", "count"]], preserve_index=False
+        )
 
     return counts.groupby("source").map_groups(top3, batch_format="pandas")
 
@@ -592,7 +594,14 @@ def _q_user_sessions(sf_dir: str):
         g = g.sort_values(["ts", "event_id"])
         gaps = g["ts"].diff().dt.total_seconds()
         n = 1 + int((gaps > 43200).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+        import pyarrow as _pa
+
+        # arrow out: pandas block schemas defeat Ray's schema dedup (noisy
+        # "Failed to hash the schemas" warnings in reduce workers)
+        return _pa.table(
+            {"user_id": _pa.array([int(g["user_id"].iloc[0])], type=_pa.int64()),
+             "n_sessions": _pa.array([n], type=_pa.int64())}
+        )
 
     out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
     return out
@@ -683,17 +692,21 @@ def _q_last_login_before_error(sf_dir: str):
         g = g.sort_values(["ts", "event_id"])
         errors = g[g["event_type"] == "error"]
         if len(errors) == 0:
-            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
-                                 "last_error": pd.Series(dtype="datetime64[us]"),
-                                 "prev_login": pd.Series(dtype="datetime64[us]")})
-        last_err = errors["ts"].iloc[-1]
-        logins = g[(g["event_type"] == "login") & (g["ts"] < last_err)]
-        prev_login = logins["ts"].iloc[-1] if len(logins) else pd.NaT
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]],
-             "last_error": [last_err],
-             "prev_login": [prev_login]}
-        )
+            out = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                "last_error": pd.Series(dtype="datetime64[us]"),
+                                "prev_login": pd.Series(dtype="datetime64[us]")})
+        else:
+            last_err = errors["ts"].iloc[-1]
+            logins = g[(g["event_type"] == "login") & (g["ts"] < last_err)]
+            prev_login = logins["ts"].iloc[-1] if len(logins) else pd.NaT
+            out = pd.DataFrame(
+                {"user_id": [g["user_id"].iloc[0]],
+                 "last_error": [last_err],
+                 "prev_login": [prev_login]}
+            )
+        import pyarrow as _pa
+
+        return _pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
 

@@ -139,8 +139,10 @@ def lsh_candidate_pairs(rows, shards: int = 256) -> pa.Table:
         k, d = k[order], d[order]
         dup = np.flatnonzero(k[1:] == k[:-1])  # collision positions
         if len(dup) == 0:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64())}
+            )
         out_a, out_b = [], []
         # walk collision runs (rare by construction)
         run_start = dup[0]
@@ -158,7 +160,11 @@ def lsh_candidate_pairs(rows, shards: int = 256) -> pa.Table:
                 for y in range(x + 1, len(ids)):
                     out_a.append(int(ids[x]))
                     out_b.append(int(ids[y]))
-        return pd.DataFrame({"a": out_a, "b": out_b}).astype("int64")
+        # arrow out: keeps block schemas hashable for Ray's dedup
+        return pa.table(
+            {"a": pa.array(out_a, type=pa.int64()),
+             "b": pa.array(out_b, type=pa.int64())}
+        )
 
     got = sharded.groupby("shard").map_groups(pairs, batch_format="pandas").to_pandas()
     if len(got) == 0 or "a" not in got.columns:  # zero collisions anywhere

@@ -135,9 +135,11 @@ def simhash_near_dupes(
         k, d, s = k[order], d[order], s[order]
         dup = np.flatnonzero(k[1:] == k[:-1])
         if len(dup) == 0:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "hamming": pa.array([], type=pa.int64())}
+            )
         runs, run_start, prev = [], dup[0], dup[0]
         for i in dup[1:]:
             if i != prev + 1:
@@ -158,7 +160,8 @@ def simhash_near_dupes(
                     )
                     if dist <= max_hamming:
                         out.append((recs[i][0], recs[j][0], dist))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+        df = pd.DataFrame(out, columns=["a", "b", "hamming"])
+        return pa.Table.from_pandas(df.astype("int64"), preserve_index=False)
 
     pairs = (
         sharded.groupby("shard")
