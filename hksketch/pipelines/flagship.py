@@ -211,21 +211,20 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
             }
         )
 
-    from ..ray_glue.stages import tree_merge_blobs
+    from ..ray_glue.stages import tree_merge_many
 
     partials = pages.map_batches(
         fused_partials, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     ).take_all()  # one tiny row per batch
     _t0 = _mark("fused_partials", _t0)
-    tok_blob = tree_merge_blobs([r["tok_sketch"] for r in partials])
-    host_blob = tree_merge_blobs([r["host_sketch"] for r in partials])
-    distinct_urls = int(
-        round(
-            sketch_from_bytes(
-                tree_merge_blobs([r["hll"] for r in partials])
-            ).estimate()
-        )
+    tok_blob, host_blob, hll_blob = tree_merge_many(
+        [
+            [r["tok_sketch"] for r in partials],
+            [r["host_sketch"] for r in partials],
+            [r["hll"] for r in partials],
+        ]
     )
+    distinct_urls = int(round(sketch_from_bytes(hll_blob).estimate()))
     total_tokens = int(sum(r["n_tokens"] for r in partials))
     _t0 = _mark("tree_merges", _t0)
 
