@@ -15,6 +15,17 @@ Scale design (SURVEY.md §4.2, §7.4):
 - **Broadcast lookup** (C7/C8 as a stage): the built sketch blob is
   ``ray.put`` once; every actor deserializes it once in ``__init__`` and
   answers point queries vectorized per batch.
+
+Why accumulation is stateless-per-batch rather than a stateful actor pool
+holding one long-lived sketch per actor (SURVEY.md §7.2.4 weighed both):
+``map_batches`` actors have no end-of-stream flush hook, so an actor-held
+sketch's final residue (everything since its last emission) cannot be
+surfaced reliably; per-batch partials are also retry-IDEMPOTENT (a re-run
+batch rebuilds the identical partial, while replaying into mutable actor
+state double-counts) and give deterministic lineage for checkpointing.
+Actor pools are used where they are the right tool: broadcast lookups,
+join probes, and decode-heavy multimodal stages (state built once per
+actor in ``__init__``).
 """
 
 from __future__ import annotations

@@ -32,7 +32,13 @@ U64 = np.uint64
 
 @register_sketch("countmin")
 class CountMinSketch:
-    def __init__(self, width: int, depth: int, seed: int = DEFAULT_SEED):
+    def __init__(
+        self,
+        width: int,
+        depth: int,
+        seed: int = DEFAULT_SEED,
+        conservative: bool = False,
+    ):
         if not isinstance(width, (int, np.integer)) or width < 1:
             raise BuilderError(f"width must be >= 1, got {width!r}")
         if not isinstance(depth, (int, np.integer)) or depth < 1:
@@ -40,6 +46,10 @@ class CountMinSketch:
         self.width = int(width)
         self.depth = int(depth)
         self.seed = int(seed)
+        # conservative update (Estan & Varga 2002): raise each counter only
+        # to est+w — tighter overestimates; merge stays elementwise-sum
+        # (the merged bound is then the plain-CMS bound, documented).
+        self.conservative = bool(conservative)
         self.cnt = np.zeros((self.depth, self.width), dtype=np.uint64)
         self.total = 0  # stream mass N (for error-bound reporting)
 
@@ -54,9 +64,25 @@ class CountMinSketch:
         else:
             w = np.asarray(weights).astype(np.uint64)
         rows = derive_row_hashes(h, self.depth)
+        if not self.conservative:
+            for r in range(self.depth):
+                idx = bucket_indices(rows[r], self.width)
+                np.add.at(self.cnt[r], idx, w)
+            self.total += int(w.sum())
+            return
+        # conservative path: collapse duplicates so each key updates once
+        # per batch, then raise counters only to (current_min + w)
+        from .base import collapse_batch
+
+        uniq, _first, wsum = collapse_batch(h, w)
+        urows = derive_row_hashes(uniq, self.depth)
+        idxs = [bucket_indices(urows[r], self.width) for r in range(self.depth)]
+        est = np.full(len(uniq), np.iinfo(np.uint64).max, dtype=np.uint64)
         for r in range(self.depth):
-            idx = bucket_indices(rows[r], self.width)
-            np.add.at(self.cnt[r], idx, w)
+            est = np.minimum(est, self.cnt[r, idxs[r]])
+        target = est + wsum  # saturation beyond u64 not practically reachable
+        for r in range(self.depth):
+            np.maximum.at(self.cnt[r], idxs[r], target)
         self.total += int(w.sum())
 
     def add(self, item: Any, increment: int = 1) -> None:
@@ -83,6 +109,8 @@ class CountMinSketch:
             raise IncompatibleSketchError(
                 f"incompatible dims: {self.width}x{self.depth} vs {other.width}x{other.depth}"
             )
+        if self.conservative != other.conservative:
+            raise IncompatibleSketchError("incompatible update modes")
         if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
             raise IncompatibleSketchError("incompatible hasher (different seeds)")
 
@@ -103,6 +131,7 @@ class CountMinSketch:
                 "width": self.width,
                 "depth": self.depth,
                 "seed": self.seed,
+                "conservative": self.conservative,
                 "total": self.total,
             },
             {"cnt": self.cnt},
@@ -115,7 +144,10 @@ class CountMinSketch:
 
     @classmethod
     def _from_parts(cls, meta, arrays, tables) -> "CountMinSketch":
-        self = cls(meta["width"], meta["depth"], meta["seed"])
+        self = cls(
+            meta["width"], meta["depth"], meta["seed"],
+            meta.get("conservative", False),
+        )
         self.cnt = arrays["cnt"].reshape(self.depth, self.width)
         self.total = meta["total"]
         return self

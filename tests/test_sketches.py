@@ -90,6 +90,32 @@ def test_cms_never_underestimates_and_bound():
     assert frac_over < 0.05  # δ = e^-5 ≈ 0.007, allow slack
 
 
+def test_cms_conservative_update_tighter_never_under():
+    # Estan & Varga 2002: conservative update keeps the one-sided guarantee
+    # while shrinking overestimates
+    rng = np.random.default_rng(0)
+    keys = rng.zipf(1.3, size=100_000)
+    import collections
+
+    truth = collections.Counter(keys.tolist())
+    plain = CountMinSketch(512, 4, seed=2)
+    cons = CountMinSketch(512, 4, seed=2, conservative=True)
+    for chunk in np.array_split(keys, 10):
+        plain.add_batch(chunk)
+        cons.add_batch(chunk)
+    items = np.array(list(truth))
+    true = np.array([truth[int(i)] for i in items])
+    e_plain = plain.count_batch(items).astype(np.int64) - true
+    e_cons = cons.count_batch(items).astype(np.int64) - true
+    assert (e_cons >= 0).all()  # still one-sided
+    assert e_cons.mean() < e_plain.mean()  # strictly tighter
+    # mode mismatch rejected at merge; serde keeps the flag
+    with pytest.raises(IncompatibleSketchError):
+        plain.merge(cons)
+    c2 = sketch_from_bytes(cons.to_bytes())
+    assert c2.conservative and c2.state_equal(cons)
+
+
 def test_cms_merge_equals_single_stream():
     a, b = CountMinSketch(512, 4, seed=1), CountMinSketch(512, 4, seed=1)
     a.add_batch([1, 2, 3, 1])
