@@ -44,6 +44,32 @@ def _params_hash(cfg: dict, key_col: str, weight_col, tokenize: bool) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def _env_lineage(cfg: dict) -> dict:
+    """Environment fingerprint persisted with every checkpoint: library
+    versions plus a FUNCTIONAL hash probe (the hash of MERGE_PROBE under the
+    run's seed).  The probe catches cross-version hash drift in persisted
+    blobs that a live MERGE_PROBE check between in-process sketches cannot —
+    a resumed run whose hash backend drifted produces a different probe value
+    and is refused instead of silently merging incompatible partials."""
+    from .. import __version__
+    from ..hashing import hash_scalar, resolve_hash_fn
+    from ..sketch.base import DEFAULT_SEED, MERGE_PROBE
+
+    seed = int(cfg.get("params", {}).get("seed", DEFAULT_SEED))
+    try:
+        import polars as _pl
+
+        polars_ver = _pl.__version__
+    except Exception:  # pragma: no cover
+        polars_ver = None
+    return {
+        "hksketch_version": __version__,
+        "polars_version": polars_ver,
+        "hash_backend": resolve_hash_fn("auto"),
+        "hash_probe": hash_scalar(MERGE_PROBE, seed),
+    }
+
+
 def _build_partition(
     files: list[str],
     cfg: dict,
@@ -103,11 +129,13 @@ def run_checkpointed_sketch(
         sorted(input_files)[i : i + files_per_partition]
         for i in range(0, len(input_files), files_per_partition)
     ]
+    env = _env_lineage(cfg)
     manifest = {
         "params_hash": phash,
         "cfg": cfg,
         "key_col": key_col,
         "n_partitions": len(parts),
+        **env,
     }
     if os.path.exists(manifest_path):
         old = json.load(open(manifest_path))
@@ -116,6 +144,14 @@ def run_checkpointed_sketch(
                 f"checkpoint dir {ckpt_dir} holds a different run "
                 f"(params_hash {old.get('params_hash')} != {phash}); "
                 "use a fresh directory"
+            )
+        if old.get("hash_probe") is not None and old.get("hash_probe") != env["hash_probe"]:
+            raise ValueError(
+                f"checkpoint dir {ckpt_dir} was written under a different hash "
+                f"environment (probe {old.get('hash_probe')} != {env['hash_probe']}, "
+                f"hksketch {old.get('hksketch_version')} / polars "
+                f"{old.get('polars_version')}); persisted partials are not "
+                "merge-compatible — rebuild in a fresh directory"
             )
     else:
         with open(manifest_path + ".tmp", "w") as f:
@@ -158,6 +194,7 @@ def run_checkpointed_sketch(
                     "rows": n,
                     "wall_sec": wall,
                     "params_hash": phash,
+                    **env,
                 },
                 f,
             )

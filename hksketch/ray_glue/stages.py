@@ -230,11 +230,21 @@ def global_sketch(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     if merge_via == "auto":
+        # Known bounded partial count (≤512) → cheap driver tree merge;
+        # anything unknown/unbounded (lazy non-file datasets report
+        # input_files() == [] and num_blocks() raises) takes the aggregate
+        # path so partials never pile up on one driver.
         try:
-            nfiles = len(ds.input_files())
+            files = ds.input_files()
+            nparts = len(files) if files else None
         except Exception:
-            nfiles = None
-        merge_via = "driver" if (nfiles is None or nfiles <= 512) else "aggregate"
+            nparts = None
+        if nparts is None:
+            try:
+                nparts = ds.num_blocks()  # MaterializedDataset only
+            except Exception:
+                nparts = None
+        merge_via = "driver" if (nparts is not None and nparts <= 512) else "aggregate"
     if merge_via == "driver":
         blobs = [r["sketch"] for r in partials.take_all()]
         return tree_merge_blobs(blobs)

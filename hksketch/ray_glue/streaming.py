@@ -69,8 +69,12 @@ class StreamingSketch:
         self._next += 1
         self._pending.append(shard.add_batch.remote(keys, weights))
         if len(self._pending) > 4 * len(self._shards):  # bounded in-flight
-            ray.wait(self._pending, num_returns=len(self._pending) // 2)
-            self._pending = self._pending[len(self._pending) // 2 :]
+            # keep ray.wait's actual not-ready set — a positional slice would
+            # drop tracking of still-in-flight tasks and void the bound
+            _ready, not_ready = ray.wait(
+                self._pending, num_returns=len(self._pending) // 2
+            )
+            self._pending = not_ready
 
     def flush(self) -> int:
         """Wait for all in-flight ingests; returns total rows seen."""

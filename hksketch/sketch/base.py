@@ -163,6 +163,31 @@ def unpack_sketch(
     return meta, arrays, tables
 
 
+def validate_weights(weights, n: int):
+    """Count-sketch weights must be non-negative integers: a negative value
+    would wrap to an enormous uint64 counter and a fractional one would
+    silently truncate.  Returns the validated array (or None) — raises
+    ``ValueError`` instead of corrupting counters."""
+    if weights is None:
+        return None
+    w = np.asarray(weights)
+    if len(w) != n:
+        raise ValueError(f"weights length {len(w)} != batch length {n}")
+    if w.dtype.kind == "f":
+        if not np.isfinite(w).all():
+            raise ValueError("weights must be finite")
+        if (w < 0).any():
+            raise ValueError("weights must be non-negative")
+        if (w != np.floor(w)).any():
+            raise ValueError("weights must be whole numbers (counts)")
+    elif w.dtype.kind == "i":
+        if (w < 0).any():
+            raise ValueError("weights must be non-negative")
+    elif w.dtype.kind != "u":
+        return validate_weights(np.asarray([int(x) for x in weights]), n)
+    return w
+
+
 def collapse_batch(h: np.ndarray, weights) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Collapse a hashed key column to (unique_fp, first_occurrence_idx,
     summed_weights:uint64), fingerprint-ascending.
@@ -173,6 +198,7 @@ def collapse_batch(h: np.ndarray, weights) -> tuple[np.ndarray, np.ndarray, np.n
     float64 precision (saturating at u64::MAX like the reference's counts).
     """
     n = len(h)
+    weights = validate_weights(weights, n)
     exact_needed = weights is not None and bool(
         (np.asarray(weights, dtype=np.float64) >= 2**53).any()
     )

@@ -62,7 +62,9 @@ class CountMinSketch:
         if weights is None:
             w = np.ones(n, dtype=np.uint64)
         else:
-            w = np.asarray(weights).astype(np.uint64)
+            from .base import validate_weights
+
+            w = validate_weights(weights, n).astype(np.uint64)
         rows = derive_row_hashes(h, self.depth)
         if not self.conservative:
             for r in range(self.depth):

@@ -1,11 +1,23 @@
-"""Mergeable uniform row sample (bottom-k / order-sample design).
+"""Mergeable uniform sample via keyed-hash bottom-k (KMV design).
 
-Each incoming row draws a uniform 64-bit tag from the sketch's seeded RNG;
-the sample is the k rows with the SMALLEST tags.  Keeping min-k tags makes
-the merge exactly associative and commutative (union → min-k), unlike the
-classic single-stream reservoir (Vitter's Algorithm R) whose merge is only
-distributional — the same trade the reference's generator makes when it
-reservoir-samples its synthetic traces (`/root/reference/data/generate.py:30-34`).
+Every row's tag is a keyed hash of its VALUE (``hash_array(values, seed)``),
+and the sample is the k rows with the smallest tags.  Because the tag is a
+function of the value — not a positional RNG draw — the design is:
+
+- **uniform**: tags are i.i.d. uniform over distinct values regardless of
+  how the stream is split into blocks (a per-block RNG would draw the same
+  tag sequence in every block, biasing the merged sample toward fixed
+  within-block offsets);
+- **deterministic**: the same input and seed give the same sample on any
+  partitioning, so distributed runs are reproducible and testable;
+- **exactly merge-associative** with ONE shared seed: union → min-k, the
+  same trade the reference's generator makes when it reservoir-samples its
+  synthetic traces (`/root/reference/data/generate.py:30-34`).
+
+Duplicate values share a tag, so this samples *distinct keys* (the KMV /
+bottom-k sketch of Bar-Yossef et al.); for unique-id streams it is exactly
+a uniform row sample.  Merging requires equal seeds (checked with the same
+hash-probe rule as the counting sketches).
 
 Contracts match the sketch family: seeded construction, param-checked
 merge, serialization, ``mem_bytes``.
@@ -18,14 +30,14 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from ..hashing import hash_array, hash_scalar
 from .base import (
     DEFAULT_SEED,
+    MERGE_PROBE,
     BuilderError,
     IncompatibleSketchError,
     pack_sketch,
     register_sketch,
-    rng_state_from_json,
-    rng_state_to_json,
     unpack_sketch,
 )
 
@@ -37,35 +49,37 @@ class ReservoirSample:
             raise BuilderError(f"k must be >= 1, got {k!r}")
         self.k = int(k)
         self.seed = int(seed)
-        self.rng = np.random.default_rng(seed)
         self.tags = np.empty(0, dtype=np.uint64)
         self.items: list[Any] = []
         self.n_seen = 0
 
     def add_batch(self, values: Any) -> None:
-        vals = values.to_pylist() if isinstance(values, (pa.Array, pa.ChunkedArray)) else list(values)
-        n = len(vals)
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        arr = values if isinstance(values, pa.Array) else pa.array(list(values))
+        n = len(arr)
         if n == 0:
             return
         self.n_seen += n
-        tags = self.rng.integers(0, 2**63, size=n, dtype=np.uint64)
-        if n > self.k * 4:  # prune before materializing python objects
-            keep = np.argpartition(tags, self.k)[: self.k]
-            keep = keep[np.argsort(tags[keep], kind="stable")]
-            tags = tags[keep]
-            vals = [vals[i] for i in keep]
-        self._fold(tags, vals)
+        tags = hash_array(arr, self.seed)
+        # dedup first (duplicate values share a tag; first occurrence wins),
+        # THEN keep the k smallest — np.unique returns tags sorted ascending
+        uniq, first = np.unique(tags, return_index=True)
+        if len(uniq) > self.k:
+            uniq, first = uniq[: self.k], first[: self.k]
+        vals = arr.take(pa.array(first)).to_pylist()
+        self._fold(uniq, vals)
 
     def _fold(self, tags: np.ndarray, vals: list) -> None:
         all_tags = np.concatenate([self.tags, tags])
         all_vals = self.items + list(vals)
-        if len(all_tags) > self.k:
-            keep = np.argpartition(all_tags, self.k)[: self.k]
-        else:
-            keep = np.arange(len(all_tags))
-        keep = keep[np.argsort(all_tags[keep], kind="stable")]
-        self.tags = all_tags[keep]
-        self.items = [all_vals[i] for i in keep]
+        # dedup by tag (duplicate values hash identically; first occurrence
+        # wins deterministically) then keep the k smallest
+        uniq, first = np.unique(all_tags, return_index=True)
+        if len(uniq) > self.k:
+            uniq, first = uniq[: self.k], first[: self.k]
+        self.tags = uniq
+        self.items = [all_vals[i] for i in first]
 
     def sample(self) -> list:
         return list(self.items)
@@ -75,6 +89,11 @@ class ReservoirSample:
             raise IncompatibleSketchError("cannot merge different sketch kinds")
         if self.k != other.k:
             raise IncompatibleSketchError(f"incompatible k: {self.k} vs {other.k}")
+        if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
+            raise IncompatibleSketchError(
+                "incompatible seeds: keyed-hash bottom-k merges require one "
+                "shared seed so tags live in the same hash space"
+            )
 
     def merge(self, other: "ReservoirSample") -> "ReservoirSample":
         """Union → keep min-k tags: exactly associative and commutative."""
@@ -97,7 +116,6 @@ class ReservoirSample:
                 "k": self.k,
                 "seed": self.seed,
                 "n_seen": self.n_seen,
-                "rng_state": rng_state_to_json(self.rng),
             },
             {},
             {"sample": t},
@@ -115,8 +133,6 @@ class ReservoirSample:
         self.tags = t.column("tag").to_numpy(zero_copy_only=False).astype(np.uint64)
         self.items = t.column("item").to_pylist()
         self.n_seen = meta["n_seen"]
-        if meta.get("rng_state"):
-            rng_state_from_json(self.rng, meta["rng_state"])
         return self
 
     def state_equal(self, other: "ReservoirSample") -> bool:

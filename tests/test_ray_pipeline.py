@@ -130,6 +130,19 @@ def test_checkpoint_resume(ray_session, webpages_tiny, tmp_path):
     blob3, m3 = run_checkpointed_sketch(files, ck, cfg, key_col="lang")
     assert m3["resumed_skipped"] == len(files) - 1
     assert sketch_from_bytes(blob3).list() == sketch_from_bytes(blob1).list()
+    # lineage carries the environment fingerprint; a drifted hash probe in
+    # the persisted manifest is refused (cross-version merge guard)
+    import json
+
+    man_path = os.path.join(ck, "MANIFEST.json")
+    man = json.load(open(man_path))
+    assert man["hksketch_version"] and isinstance(man["hash_probe"], int)
+    part_meta = json.load(open(os.path.join(ck, "part-00000.json")))
+    assert part_meta["hash_probe"] == man["hash_probe"]
+    man["hash_probe"] = man["hash_probe"] ^ 1
+    json.dump(man, open(man_path, "w"))
+    with pytest.raises(ValueError, match="hash environment"):
+        run_checkpointed_sketch(files, ck, cfg, key_col="lang")
 
 
 def test_extraction_invariant_distributed(ray_session, webpages_tiny):

@@ -1,4 +1,4 @@
-"""Mergeable bottom-k reservoir sample."""
+"""Mergeable keyed-hash bottom-k (KMV) uniform sample."""
 
 import numpy as np
 import pytest
@@ -24,11 +24,12 @@ def test_small_stream_keeps_everything():
 
 
 def test_merge_associative_exact():
-    # min-k-tag design: merge is exactly associative (union → min-k)
+    # min-k-tag design: merge is exactly associative (union → min-k);
+    # shards share ONE seed so tags live in the same hash space
     parts = [list(range(i * 100, (i + 1) * 100)) for i in range(3)]
     blobs = []
-    for i, p in enumerate(parts):
-        r = ReservoirSample(k=20, seed=i)  # different rng streams per shard
+    for p in parts:
+        r = ReservoirSample(k=20, seed=7)
         r.add_batch(p)
         blobs.append(r.to_bytes())
     f = sketch_from_bytes
@@ -38,6 +39,23 @@ def test_merge_associative_exact():
     right.merge(f(blobs[2]))
     assert left.state_equal(right)
     assert left.n_seen == 300 and len(left.sample()) == 20
+
+
+def test_partition_invariance():
+    """Keyed-hash tags make the merged sample independent of HOW the stream
+    was split into blocks/shards — the property positional RNG draws break
+    (identical per-block tag sequences pick fixed within-block offsets)."""
+    data = list(range(10_000))
+    whole = ReservoirSample(k=50, seed=3)
+    whole.add_batch(data)
+
+    merged = ReservoirSample(k=50, seed=3)
+    for chunk in np.array_split(np.asarray(data), 7):
+        shard = ReservoirSample(k=50, seed=3)
+        shard.add_batch(chunk.tolist())
+        merged.merge(shard)
+
+    assert sorted(whole.sample()) == sorted(merged.sample())
 
 
 def test_uniformity_rough():
@@ -50,6 +68,12 @@ def test_uniformity_rough():
     assert hist.min() > 100 / 3 and hist.max() < 300
 
 
+def test_duplicates_collapse_to_distinct_keys():
+    r = ReservoirSample(k=5, seed=1)
+    r.add_batch(["x"] * 1000 + ["y"] * 1000)
+    assert sorted(r.sample()) == ["x", "y"]
+
+
 def test_serde_and_validation():
     r = ReservoirSample(k=5, seed=1)
     r.add_batch(["a", "b", "c"])
@@ -59,3 +83,5 @@ def test_serde_and_validation():
         ReservoirSample(0)
     with pytest.raises(IncompatibleSketchError):
         r.merge(ReservoirSample(k=6, seed=1))
+    with pytest.raises(IncompatibleSketchError):
+        r.merge(ReservoirSample(k=5, seed=2))

@@ -244,3 +244,23 @@ def test_kll_serde_deterministic_continue():
     assert s.state_equal(s2)  # RNG state restored → identical compactions
     with pytest.raises(IncompatibleSketchError):
         s.merge(KLL(k=128))
+
+
+def test_weight_validation_rejects_bad_weights():
+    """Negative weights would wrap to huge uint64 counts and fractional
+    ones silently truncate — both must raise instead (all count sketches)."""
+    import pytest
+
+    from hksketch.sketch.countmin import CountMinSketch
+    from hksketch.sketch.bucketed import BucketedTopK
+
+    for sk in (CountMinSketch(width=64, depth=2, seed=1),
+               BucketedTopK(k=4, width=64, depth=2, decay=0.9, seed=1)):
+        with pytest.raises(ValueError):
+            sk.add_batch(["a", "b"], np.array([1, -2], dtype=np.int64))
+        with pytest.raises(ValueError):
+            sk.add_batch(["a", "b"], np.array([1.0, 2.5]))
+        with pytest.raises(ValueError):
+            sk.add_batch(["a", "b"], np.array([1.0, np.nan]))
+        sk.add_batch(["a", "b"], np.array([2.0, 3.0]))  # whole floats OK
+        assert sk.count("b") == 3
