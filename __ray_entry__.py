@@ -217,9 +217,14 @@ def _q_bloom_users_membership(sf_dir: str):
 
 
 def _q_q1_pricing_summary(sf_dir: str):
+    """Money columns carry 2 decimals, so sums run in integer cents
+    (4 decimals for the discount product) and float output comes from ONE
+    final IEEE division — deterministic under any accumulation order and
+    bitwise-identical to the mirrored SQL expression."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
+
+    from ray.data.aggregate import Count, Sum
 
     from hksketch.pipelines.ops import read_table
 
@@ -238,21 +243,56 @@ def _q_q1_pricing_summary(sf_dir: str):
 
     def derive(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(__import__("datetime").datetime(1998, 9, 2))))
-        disc_price = pc.multiply(
-            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        ext = b.column("l_extendedprice")
+        disc = b.column("l_discount")
+
+        def cents(col, scale):
+            return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty_c": cents(b.column("l_quantity"), 100),
+                "base_c": cents(ext, 100),
+                "disc_c": cents(disc, 100),
+                "dp4": cents(pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc)), 10000),
+            }
         )
-        return b.append_column("disc_price", disc_price).drop_columns(["l_shipdate"])
 
     ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_discount", alias_name="avg_disc"),
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("base_c", alias_name="base_c"),
+        Sum("disc_c", alias_name="disc_c"),
+        Sum("dp4", alias_name="dp4"),
         Count(alias_name="count_order"),
     )
-    return out
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("count_order").cast(pa.float64())
+        sum_qty = pc.divide(b.column("qty_c").cast(pa.float64()), pa.scalar(100.0))
+        avg_disc = pc.divide(
+            pc.divide(b.column("disc_c").cast(pa.float64()), pa.scalar(100.0)), n
+        )
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "sum_qty": sum_qty,
+                "sum_base_price": pc.divide(
+                    b.column("base_c").cast(pa.float64()), pa.scalar(100.0)
+                ),
+                "sum_disc_price": pc.divide(
+                    b.column("dp4").cast(pa.float64()), pa.scalar(10000.0)
+                ),
+                "avg_qty": pc.divide(sum_qty, n),
+                "avg_disc": avg_disc,
+                "count_order": b.column("count_order").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_segment_revenue(sf_dir: str):
@@ -277,23 +317,38 @@ def _q_segment_revenue(sf_dir: str):
             self.vals = np.array([lk[k] for k in self.keys], dtype=object)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             ck = b.column("o_custkey").to_numpy()
             pos = np.searchsorted(self.keys, ck)
             pos = np.clip(pos, 0, len(self.keys) - 1)
             ok = self.keys[pos] == ck
             seg = np.where(ok, self.vals[pos], None)
+            # integer cents: order-independent exact sum (2-decimal prices)
+            rev_c = pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                pa.int64(),
+            )
             return pa.table(
                 {"c_mktsegment": pa.array(seg.tolist(), type=pa.string()),
-                 "o_totalprice": b.column("o_totalprice")}
+                 "rev_c": rev_c}
             )
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.map_batches(
         SegmentJoin, batch_format="pyarrow", concurrency=2, zero_copy_batch=True
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="revenue")
-    )
+    agg = joined.groupby("c_mktsegment").aggregate(Sum("rev_c", alias_name="rev_c"))
+
+    def finalize(b):
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"c_mktsegment": b.column("c_mktsegment"),
+             "revenue": pc.divide(b.column("rev_c").cast(pa.float64()), pa.scalar(100.0))}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_top_orders(sf_dir: str):
@@ -615,6 +670,9 @@ def _q_nation_orders_join(sf_dir: str):
 
     from hksketch.pipelines.ops import read_table
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.join(
@@ -624,10 +682,29 @@ def _q_nation_orders_join(sf_dir: str):
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    out = joined.groupby("c_nationkey").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_nationkey": b.column("c_nationkey"),
+             "rev_c": pc.cast(
+                 pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                 pa.int64(),
+             )}
+        )
+
+    agg = joined.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = agg.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"), Sum("rev_c", alias_name="rev_c")
     )
-    return out.select_columns(["c_nationkey", "n_orders", "revenue"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_nationkey": b.column("c_nationkey"),
+             "n_orders": b.column("n_orders").cast(pa.int64()),
+             "revenue": pc.divide(b.column("rev_c").cast(pa.float64()), pa.scalar(100.0))}
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_orders_semijoin_bloom(sf_dir: str):
@@ -663,18 +740,24 @@ def _q_orders_semijoin_bloom(sf_dir: str):
 
         def __call__(self, b: pa.Table) -> pa.Table:
             keep = self.bf.contains_batch(b.column("o_custkey").combine_chunks())
-            return b.filter(pa.array(keep))
+            b = b.filter(pa.array(keep))
+            # integer cents → order-independent exact revenue sum
+            rev_c = pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            return pa.table({"rev_c": rev_c})
 
     from ray.data.aggregate import Count
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     kept = orders.map_batches(Probe, batch_format="pyarrow", concurrency=2)
     out = kept.aggregate(
-        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n")
+        Sum("rev_c", alias_name="rev_c"), Count(alias_name="n")
     )  # one execution for both aggregates
     return pa.table(
         {"n_orders": pa.array([out["n"]], type=pa.int64()),
-         "revenue": pa.array([out["revenue"]], type=pa.float64())}
+         "revenue": pa.array([out["rev_c"] / 100.0], type=pa.float64())}
     )
 
 
@@ -842,20 +925,25 @@ FROM (SELECT unnest(range(0, 200)) AS user_id) g
 LEFT JOIN (SELECT DISTINCT user_id FROM events) d ON g.user_id = d.user_id
 ORDER BY user_id
 """,
+        # money columns are 2-decimal: both engines sum integer cents and do
+        # ONE final IEEE division, so float results are bitwise identical
+        # under any accumulation order
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       avg(l_quantity) AS avg_qty,
-       avg(l_discount) AS avg_disc,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS sum_disc_price,
+       (sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0) / count(*) AS avg_qty,
+       (sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0) / count(*) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
         "segment_revenue": """
-SELECT c_mktsegment, sum(o_totalprice) AS revenue
+SELECT c_mktsegment,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -955,7 +1043,7 @@ ORDER BY total_qty DESC, l_partkey ASC LIMIT 25
 """,
         "orders_semijoin_bloom": """
 SELECT CAST(count(*) AS BIGINT) AS n_orders,
-       sum(o_totalprice) AS revenue
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders
 WHERE o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -976,7 +1064,7 @@ GROUP BY p.user_id, p.last_error
 """,
         "nation_orders_join": """
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
-       sum(o_totalprice) AS revenue
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
 """,
