@@ -636,30 +636,15 @@ def _q_tokens_per_lang_topk_sketch(sf_dir: str):
 
 
 def _q_user_sessions(sf_dir: str):
-    """Sessionization: per-user event stream sorted by (ts, event_id),
-    session break on gap > 12h (streaming-shaped op via groupby+map_groups;
-    ordering assumption: within-group sort, ray_guide streaming pattern)."""
+    """Sessionization (gap > 12h): hash-shard by user, ONE lexsort per
+    shard, vectorized segment scan — bounded fan-in regardless of user
+    cardinality (the per-user map_groups shape is the documented
+    scale pathology)."""
     from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.sessions import sessionize
 
-    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
-
-    def sessions(g):
-        import pandas as pd
-
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        n = 1 + int((gaps > 43200).sum())
-        import pyarrow as _pa
-
-        # arrow out: pandas block schemas defeat Ray's schema dedup (noisy
-        # "Failed to hash the schemas" warnings in reduce workers)
-        return _pa.table(
-            {"user_id": _pa.array([int(g["user_id"].iloc[0])], type=_pa.int64()),
-             "n_sessions": _pa.array([n], type=_pa.int64())}
-        )
-
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return out
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds, gap_seconds=43200.0)
 
 
 def _q_nation_orders_join(sf_dir: str):
@@ -762,36 +747,14 @@ def _q_orders_semijoin_bloom(sf_dir: str):
 
 
 def _q_last_login_before_error(sf_dir: str):
-    """As-of join inside one keyed stream (ray_guide as-of pattern): for
-    each user, the timestamp of the latest 'login' event preceding their
-    latest 'error' event.  Per-user ordered scan via groupby+map_groups."""
+    """As-of lookup inside one keyed stream: per user, the latest 'login'
+    timestamp preceding the latest 'error'.  Hash-sharded + one vectorized
+    ordered scan per shard (no per-user groups)."""
     from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.sessions import last_event_before
 
-    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
-
-    def asof(g):
-        import pandas as pd
-
-        g = g.sort_values(["ts", "event_id"])
-        errors = g[g["event_type"] == "error"]
-        if len(errors) == 0:
-            out = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
-                                "last_error": pd.Series(dtype="datetime64[us]"),
-                                "prev_login": pd.Series(dtype="datetime64[us]")})
-        else:
-            last_err = errors["ts"].iloc[-1]
-            logins = g[(g["event_type"] == "login") & (g["ts"] < last_err)]
-            prev_login = logins["ts"].iloc[-1] if len(logins) else pd.NaT
-            out = pd.DataFrame(
-                {"user_id": [g["user_id"].iloc[0]],
-                 "last_error": [last_err],
-                 "prev_login": [prev_login]}
-            )
-        import pyarrow as _pa
-
-        return _pa.Table.from_pandas(out, preserve_index=False)
-
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return last_event_before(ds, anchor_type="error", probe_type="login")
 
 
 def _q_sample_events(sf_dir: str):

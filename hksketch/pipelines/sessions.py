@@ -1,0 +1,155 @@
+"""Keyed ordered-stream operators: sessionization and as-of lookup.
+
+Scale shape (the reference discipline: per-event state in ONE ordered pass,
+`examples/ip_files.rs:222-227`): a per-key ``groupby(key).map_groups``
+creates millions of single-user pandas groups — the documented pathology.
+Instead the key is hash-folded to ``shards`` partitions (same shape as
+``dedup.minhash.lsh_candidate_pairs``), each shard arrives as ONE Arrow
+table, is sorted once with ``np.lexsort`` by (key, ts, tiebreak), and a
+vectorized segment scan (diff + boolean masks + reduceat-style counts)
+produces per-key results.  The shuffle moves every event exactly once and
+fan-in is bounded by ``shards``, independent of key cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import splitmix64
+
+U64 = np.uint64
+
+
+def _shard_fn(key_col: str, shards: int):
+    """shards must be a power of two (mask-folded key hash)."""
+    if shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two, got {shards}")
+
+    def shard(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (splitmix64(keys.astype(np.uint64)) & U64(shards - 1)).astype(np.int32)
+        return b.append_column("shard", pa.array(s))
+
+    return shard
+
+
+def _sorted_arrays(g: pa.Table, key_col: str, ts_col: str):
+    """One lexsort per shard: rows ordered by (key, ts).  No tiebreak
+    column: equal-ts orderings cannot change gap counts (gap 0) or max-ts
+    lookups, and dropping it keeps an entire int64 column out of the
+    shuffle."""
+    keys = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = g.column(ts_col).combine_chunks().cast(pa.timestamp("us")).to_numpy()
+    ts = ts.astype("datetime64[us]").astype(np.int64)
+    order = np.lexsort((ts, keys))
+    return keys[order], ts[order], order
+
+
+def sessionize(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 43200.0,
+    shards: int = 64,
+):
+    """Per-key session count: a new session starts at any event whose gap
+    to the previous event of the same key exceeds ``gap_seconds``.
+
+    Returns a Dataset[(key_col, n_sessions:int64)].
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+    sharded = ds.map_batches(
+        _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64())})
+        keys, ts, _ = _sorted_arrays(g, key_col, ts_col)
+        uniq, starts = np.unique(keys, return_index=True)
+        same_key = keys[1:] == keys[:-1]
+        brk = same_key & ((ts[1:] - ts[:-1]) > gap_us)
+        # count breaks per key: break at position i+1 belongs to keys[i+1]
+        n_breaks = np.bincount(
+            np.searchsorted(uniq, keys[1:][brk]), minlength=len(uniq)
+        )
+        return pa.table(
+            {key_col: pa.array(uniq, type=pa.int64()),
+             "n_sessions": pa.array(1 + n_breaks, type=pa.int64())}
+        )
+
+    return sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
+
+
+def last_event_before(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    anchor_type: str = "error",
+    probe_type: str = "login",
+    shards: int = 64,
+):
+    """As-of lookup inside one keyed stream: per key, the latest
+    ``probe_type`` timestamp strictly before the latest ``anchor_type``
+    timestamp.  Keys without an anchor event are dropped; keys without a
+    preceding probe get a null.
+
+    Returns a Dataset[(key_col, last_error:timestamp, prev_login:timestamp)].
+    """
+    sharded = ds.map_batches(
+        _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key_col: pa.array([], type=pa.int64()),
+             "last_error": pa.array([], type=pa.timestamp("us")),
+             "prev_login": pa.array([], type=pa.timestamp("us"))}
+        )
+        if g.num_rows == 0:
+            return empty
+        keys, ts, order = _sorted_arrays(g, key_col, ts_col)
+        typ = g.column(type_col).to_numpy(zero_copy_only=False)[order]
+        anchor = typ == anchor_type
+        if not anchor.any():
+            return empty
+        # rows are ts-ascending within key → the LAST occurrence per key is
+        # the max; np.unique on the reversed array yields last occurrences
+        ak, ats = keys[anchor], ts[anchor]
+        u_a, ridx = np.unique(ak[::-1], return_index=True)
+        last_anchor = ats[::-1][ridx]  # max anchor ts per key (u_a sorted)
+        probe = typ == probe_type
+        pk, pts = keys[probe], ts[probe]
+        pos = np.searchsorted(u_a, pk)
+        pos_ok = pos < len(u_a)
+        valid = np.zeros(len(pk), dtype=bool)
+        valid[pos_ok] = (u_a[pos[pos_ok]] == pk[pos_ok]) & (
+            pts[pos_ok] < last_anchor[pos[pos_ok]]
+        )
+        vk, vts = pk[valid], pts[valid]
+        u_p, pridx = np.unique(vk[::-1], return_index=True)
+        last_probe = vts[::-1][pridx]
+        # align probe results to anchor keys (u_p ⊆ u_a)
+        out_probe = np.zeros(len(u_a), dtype=np.int64)
+        has_probe = np.zeros(len(u_a), dtype=bool)
+        ppos = np.searchsorted(u_a, u_p)
+        out_probe[ppos] = last_probe
+        has_probe[ppos] = True
+        return pa.table(
+            {
+                key_col: pa.array(u_a, type=pa.int64()),
+                "last_error": pa.array(
+                    last_anchor.astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "prev_login": pa.Array.from_pandas(
+                    np.where(has_probe, out_probe, 0).astype("datetime64[us]"),
+                    mask=~has_probe,
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+
+    return sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")

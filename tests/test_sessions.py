@@ -1,0 +1,102 @@
+"""Keyed ordered-stream operators: sessionize + last_event_before
+(hash-shard + vectorized segment scan — no per-key groups)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events(rows):
+    uid, ts, typ = zip(*rows)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    return pa.table(
+        {
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(int(s * 1_000_000), "us") for s in ts],
+                type=pa.timestamp("us"),
+            ),
+            "event_type": pa.array(typ, type=pa.string()),
+        }
+    )
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.sessions import sessionize
+
+    # user 1: gaps 100s, exactly-gap (NOT a break), gap+1 (break)
+    gap = 1000.0
+    t = _events(
+        [
+            (1, 0, "x"), (1, 100, "x"), (1, 1100, "x"), (1, 2101, "x"),
+            (2, 0, "x"),
+            (3, 0, "x"), (3, 5000, "x"), (3, 10000, "x"),
+        ]
+    )
+    out = {
+        r["user_id"]: r["n_sessions"]
+        for r in sessionize(rd.from_arrow(t), gap_seconds=gap, shards=8).take_all()
+    }
+    assert out == {1: 2, 2: 1, 3: 3}
+
+
+def test_sessionize_matches_per_user_reference(ray_session):
+    """Sharded scan == naive per-user computation on a random stream."""
+    import ray.data as rd
+
+    from hksketch.pipelines.sessions import sessionize
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    uid = rng.integers(0, 200, n)
+    secs = rng.integers(0, 30 * 86400, n)
+    rows = [(int(u), float(s), "x") for u, s in zip(uid, secs)]
+    t = _events(rows)
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in sessionize(
+            rd.from_arrow(t), gap_seconds=43200.0, shards=16
+        ).take_all()
+    }
+    want = {}
+    for u in np.unique(uid):
+        s = np.sort(secs[uid == u])
+        want[int(u)] = 1 + int((np.diff(s) > 43200).sum())
+    assert got == want
+
+
+def test_last_event_before(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.sessions import last_event_before
+
+    t = _events(
+        [
+            (1, 0, "login"), (1, 50, "login"), (1, 100, "error"), (1, 200, "login"),
+            (2, 10, "error"),                      # no prior login → null
+            (3, 0, "login"), (3, 5, "click"),      # no error → dropped
+            (4, 0, "error"), (4, 10, "login"), (4, 20, "error"),  # login<2nd err
+        ]
+    )
+    rows = {
+        r["user_id"]: r
+        for r in last_event_before(rd.from_arrow(t), shards=8).take_all()
+    }
+    assert set(rows) == {1, 2, 4}
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def sec(x):
+        return (np.datetime64(x, "us") - base) / np.timedelta64(1, "s")
+
+    assert sec(rows[1]["last_error"]) == 100 and sec(rows[1]["prev_login"]) == 50
+    assert rows[2]["prev_login"] is None or rows[2]["prev_login"] != rows[2]["prev_login"]
+    assert sec(rows[4]["last_error"]) == 20 and sec(rows[4]["prev_login"]) == 10
+
+
+def test_shards_must_be_power_of_two():
+    from hksketch.pipelines.sessions import _shard_fn
+
+    with pytest.raises(ValueError):
+        _shard_fn("user_id", 10)
