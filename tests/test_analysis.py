@@ -48,3 +48,20 @@ def test_doc_fingerprints_order_sensitive_and_deterministic():
     assert fps[0] != fps[1]  # order matters (rolling hash)
     again = doc_fingerprints_batch(a)
     assert np.array_equal(fps, again)
+
+
+def test_lang_id_vectorized_matches_reference():
+    """The polars is_in/count_matches path must be behavior-identical to
+    the per-row Python reference on real corpus text (incl. empties)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hksketch.text.analysis import _lang_id_batch_reference, lang_id_batch
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    texts = pa.concat_arrays(
+        [t.column("text").combine_chunks(), pa.array(["", "一二三四五六", "der die und das ist"])]
+    )
+    assert lang_id_batch(texts).to_pylist() == _lang_id_batch_reference(texts).to_pylist()
