@@ -393,18 +393,6 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(ds, "text", "doc_id")
 
 
-def _texts_by_id(sf_dir: str):
-    def fetch(ids):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        m = t.filter(pc.is_in(t.column("doc_id"), value_set=__import__("pyarrow").array(ids)))
-        return dict(zip(m.column("doc_id").to_pylist(), m.column("text").to_pylist()))
-
-    return fetch
-
-
 def _q_minhash_near_dupes(sf_dir: str):
     from hksketch.dedup.minhash import minhash_near_dupes
     from hksketch.pipelines.ops import read_table
@@ -412,7 +400,7 @@ def _q_minhash_near_dupes(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return minhash_near_dupes(
         ds, "text", "doc_id", num_perm=128, bands=32, ngram=3, seed=1,
-        verify_threshold=0.5, texts_for_verify=_texts_by_id(sf_dir),
+        verify_threshold=0.5,
     )
 
 

@@ -177,6 +177,64 @@ def lsh_candidate_pairs(rows, shards: int = 256) -> pa.Table:
     )
 
 
+def candidate_shingle_sets(
+    ds, cand: pa.Table, mh: "MinHasher", text_col: str, id_col: str
+) -> dict:
+    """Distributed semi-join: broadcast the candidate id set (``ray.put``
+    once), stream the dataset once through a ``map_batches`` stage that
+    keeps only candidate rows and emits their sorted-unique shingle-hash
+    arrays — texts never leave the workers and nothing is re-read from
+    storage.  Returns {doc_id: uint64[] sorted unique shingle hashes};
+    output volume is bounded by the (few, by construction) candidate docs.
+    """
+    import ray
+
+    need = np.unique(
+        np.concatenate(
+            [cand.column("a").to_numpy(), cand.column("b").to_numpy()]
+        ).astype(np.int64)
+    )
+    need_ref = ray.put(need)
+
+    class ShingleSets:
+        def __init__(self):
+            self.need = ray.get(need_ref)  # sorted
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.need, ids)
+            pos_ok = pos < len(self.need)
+            mask = np.zeros(len(ids), dtype=bool)
+            mask[pos_ok] = self.need[pos[pos_ok]] == ids[pos_ok]
+            if not mask.any():
+                return pa.table(
+                    {"doc_id": pa.array([], type=pa.int64()),
+                     "shingles": pa.array([], type=pa.list_(pa.uint64()))}
+                )
+            idx = np.flatnonzero(mask)
+            sub = b.take(pa.array(idx))
+            sh, didx = mh.shingle_hashes(sub.column(text_col).combine_chunks())
+            out_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            lists: list[np.ndarray] = []
+            starts = np.searchsorted(didx, np.arange(len(out_ids)))
+            ends = np.append(starts[1:], len(didx))
+            for d in range(len(out_ids)):
+                lists.append(np.unique(sh[starts[d] : ends[d]]))
+            return pa.table(
+                {"doc_id": pa.array(out_ids, type=pa.int64()),
+                 "shingles": pa.array(
+                     [l.tolist() for l in lists], type=pa.list_(pa.uint64())
+                 )}
+            )
+
+    got = ds.map_batches(
+        ShingleSets, batch_format="pyarrow", concurrency=2, zero_copy_batch=True
+    ).take_all()
+    return {
+        r["doc_id"]: np.asarray(r["shingles"], dtype=np.uint64) for r in got
+    }
+
+
 def minhash_near_dupes(
     ds,
     text_col: str,
@@ -186,14 +244,14 @@ def minhash_near_dupes(
     ngram: int = 3,
     seed: int = 1,
     verify_threshold: Optional[float] = 0.5,
-    texts_for_verify=None,
 ):
     """Dataset → pa.Table(a, b[, jaccard]) of near-duplicate id pairs.
 
     Candidates from LSH banding; verified (optionally) with exact shingle
-    Jaccard.  ``texts_for_verify`` is a callable id_list -> {id: text} used
-    to re-read candidate texts (a broadcast-side lookup at verification
-    time; candidates are few by construction).
+    Jaccard over hashed shingle sets gathered by a DISTRIBUTED semi-join
+    (``candidate_shingle_sets``) — no driver-side text reads, no per-pair
+    Python over raw documents.  The pair loop below runs over candidate
+    pairs only (few by construction) with numpy set intersection.
     """
     mh = MinHasher(num_perm=num_perm, ngram=ngram, seed=seed)
 
@@ -205,21 +263,20 @@ def minhash_near_dupes(
         )
 
     rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-    cand = lsh_candidate_pairs(rows).to_pandas()
-    if verify_threshold is None or texts_for_verify is None or len(cand) == 0:
-        t = pa.table(
-            {"a": pa.array(cand["a"], type=pa.int64()),
-             "b": pa.array(cand["b"], type=pa.int64())}
-        )
-        return t.sort_by([("a", "ascending"), ("b", "ascending")])
-    need = sorted(set(cand["a"]) | set(cand["b"]))
-    texts = texts_for_verify(need)
-    from .ngram import shingle_set, jaccard
-
-    cache = {i: shingle_set(texts[i], ngram) for i in need}
+    cand = lsh_candidate_pairs(rows)
+    if verify_threshold is None or cand.num_rows == 0:
+        return cand.sort_by([("a", "ascending"), ("b", "ascending")])
+    sets = candidate_shingle_sets(ds, cand, mh, text_col, id_col)
+    empty = np.empty(0, dtype=np.uint64)
     keep_a, keep_b, jac = [], [], []
-    for a, b in zip(cand["a"], cand["b"]):
-        j = jaccard(cache[a], cache[b])
+    for a, b in zip(cand.column("a").to_pylist(), cand.column("b").to_pylist()):
+        sa, sb = sets.get(a, empty), sets.get(b, empty)
+        union = len(sa) + len(sb)
+        if union == 0:
+            j = 1.0  # two shingle-less docs are identical under this metric
+        else:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (union - inter)
         if j >= verify_threshold:
             keep_a.append(a)
             keep_b.append(b)

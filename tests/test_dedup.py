@@ -89,10 +89,9 @@ def test_minhash_lsh_pipeline_finds_planted_dupes(ray_session):
              "text": " ".join(vocab[int(x)] for x in rng.integers(0, 500, 40))}
         )
     ds = rd.from_arrow(pa.Table.from_pylist(docs))
-    texts = {d["doc_id"]: d["text"] for d in docs}
     out = minhash_near_dupes(
         ds, "text", "doc_id", num_perm=128, bands=32, seed=1,
-        verify_threshold=0.5, texts_for_verify=lambda ids: texts,
+        verify_threshold=0.5,
     )
     pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
     assert (1, 2) in pairs
@@ -111,3 +110,22 @@ def test_simhash_pipeline_finds_planted_dupes(ray_session):
     pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_distributed_verify_matches_exact_jaccard(ray_session):
+    """Hashed-shingle Jaccard from the distributed semi-join equals the
+    exact token-tuple shingle Jaccard (collisions are 2^-64)."""
+    import ray.data as rd
+
+    from hksketch.dedup.minhash import minhash_near_dupes
+    from hksketch.dedup.ngram import ngram_jaccard
+
+    docs = [{"doc_id": 1, "text": BASE}, {"doc_id": 2, "text": NEAR}]
+    out = minhash_near_dupes(
+        rd.from_arrow(pa.Table.from_pylist(docs)), "text", "doc_id",
+        num_perm=64, bands=32, seed=1, verify_threshold=0.0,
+    )
+    got = {(a, b): j for a, b, j in zip(out.column("a").to_pylist(),
+                                        out.column("b").to_pylist(),
+                                        out.column("jaccard").to_pylist())}
+    assert got[(1, 2)] == pytest.approx(ngram_jaccard(BASE, NEAR, 3), abs=1e-12)
