@@ -13,15 +13,29 @@ Arrow / NumPy columns.  We do NOT need ahash bit-parity (accuracy contracts
 are statistical, SURVEY.md §1.2) — we DO need cross-worker determinism for a
 fixed seed so per-partition sketches are merge-compatible.
 
-Primary vectorized hash: polars ``Series.hash(seed)`` (seeded xxh3-style,
-deterministic across processes for a fixed polars version).  Fallback:
-``hashlib.blake2b`` keyed by the seed, per element (slow path, used only if
-polars is unavailable).
+Backends:
+
+- ``polars`` (default when importable): ``Series.hash(seed)`` — Rust SIMD,
+  ~35 M tokens/s/core.  Deterministic for a FIXED polars version only; a
+  version-drifted cluster is caught explicitly, not silently: live merges
+  check a hash probe (``MERGE_PROBE``) and checkpoints refuse resume on
+  probe drift (ray_glue/checkpoint.py lineage).
+- ``hk64``: self-owned splitmix64 composition over 8-byte words of each
+  value, pure NumPy over the Arrow buffers.  Its bit stream is pinned by
+  THIS library alone — the backend to choose when cross-version stability
+  matters more than speed, and the fallback when polars is absent.
+  Measured ceiling on the dev container is ~1 M tokens/s/core (NumPy
+  elementwise ops run ~10-30 M elem/s there vs polars' SIMD): making it
+  the DEFAULT cost 2× flagship wall time (webpages_pass 7.4 s → 15.2 s at
+  sf0.1/32 cpus), so the fast backend stays default and hk64 is the
+  pinned-determinism option — an explicit measured trade, see BASELINE.md.
+- ``blake2b``: keyed per-element hashlib, last-resort for exotic types.
 """
 
 from __future__ import annotations
 
 import struct
+import sys
 from typing import Any
 
 import numpy as np
@@ -60,19 +74,108 @@ def _blake2b_u64(value: bytes, seed: int) -> int:
     )[0]
 
 
-HASH_FNS = ("auto", "polars", "blake2b")
+HASH_FNS = ("auto", "hk64", "polars", "blake2b")
+
+_GOLDEN = U64(0x9E3779B97F4A7C15)
+_BYTE_POWERS = (U64(1) << (U64(8) * np.arange(8, dtype=np.uint64))).astype(np.uint64)
 
 
 def resolve_hash_fn(fn: str) -> str:
-    """'auto' → the fastest available backend (pluggable-hasher support,
-    reference C3 `with_hasher`, src/heavykeeper.rs:123-131)."""
+    """'auto' → fastest available backend, hk64 when polars is absent
+    (pluggable-hasher support, reference C3 `with_hasher`,
+    src/heavykeeper.rs:123-131).  Version drift of the fast backend is
+    caught by merge probes + checkpoint lineage, never silent."""
     if fn not in HASH_FNS:
         raise ValueError(f"unknown hash fn {fn!r}; one of {HASH_FNS}")
     if fn == "auto":
-        return "polars" if _HAVE_POLARS else "blake2b"
+        return "polars" if _HAVE_POLARS else "hk64"
     if fn == "polars" and not _HAVE_POLARS:
         raise ValueError("polars hash backend unavailable")
     return fn
+
+
+def _seed_state(seed: int, n: int, lens: np.ndarray) -> np.ndarray:
+    s = splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64))[0]
+    return splitmix64((s ^ _GOLDEN) ^ lens.astype(np.uint64))
+
+
+def _hk64_bytes(arr: pa.Array, seed: int) -> np.ndarray:
+    """Vectorized variable-length byte hash over the Arrow buffers.
+
+    Structure (order-sensitive, fully flat — no per-row or per-round loop):
+    split each value into little-endian 8-byte words (zero-padded tail),
+    hash every word with its position — ``g = splitmix64(word ^
+    splitmix64(pos ^ seed'))`` — XOR-combine the words of each value with
+    one ``bitwise_xor.reduceat`` over the flattened word stream, and
+    finalize with the value length and seed state.  A handful of NumPy
+    passes over the raw byte buffer; works for string/large_string/binary/
+    large_binary including slices (absolute offsets) and nulls (hashed as
+    empty, matching the blake2b fallback)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = arr.buffers()
+    odt = np.int32 if arr.type in (pa.string(), pa.binary()) else np.int64
+    offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + n + 1]
+    starts = offs[:-1].astype(np.int64)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        lens = np.where(valid, lens, 0)
+    h0 = _seed_state(seed, n, lens)
+    total = int(lens.sum())
+    if total == 0:
+        return splitmix64(h0 ^ _GOLDEN)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    # byte→value ownership WITHOUT np.repeat (slow for millions of tiny
+    # segments): +1 markers at segment boundaries, cumsum
+    owner = np.zeros(total, dtype=np.int64)
+    np.add.at(owner, cum[1:-1][cum[1:-1] < total], 1)
+    owner = np.cumsum(owner)
+    pos_in_val = np.arange(total, dtype=np.int64) - cum[owner]
+    if arr.null_count == 0 and starts[0] + total == int(offs[-1]):
+        flat = data[starts[0] : starts[0] + total]  # contiguous fast path
+    else:
+        flat = data[starts[owner] + pos_in_val]
+    # pad every value to a multiple of 8 bytes, then VIEW as uint64 words —
+    # no per-byte shifts
+    wpv = (lens + 7) >> 3  # words per value
+    wcum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(wpv)])
+    padded = np.zeros(int(wcum[-1]) * 8, dtype=np.uint8)
+    padded[pos_in_val + 8 * wcum[owner]] = flat
+    words = padded.view(np.uint64)
+    if sys.byteorder != "little":  # pragma: no cover
+        words = words.byteswap()
+    nw = len(words)
+    wowner = np.zeros(nw, dtype=np.int64)
+    np.add.at(wowner, wcum[1:-1][wcum[1:-1] < nw], 1)
+    wowner = np.cumsum(wowner)
+    wpos = (np.arange(nw, dtype=np.int64) - wcum[wowner]).astype(np.uint64)
+    smix = splitmix64(
+        np.array([(seed ^ 0xA5A5A5A5) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    )[0]
+    g = splitmix64(words ^ splitmix64(wpos ^ smix))
+    nonempty = wpv > 0
+    combined = np.zeros(n, dtype=np.uint64)
+    combined[nonempty] = np.bitwise_xor.reduceat(g, wcum[:-1][nonempty])
+    return splitmix64(h0 ^ combined ^ _GOLDEN)
+
+
+def _hk64_ints(vals: np.ndarray, seed: int, nulls: np.ndarray | None = None) -> np.ndarray:
+    """Fixed-width integer keys: two splitmix64 rounds over the value and a
+    seed-derived state (8-byte scalar fast path; no byte gathers)."""
+    x = vals.astype(np.int64, copy=False).view(np.uint64)
+    lens = np.full(len(x), 8, dtype=np.int64)
+    if nulls is not None:
+        lens = np.where(nulls, 0, lens)
+        x = np.where(nulls, U64(0), x)
+    h = _seed_state(seed, len(x), lens)
+    return splitmix64(splitmix64(h ^ x) ^ _GOLDEN)
 
 
 def hash_array(values: Any, seed: int, fn: str = "auto") -> np.ndarray:
@@ -80,10 +183,24 @@ def hash_array(values: Any, seed: int, fn: str = "auto") -> np.ndarray:
 
     Accepts pyarrow Array/ChunkedArray, numpy arrays, or python sequences of
     str/bytes/int.  str and bytes with the same contents hash identically
-    (polars hashes both as raw bytes).  Returns a uint64 numpy array.
+    (both hash their raw bytes).  Returns a uint64 numpy array.
     """
     arr = _as_arrow_array(values)
-    if resolve_hash_fn(fn) == "polars":
+    backend = resolve_hash_fn(fn)
+    if backend == "hk64":
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+                pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return _hk64_bytes(arr, seed)
+        if pa.types.is_integer(t):
+            nulls = (~np.asarray(arr.is_valid())) if arr.null_count else None
+            ints = arr.cast(pa.int64())
+            if arr.null_count:  # fill first: nulls→NaN float in to_numpy
+                ints = ints.fill_null(0)
+            return _hk64_ints(ints.to_numpy(zero_copy_only=False), seed, nulls)
+        # other types (float/bool/…) → canonical bytes via blake2b fallback
+        backend = "blake2b"
+    if backend == "polars":
         s = pl.from_arrow(arr)
         if isinstance(s, pl.DataFrame):  # struct columns arrive as a frame
             s = s.to_series()

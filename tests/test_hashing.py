@@ -54,3 +54,67 @@ def test_splitmix64_known_vector():
     assert splitmix64(np.array([0], dtype=np.uint64))[0] == np.uint64(
         0xE220A8397B1DCDAF
     )
+
+
+HK64_GOLDEN_STR = [0x52F28F0CE1BF1D02, 0xA3581F0FFCFA4CE5, 0xC0F9B6073C203D53,
+                   0x8A384B2E5C2A289E, 0x850B0988ED58957F]
+HK64_GOLDEN_INT = [0x1DBA3E76E6AB9B34, 0x181E35BB6F7BF9A6, 0xAE972ED8959D32D2,
+                   0x338036AF66AE0757]
+
+
+def test_hk64_golden_values_pinned():
+    """hk64's bit stream is owned by THIS library: pin exact outputs so any
+    accidental change to the composition is a test failure, not silent
+    merge-incompatibility."""
+    import pyarrow as pa
+
+    from hksketch.hashing import hash_array
+
+    vals = pa.array(["heavykeeper", "ray", "", "a" * 65, "\x00\x01\x02"])
+    assert hash_array(vals, 12345, "hk64").tolist() == HK64_GOLDEN_STR
+    ints = pa.array([0, 1, -1, 2**62], type=pa.int64())
+    assert hash_array(ints, 7, "hk64").tolist() == HK64_GOLDEN_INT
+
+
+def test_hk64_cross_process_determinism_without_polars():
+    """hk64 must produce identical hashes in a fresh process with polars
+    imports BLOCKED — determinism independent of any third-party hash."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "sys.modules['polars'] = None\n"  # any polars import now fails
+        "sys.path.insert(0, '/root/repo')\n"
+        "import pyarrow as pa\n"
+        "from hksketch.hashing import hash_array, resolve_hash_fn\n"
+        "assert resolve_hash_fn('auto') == 'hk64'\n"
+        "vals = pa.array(['heavykeeper', 'ray', '', 'a'*65, '\\x00\\x01\\x02'])\n"
+        "print([int(x) for x in hash_array(vals, 12345)])\n"
+        "print([int(x) for x in hash_array(pa.array([0,1,-1,2**62], type=pa.int64()), 7)])\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    lines = out.stdout.strip().splitlines()
+    assert eval(lines[0]) == HK64_GOLDEN_STR
+    assert eval(lines[1]) == HK64_GOLDEN_INT
+
+
+def test_hk64_slices_nulls_and_large_types():
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.hashing import hash_array
+
+    a = pa.array(["xy", "longer-string-here", None, "xy"])
+    h = hash_array(a, 3, "hk64")
+    assert h[0] == h[3] and h[2] != h[0]
+    assert (hash_array(a.slice(1, 2), 3, "hk64") == h[1:3]).all()
+    big = a.cast(pa.large_string())
+    assert (hash_array(big, 3, "hk64") == h).all()
+    assert hash_array(pa.array([b"xy"]), 3, "hk64")[0] == h[0]
+    # int nulls don't crash or collide with real zeros
+    iv = pa.array([0, None, 5], type=pa.int64())
+    hi = hash_array(iv, 3, "hk64")
+    assert len(set(hi.tolist())) == 3
