@@ -443,14 +443,23 @@ def _q_knn_bruteforce(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """ANN from a PERSISTED IVF index: inverted lists are cluster-partitioned
+    parquet built once per (sf_dir, params); the query reads only the nprobe
+    probed partitions."""
+    import os
+
     import numpy as np
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
-    from hksketch.sim.knn import knn_ivf
+    from hksketch.sim.ivf import build_ivf_index, knn_ivf_index
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    t = knn_ivf(ds, _load_query_vec(sf_dir), k=10, n_clusters=16, nprobe=4)
+    idx = os.path.join(
+        "/tmp/hk_ivf", sf_dir.strip("/").replace("/", "_") + "_c16_s7"
+    )
+    build_ivf_index(ds, idx, n_clusters=16, seed=7)
+    t = knn_ivf_index(idx, _load_query_vec(sf_dir), k=10, nprobe=8)
     rank = pa.array(np.arange(1, t.num_rows + 1), type=pa.int64())
     return pa.table({"rank": rank, "vec_id": t.column("vec_id")})
 

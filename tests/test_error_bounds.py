@@ -1,0 +1,186 @@
+"""Quantified error-bound self-checks for every `no_oracle` driver query
+(the queries whose randomized/approximate output the DuckDB gate can only
+rows-check).  Pattern follows the reference's accuracy harness
+(`tests/accuracy_compare.rs:203-272`): run the REAL queries() callable at
+sf0.01 and assert against an exact driver-side truth with an explicit
+published bound — not just "returns rows".
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def entry(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def test_hll_within_published_bound(entry, duck):
+    """HLL p=14: 3σ bound |est−exact|/exact ≤ 3·1.04/√2^14 ≈ 0.0244."""
+    bound = 3 * 1.04 / np.sqrt(2**14)
+    exact_u = duck.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    est_u = entry.queries()["distinct_users_hll"](SF).column("n_distinct_est")[0].as_py()
+    assert abs(est_u - exact_u) / exact_u <= bound
+    exact_t = duck.execute(
+        """SELECT count(DISTINCT lower(tok)) FROM
+           (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) tok FROM documents)
+           WHERE length(tok) <= 64"""
+    ).fetchone()[0]
+    est_t = entry.queries()["distinct_tokens_hll"](SF).column("n_distinct_est")[0].as_py()
+    assert abs(est_t - exact_t) / exact_t <= bound
+
+
+@pytest.mark.parametrize(
+    "qname,bound",
+    [("quantiles_value_tdigest", 0.01), ("quantiles_value_kll", 0.01)],
+)
+def test_quantile_rank_error_bounds(entry, duck, qname, bound):
+    """Rank error of each returned quantile ≤ bound (t-digest c=200 and
+    KLL k=200 both give ≲0.01 rank error; observed ≤0.002 at sf0.01)."""
+    vals = np.sort(duck.execute("SELECT value FROM events").df()["value"].to_numpy())
+    n = len(vals)
+    t = entry.queries()[qname](SF)
+    for q, v in zip(t.column("q").to_pylist(), t.column("value").to_pylist()):
+        lo = np.searchsorted(vals, v, side="left") / n
+        hi = np.searchsorted(vals, v, side="right") / n
+        rank_err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+        assert rank_err <= bound, (q, v, rank_err)
+
+
+def test_knn_ivf_recall_vs_bruteforce(entry):
+    exact = entry.queries()["knn_bruteforce"](SF).column("vec_id").to_pylist()
+    approx = entry.queries()["knn_ivf"](SF).column("vec_id").to_pylist()
+    assert len(set(exact) & set(approx)) / len(exact) >= 0.8
+
+
+def _exact_jaccard_pairs(threshold: float, ngram: int = 3, seed: int = 1):
+    """Exact all-pairs shingle Jaccard at sf0.01 via an inverted index over
+    shingle hashes (co-occurrence counting — no O(n²) set ops)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from hksketch.dedup.minhash import MinHasher
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    mh = MinHasher(num_perm=8, ngram=ngram, seed=seed)
+    sh, didx = mh.shingle_hashes(t.column("text").combine_chunks())
+    ids = t.column("doc_id").to_numpy()
+    sizes = collections.Counter()
+    bydoc: dict = {}
+    order = np.lexsort((sh, didx))
+    sh, didx = sh[order], didx[order]
+    docs_with = np.unique(didx)
+    starts = np.searchsorted(didx, docs_with)
+    ends = np.append(starts[1:], len(sh))
+    sets = {int(ids[d]): np.unique(sh[s:e]) for d, s, e in zip(docs_with, starts, ends)}
+    inv = collections.defaultdict(list)
+    for i, s in sets.items():
+        for x in s.tolist():
+            inv[x].append(i)
+    co = collections.Counter()
+    for x, docs in inv.items():
+        if len(docs) > 1:
+            for u in range(len(docs)):
+                for v in range(u + 1, len(docs)):
+                    co[(docs[u], docs[v])] += 1
+    out = set()
+    for (a, b), c in co.items():
+        j = c / (len(sets[a]) + len(sets[b]) - c)
+        if j >= threshold:
+            out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_minhash_precision_exact_and_recall_bound(entry):
+    """Returned pairs are exactly-verified (precision 1.0 by construction:
+    every pair carries its exact shingle Jaccard ≥ threshold); recall vs
+    the exact all-pairs truth ≥ 0.8 (32 bands × 4 rows at j=0.5 gives
+    collision prob 1−(1−0.5⁴)^32 ≈ 0.87 per pair, higher for closer pairs)."""
+    out = entry.queries()["minhash_near_dupes"](SF)
+    got = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    for j in out.column("jaccard").to_pylist():
+        assert j >= 0.5
+    truth = _exact_jaccard_pairs(0.5)
+    assert got <= truth  # exact-verified: no false positives
+    assert len(truth) > 0
+    assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_simhash_blocking_is_exact(entry):
+    """Pigeonhole blocking is EXACT for Hamming ≤ hd: the query must equal
+    brute-force all-pairs Hamming over the same signatures."""
+    import pyarrow.parquet as pq
+
+    from hksketch.dedup.simhash import SimHasher, hamming64
+
+    out = entry.queries()["simhash_near_dupes"](SF)
+    got = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sig = SimHasher(seed=1).signatures(t.column("text").combine_chunks())
+    ids = t.column("doc_id").to_numpy()
+    ai, bj = np.triu_indices(len(sig), k=1)
+    hd = hamming64(sig[ai], sig[bj])
+    keep = hd <= 3
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[ai[keep]].tolist(), ids[bj[keep]].tolist())
+    }
+    assert got == want
+
+
+def test_lang_id_deterministic_and_total(entry):
+    a = entry.queries()["lang_id"](SF).to_pandas().sort_values("doc_id")
+    b = entry.queries()["lang_id"](SF).to_pandas().sort_values("doc_id")
+    assert (a["lang_pred"].to_numpy() == b["lang_pred"].to_numpy()).all()
+    assert set(a["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "und"}
+    assert len(a) == 500
+
+
+def test_doc_fingerprints_deterministic_and_injective(entry):
+    """Rolling-hash fingerprints: byte-deterministic across runs, and
+    distinct token streams get distinct fingerprints at sf0.01 (w.h.p. —
+    500 docs vs 2^64 space)."""
+    a = entry.queries()["doc_fingerprints"](SF).to_pandas().sort_values("doc_id")
+    b = entry.queries()["doc_fingerprints"](SF).to_pandas().sort_values("doc_id")
+    assert (a["fingerprint"].to_numpy() == b["fingerprint"].to_numpy()).all()
+    import duckdb
+
+    con = duckdb.connect()
+    n_texts = con.execute(
+        f"SELECT count(DISTINCT text) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert a["fingerprint"].nunique() == n_texts
+
+
+def test_sample_events_equals_keyed_bottom_k(entry, duck):
+    """The keyed-hash bottom-k sample is DETERMINISTIC: recompute the
+    expected sample directly (hash every distinct event_id, take the k
+    smallest) and assert exact equality — an oracle in all but SQL."""
+    from hksketch.hashing import hash_array
+
+    got = entry.queries()["sample_events"](SF).column("event_id").to_pylist()
+    ids = duck.execute("SELECT DISTINCT event_id FROM events").df()["event_id"].to_numpy()
+    h = hash_array(pa.array(np.sort(ids)), 12345)
+    want = sorted(np.sort(ids)[np.argsort(h, kind="stable")[:100]].tolist())
+    assert got == want

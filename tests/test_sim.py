@@ -137,3 +137,38 @@ def test_embedding_near_dupes_lsh_recall_sf001(ray_session):
     got = set(zip(lsh.column("a").to_pylist(), lsh.column("b").to_pylist()))
     assert got <= want
     assert len(got & want) / len(want) >= 0.95
+
+
+def test_ivf_index_persisted_and_partition_pruned(ray_session, tmp_path):
+    """IVF is an actual index: inverted lists persist as one parquet dir per
+    cluster, a query reads ONLY the nprobe probed partitions, the index is
+    reused across queries, and recall vs brute force holds."""
+    import os
+
+    import ray.data as rd
+
+    from hksketch.sim.ivf import build_ivf_index, knn_ivf_index, probed_paths
+    from hksketch.sim.knn import knn_bruteforce
+
+    t, m = _vec_table(n=1000, dim=16, seed=3)
+    ds = rd.from_arrow(t)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_clusters=8, seed=7)
+    all_dirs = {d for d in os.listdir(os.path.join(idx, "lists")) if d.startswith("cluster=")}
+    assert len(all_dirs) >= 6  # clusters materialized as partition dirs
+    q = m[42]
+    paths, _ = probed_paths(idx, q, nprobe=4)
+    assert len(paths) == 4 and set(os.path.basename(p) for p in paths) < all_dirs
+    out = knn_ivf_index(idx, q, k=10, nprobe=4)
+    exact = set(knn_bruteforce(ds, q, k=10).column("vec_id").to_pylist())
+    got = set(out.column("vec_id").to_pylist())
+    assert len(exact & got) / 10 >= 0.6
+    # probed read covers only the probed partitions' rows (partition pruning)
+    import pyarrow.dataset as pads
+
+    probed_rows = sum(pads.dataset(p, format="parquet").count_rows() for p in paths)
+    assert probed_rows < 1000
+    # reuse: second build with same params is a no-op (manifest match)
+    before = os.path.getmtime(os.path.join(idx, "MANIFEST.json"))
+    build_ivf_index(ds, idx, n_clusters=8, seed=7)
+    assert os.path.getmtime(os.path.join(idx, "MANIFEST.json")) == before
