@@ -44,7 +44,16 @@ def _decode_fake(payloads: pa.Array, w: int, h: int) -> np.ndarray:
 
 
 class ImageDecodeStage:
-    """binary → uint8 HWC pixels (+pass-through id).  STUB decode."""
+    """binary → uint8 HWC pixels (+pass-through id).
+
+    REAL decode when PIL is importable (activates automatically): each
+    payload goes through ``PIL.Image.open`` → ``convert("RGB")`` →
+    ``resize((width, height))`` — per-image decode is inherently per-row;
+    the vectorization rule applies to the array math around it, not the
+    codec call.  Without a codec the stage falls back to the deterministic
+    fake decode (seeded by payload hash) so the Ray-side plumbing stays
+    testable; ``strict=True`` forbids the fake (raises where a real decoder
+    is required)."""
 
     def __init__(self, image_col: str = "image", id_col: str = "id",
                  width: int = 32, height: int = 32, strict: bool = False):
@@ -60,15 +69,32 @@ class ImageDecodeStage:
         except Exception:
             self._have_codec = False
 
+    def _decode_real(self, payloads: pa.Array) -> np.ndarray:
+        import io
+
+        import PIL.Image
+
+        out = np.empty((len(payloads), self.height, self.width, 3), dtype=np.uint8)
+        for i, payload in enumerate(payloads.to_pylist()):
+            img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+            if img.size != (self.width, self.height):
+                img = img.resize((self.width, self.height))
+            out[i] = np.asarray(img, dtype=np.uint8).reshape(
+                self.height, self.width, 3
+            )
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict and not self._have_codec:
+        payloads = batch.column(self.image_col).combine_chunks()
+        if self._have_codec:
+            pixels = self._decode_real(payloads)
+        elif self.strict:
             raise NotImplementedError(
-                "image decode requires PIL/cv2 (not in this container); "
+                "image decode requires PIL (not in this container); "
                 "run with strict=False for the deterministic fake decode"
             )
-        pixels = _decode_fake(
-            batch.column(self.image_col).combine_chunks(), self.width, self.height
-        )
+        else:
+            pixels = _decode_fake(payloads, self.width, self.height)
         flat = pixels.reshape(len(pixels), -1)
         return pa.table(
             {

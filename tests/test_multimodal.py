@@ -86,3 +86,92 @@ def test_pipeline_through_ray(ray_session):
     rows = out.take_all()
     assert len(rows) == 16
     assert all(len(r["pixels"]) == 8 * 8 * 3 for r in rows)
+
+
+def test_image_decode_real_pil_path_strict():
+    """Strict mode with a REAL codec: decodes actual encoded images.
+    Runs with PIL when importable; skips otherwise (container has none)."""
+    pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    from hksketch.multimodal.stubs import ImageDecodeStage
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    payloads = []
+    for m in imgs:
+        buf = io.BytesIO()
+        PIL.Image.fromarray(m).save(buf, format="PNG")
+        payloads.append(buf.getvalue())
+    batch = pa.table(
+        {"id": pa.array([0, 1, 2], type=pa.int64()),
+         "image": pa.array(payloads, type=pa.binary())}
+    )
+    out = ImageDecodeStage(width=8, height=8, strict=True)(batch)
+    got = (
+        out.column("pixels").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(3, 8, 8, 3)
+    )
+    for i in range(3):  # PNG is lossless → exact pixels back
+        assert (got[i] == imgs[i]).all()
+
+
+def test_image_decode_real_path_with_injected_codec(monkeypatch):
+    """Exercise the PIL code path in THIS container by injecting a minimal
+    PIL.Image shim — proves the real branch (open → convert → resize →
+    asarray) is wired, not dead code behind the import guard."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeImg:
+        def __init__(self, payload: bytes):
+            side = int(np.sqrt(len(payload) // 3))
+            self._arr = np.frombuffer(payload[: side * side * 3], dtype=np.uint8)
+            self._arr = self._arr.reshape(side, side, 3)
+            self.size = (side, side)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def resize(self, wh):
+            w, h = wh
+            yi = (np.arange(h) * self._arr.shape[0] // h)
+            xi = (np.arange(w) * self._arr.shape[1] // w)
+            out = _FakeImg(b"\0" * (w * h * 3))
+            out._arr = self._arr[yi][:, xi]
+            out.size = (w, h)
+            return out
+
+        def __array__(self, dtype=None):
+            return self._arr.astype(dtype or np.uint8)
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda f: _FakeImg(f.read())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    from hksketch.multimodal.stubs import ImageDecodeStage
+
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    batch = pa.table(
+        {"id": pa.array([7], type=pa.int64()),
+         "image": pa.array([raw.tobytes()], type=pa.binary())}
+    )
+    stage = ImageDecodeStage(width=8, height=8, strict=True)
+    assert stage._have_codec
+    out = stage(batch)
+    got = (
+        out.column("pixels").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(1, 8, 8, 3)
+    )
+    yi = (np.arange(8) * 16 // 8)
+    assert (got[0] == raw[yi][:, yi]).all()
