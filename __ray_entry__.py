@@ -772,6 +772,88 @@ def _q_sample_events(sf_dir: str):
     return pa.table({"event_id": pa.array(ids, type=pa.int64())})
 
 
+def _q_clean_corpus_ids(sf_dir: str):
+    """Composite LLM-data cleaning pipeline ⊕oracle: quality gates
+    (alpha_ratio ≥ 0.82, digit_ratio ≤ 0.2, n_tokens ≥ 40) then exact dedup
+    (min doc_id per surviving text) — one streamed filter stage feeding the
+    dedup groupby; the ratio math is the bitwise-SQL-identical
+    quality_scores kernel, so the float threshold comparisons agree with
+    DuckDB exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.dedup.exact import exact_dedup
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.analysis import quality_scores_batch
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = quality_scores_batch(b, "text", "doc_id")
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(q.column("alpha_ratio"), pa.scalar(0.82)),
+                pc.less_equal(q.column("digit_ratio"), pa.scalar(0.2)),
+            ),
+            pc.greater_equal(q.column("n_tokens"), pa.scalar(40)),
+        )
+        return b.filter(keep)
+
+    kept = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup(kept, "text", "doc_id")
+
+
+def _q_knn_multi(sf_dir: str):
+    """Batched multi-query exact KNN ⊕oracle: one data pass serves all
+    query vectors (broadcast query matrix, one matmul per batch)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.knn import knn_bruteforce_multi
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = t.filter(pc.less(t.column("vec_id"), 3))
+    order = np.argsort(qrows.column("vec_id").to_numpy())
+    Q = np.stack(
+        [np.asarray(qrows.column("embedding")[int(i)].as_py()) for i in order]
+    )
+    qids = qrows.column("vec_id").to_numpy()[order].tolist()
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce_multi(ds, Q, qids, k=5)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def _q_quantiles_by_event_type(sf_dir: str):
+    """Per-group exact quantiles ⊕oracle (DuckDB quantile_disc rank rule:
+    element at ceil(q·n)−1 of the sorted group).  Few large groups → a
+    per-group map_groups is the right shape here (group count is bounded
+    by the event-type vocabulary, not data size)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def quants(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("value").to_numpy(zero_copy_only=False))
+        n = len(v)
+
+        def qd(q):
+            return float(v[max(0, int(np.ceil(q * n)) - 1)])
+
+        return pa.table(
+            {"event_type": pa.array([g.column("event_type")[0].as_py()]),
+             "q25": pa.array([qd(0.25)], type=pa.float64()),
+             "q50": pa.array([qd(0.5)], type=pa.float64()),
+             "q75": pa.array([qd(0.75)], type=pa.float64())}
+        )
+
+    return ds.groupby("event_type").map_groups(quants, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -812,6 +894,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semijoin_bloom": _q_orders_semijoin_bloom,
         "last_login_before_error": _q_last_login_before_error,
         "nation_orders_join": _q_nation_orders_join,
+        "clean_corpus_ids": _q_clean_corpus_ids,
+        "knn_multi": _q_knn_multi,
+        "quantiles_by_event_type": _q_quantiles_by_event_type,
     }
 
 
@@ -1027,5 +1112,40 @@ SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
+""",
+        "clean_corpus_ids": """
+WITH q AS (
+  SELECT doc_id, text,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / greatest(length(text), 1) AS alpha_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / greatest(length(text), 1) AS digit_ratio,
+         len(list_filter(regexp_extract_all(text, '[A-Za-z]+'),
+                         x -> length(x) <= 64)) AS n_tokens
+  FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM q
+WHERE alpha_ratio >= 0.82 AND digit_ratio <= 0.2 AND n_tokens >= 40
+GROUP BY text ORDER BY doc_id
+""",
+        "knn_multi": """
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                    e.vec_id ASC
+         ) AS rn
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 3) q
+) WHERE rn <= 5 ORDER BY query_id, rank
+""",
+        "quantiles_by_event_type": """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS q25,
+       quantile_disc(value, 0.5)  AS q50,
+       quantile_disc(value, 0.75) AS q75
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     }

@@ -78,6 +78,67 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_multi(
+    ds,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Batched exact cosine top-k for MANY query vectors at once: the
+    (q × dim) query matrix broadcasts via ``ray.put`` once, every batch does
+    ONE (n × q) matmul, per-(batch, query) candidates prune to k rows, and
+    the driver merges k·q rows per batch — the batched-inference shape
+    (one pass over the data serves all queries, vs q full scans).
+
+    Returns (query_id, rank, id, score) sorted by (query_id, rank)."""
+    Q = np.asarray(queries, dtype=np.float64)
+    Qn = _normalize(Q)
+    qref = ray.put(Qn)
+    nq = len(Q)
+
+    class Score:
+        def __init__(self):
+            self.Q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(batch.column(emb_col)))
+            S = m @ self.Q.T  # (n, q)
+            ids = batch.column(id_col).to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for j in range(S.shape[1]):
+                s = S[:, j]
+                sel = np.argpartition(-s, k)[:k] if len(s) > k else np.arange(len(s))
+                out_q.append(np.full(len(sel), j, dtype=np.int64))
+                out_id.append(ids[sel])
+                out_s.append(s[sel])
+            return pa.table(
+                {"qidx": pa.array(np.concatenate(out_q)),
+                 id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+                 "score": pa.array(np.concatenate(out_s), type=pa.float64())}
+            )
+
+    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=2).take_all()
+    qid_arr, rank_arr, id_arr, score_arr = [], [], [], []
+    for j in range(nq):
+        rows = [r for r in cand if r["qidx"] == j]
+        best = heapq.nsmallest(k, rows, key=lambda r: (-r["score"], r[id_col]))
+        for rank, r in enumerate(best, 1):
+            qid_arr.append(query_ids[j])
+            rank_arr.append(rank)
+            id_arr.append(r[id_col])
+            score_arr.append(round(float(r["score"]), 6))
+    return pa.table(
+        {
+            "query_id": pa.array(qid_arr, type=pa.int64()),
+            "rank": pa.array(rank_arr, type=pa.int64()),
+            id_col: pa.array(id_arr, type=pa.int64()),
+            "score": pa.array(score_arr, type=pa.float64()),
+        }
+    )
+
+
 def _train_centroids(sample: np.ndarray, n_clusters: int, seed: int, iters: int = 5):
     rng = np.random.default_rng(seed)
     n = len(sample)

@@ -172,3 +172,22 @@ def test_ivf_index_persisted_and_partition_pruned(ray_session, tmp_path):
     before = os.path.getmtime(os.path.join(idx, "MANIFEST.json"))
     build_ivf_index(ds, idx, n_clusters=8, seed=7)
     assert os.path.getmtime(os.path.join(idx, "MANIFEST.json")) == before
+
+
+def test_knn_multi_matches_single_query_results(ray_session):
+    """Batched multi-query KNN == per-query brute force, one data pass."""
+    import ray.data as rd
+
+    from hksketch.sim.knn import knn_bruteforce, knn_bruteforce_multi
+
+    t, m = _vec_table(n=400, dim=16, seed=9)
+    ds = rd.from_arrow(t)
+    Q = m[[5, 17, 99]]
+    multi = knn_bruteforce_multi(ds, Q, [5, 17, 99], k=8)
+    for qid, qvec in zip([5, 17, 99], Q):
+        single = knn_bruteforce(ds, qvec, k=8)
+        mine = multi.filter(
+            __import__("pyarrow").compute.equal(multi.column("query_id"), qid)
+        )
+        assert mine.column("vec_id").to_pylist() == single.column("vec_id").to_pylist()
+        assert mine.column("rank").to_pylist() == list(range(1, 9))
