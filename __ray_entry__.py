@@ -306,37 +306,33 @@ def _q_segment_revenue(sf_dir: str):
     from hksketch.pipelines.ops import read_table
 
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
-    )
+    order_k = np.argsort(cust["c_custkey"].to_numpy())
+    keys = cust["c_custkey"].to_numpy()[order_k]
+    vals = cust["c_mktsegment"].to_numpy(dtype=object)[order_k]
 
-    class SegmentJoin:
-        def __init__(self):
-            lk = ray.get(lookup_ref)
-            self.keys = np.array(sorted(lk))
-            self.vals = np.array([lk[k] for k in self.keys], dtype=object)
+    # small-side lookup closure-broadcasts with the function (serialized
+    # once); stateless stage avoids per-query actor-pool spin-up
+    def segment_join(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            ck = b.column("o_custkey").to_numpy()
-            pos = np.searchsorted(self.keys, ck)
-            pos = np.clip(pos, 0, len(self.keys) - 1)
-            ok = self.keys[pos] == ck
-            seg = np.where(ok, self.vals[pos], None)
-            # integer cents: order-independent exact sum (2-decimal prices)
-            rev_c = pc.cast(
-                pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
-                pa.int64(),
-            )
-            return pa.table(
-                {"c_mktsegment": pa.array(seg.tolist(), type=pa.string()),
-                 "rev_c": rev_c}
-            )
+        ck = b.column("o_custkey").to_numpy()
+        pos = np.searchsorted(keys, ck)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        ok = keys[pos] == ck
+        seg = np.where(ok, vals[pos], None)
+        # integer cents: order-independent exact sum (2-decimal prices)
+        rev_c = pc.cast(
+            pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"c_mktsegment": pa.array(seg.tolist(), type=pa.string()),
+             "rev_c": rev_c}
+        )
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.map_batches(
-        SegmentJoin, batch_format="pyarrow", concurrency=2, zero_copy_batch=True
+        segment_join, batch_format="pyarrow", zero_copy_batch=True
     )
     agg = joined.groupby("c_mktsegment").aggregate(Sum("rev_c", alias_name="rev_c"))
 
@@ -714,26 +710,22 @@ def _q_orders_semijoin_bloom(sf_dir: str):
     blob = side.aggregate(
         BloomAggregate(on="c_custkey", m_bits=1 << 22, k=7, seed=SEED, alias_name="s")
     )["s"]
-    blob_ref = ray.put(blob)
+    bf = sketch_from_bytes(blob)  # ~512 KB: closure-broadcast with the fn
 
-    class Probe:
-        def __init__(self):
-            self.bf = sketch_from_bytes(ray.get(blob_ref))
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keep = self.bf.contains_batch(b.column("o_custkey").combine_chunks())
-            b = b.filter(pa.array(keep))
-            # integer cents → order-independent exact revenue sum
-            rev_c = pc.cast(
-                pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
-                pa.int64(),
-            )
-            return pa.table({"rev_c": rev_c})
+    def probe(b: pa.Table) -> pa.Table:
+        keep = bf.contains_batch(b.column("o_custkey").combine_chunks())
+        b = b.filter(pa.array(keep))
+        # integer cents → order-independent exact revenue sum
+        rev_c = pc.cast(
+            pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table({"rev_c": rev_c})
 
     from ray.data.aggregate import Count
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    kept = orders.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+    kept = orders.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
     out = kept.aggregate(
         Sum("rev_c", alias_name="rev_c"), Count(alias_name="n")
     )  # one execution for both aggregates

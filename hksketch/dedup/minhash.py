@@ -187,48 +187,43 @@ def candidate_shingle_sets(
     storage.  Returns {doc_id: uint64[] sorted unique shingle hashes};
     output volume is bounded by the (few, by construction) candidate docs.
     """
-    import ray
-
     need = np.unique(
         np.concatenate(
             [cand.column("a").to_numpy(), cand.column("b").to_numpy()]
         ).astype(np.int64)
     )
-    need_ref = ray.put(need)
 
-    class ShingleSets:
-        def __init__(self):
-            self.need = ray.get(need_ref)  # sorted
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(self.need, ids)
-            pos_ok = pos < len(self.need)
-            mask = np.zeros(len(ids), dtype=bool)
-            mask[pos_ok] = self.need[pos[pos_ok]] == ids[pos_ok]
-            if not mask.any():
-                return pa.table(
-                    {"doc_id": pa.array([], type=pa.int64()),
-                     "shingles": pa.array([], type=pa.list_(pa.uint64()))}
-                )
-            idx = np.flatnonzero(mask)
-            sub = b.take(pa.array(idx))
-            sh, didx = mh.shingle_hashes(sub.column(text_col).combine_chunks())
-            out_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            lists: list[np.ndarray] = []
-            starts = np.searchsorted(didx, np.arange(len(out_ids)))
-            ends = np.append(starts[1:], len(didx))
-            for d in range(len(out_ids)):
-                lists.append(np.unique(sh[starts[d] : ends[d]]))
+    # candidate id set is small → closure-broadcast, stateless stage (no
+    # actor-pool spin-up; the function+ids serialize once)
+    def shingle_sets(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(need, ids)
+        pos_ok = pos < len(need)
+        mask = np.zeros(len(ids), dtype=bool)
+        mask[pos_ok] = need[pos[pos_ok]] == ids[pos_ok]
+        if not mask.any():
             return pa.table(
-                {"doc_id": pa.array(out_ids, type=pa.int64()),
-                 "shingles": pa.array(
-                     [l.tolist() for l in lists], type=pa.list_(pa.uint64())
-                 )}
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "shingles": pa.array([], type=pa.list_(pa.uint64()))}
             )
+        idx = np.flatnonzero(mask)
+        sub = b.take(pa.array(idx))
+        sh, didx = mh.shingle_hashes(sub.column(text_col).combine_chunks())
+        out_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lists: list[np.ndarray] = []
+        starts = np.searchsorted(didx, np.arange(len(out_ids)))
+        ends = np.append(starts[1:], len(didx))
+        for d in range(len(out_ids)):
+            lists.append(np.unique(sh[starts[d] : ends[d]]))
+        return pa.table(
+            {"doc_id": pa.array(out_ids, type=pa.int64()),
+             "shingles": pa.array(
+                 [l.tolist() for l in lists], type=pa.list_(pa.uint64())
+             )}
+        )
 
     got = ds.map_batches(
-        ShingleSets, batch_format="pyarrow", concurrency=2, zero_copy_batch=True
+        shingle_sets, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     return {
         r["doc_id"]: np.asarray(r["shingles"], dtype=np.uint64) for r in got

@@ -129,23 +129,18 @@ def knn_ivf_index(
     if not paths:
         return pa.table({id_col: pa.array([], type=pa.int64()),
                          "score": pa.array([], type=pa.float64())})
-    qref = ray.put(q)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(qref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(b.column(emb_col)))
-            scores = m @ self.q
-            ids = b.column(id_col).to_numpy()
-            if len(scores) > k:
-                part = np.argpartition(-scores, k)[:k]
-                ids, scores = ids[part], scores[part]
-            return pa.table(
-                {id_col: pa.array(ids, type=pa.int64()),
-                 "score": pa.array(scores, type=pa.float64())}
-            )
+    def score(b: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(b.column(emb_col)))
+        scores = m @ q
+        ids = b.column(id_col).to_numpy()
+        if len(scores) > k:
+            part = np.argpartition(-scores, k)[:k]
+            ids, scores = ids[part], scores[part]
+        return pa.table(
+            {id_col: pa.array(ids, type=pa.int64()),
+             "score": pa.array(scores, type=pa.float64())}
+        )
 
     # expand partition dirs to files (read_parquet rejects a LIST of dirs)
     files = sorted(
@@ -155,7 +150,7 @@ def knn_ivf_index(
         if f.endswith(".parquet")
     )
     ds = rd.read_parquet(files, columns=[id_col, emb_col])
-    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=2).take_all()
+    cand = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).take_all()
     best = heapq.nsmallest(k, cand, key=lambda r: (-r["score"], r[id_col]))
     return pa.table(
         {

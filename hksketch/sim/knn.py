@@ -46,27 +46,28 @@ def knn_bruteforce(
     id_col: str = "vec_id",
 ) -> pa.Table:
     """Exact cosine top-k of one query vector: (id, score) sorted score desc,
-    id asc; scores rounded to 6 dp for cross-engine comparability."""
-    qref = ray.put(np.asarray(query, dtype=np.float64))
+    id asc; scores rounded to 6 dp for cross-engine comparability.
 
-    class Score:
-        def __init__(self):
-            q = ray.get(qref)
-            self.q = q / (np.linalg.norm(q) or 1.0)
+    The query vector is TINY state → a stateless closure (serialized once
+    with the function), not an actor pool: pool spin-up costs ~0.7 s per
+    query on this box; reserve actor pools for heavyweight per-actor state
+    (deserialized sketches, decoders)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(batch.column(emb_col)))
-            scores = m @ self.q
-            ids = batch.column(id_col).to_numpy()
-            if len(scores) > k:  # per-batch candidate pruning
-                part = np.argpartition(-scores, k)[:k]
-                ids, scores = ids[part], scores[part]
-            return pa.table(
-                {id_col: pa.array(ids, type=pa.int64()),
-                 "score": pa.array(scores, type=pa.float64())}
-            )
+    def score(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        scores = m @ qn
+        ids = batch.column(id_col).to_numpy()
+        if len(scores) > k:  # per-batch candidate pruning
+            part = np.argpartition(-scores, k)[:k]
+            ids, scores = ids[part], scores[part]
+        return pa.table(
+            {id_col: pa.array(ids, type=pa.int64()),
+             "score": pa.array(scores, type=pa.float64())}
+        )
 
-    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=2).take_all()
+    cand = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).take_all()
     best = heapq.nsmallest(k, cand, key=lambda r: (-r["score"], r[id_col]))
     return pa.table(
         {
@@ -95,31 +96,26 @@ def knn_bruteforce_multi(
     Returns (query_id, rank, id, score) sorted by (query_id, rank)."""
     Q = np.asarray(queries, dtype=np.float64)
     Qn = _normalize(Q)
-    qref = ray.put(Qn)
     nq = len(Q)
 
-    class Score:
-        def __init__(self):
-            self.Q = ray.get(qref)
+    def score(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        S = m @ Qn.T  # (n, q)
+        ids = batch.column(id_col).to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for j in range(S.shape[1]):
+            s = S[:, j]
+            sel = np.argpartition(-s, k)[:k] if len(s) > k else np.arange(len(s))
+            out_q.append(np.full(len(sel), j, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(s[sel])
+        return pa.table(
+            {"qidx": pa.array(np.concatenate(out_q)),
+             id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+             "score": pa.array(np.concatenate(out_s), type=pa.float64())}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(batch.column(emb_col)))
-            S = m @ self.Q.T  # (n, q)
-            ids = batch.column(id_col).to_numpy()
-            out_q, out_id, out_s = [], [], []
-            for j in range(S.shape[1]):
-                s = S[:, j]
-                sel = np.argpartition(-s, k)[:k] if len(s) > k else np.arange(len(s))
-                out_q.append(np.full(len(sel), j, dtype=np.int64))
-                out_id.append(ids[sel])
-                out_s.append(s[sel])
-            return pa.table(
-                {"qidx": pa.array(np.concatenate(out_q)),
-                 id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
-                 "score": pa.array(np.concatenate(out_s), type=pa.float64())}
-            )
-
-    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=2).take_all()
+    cand = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).take_all()
     qid_arr, rank_arr, id_arr, score_arr = [], [], [], []
     for j in range(nq):
         rows = [r for r in cand if r["qidx"] == j]
@@ -178,27 +174,20 @@ def knn_ivf(
     C = _train_centroids(sample, n_clusters, seed)
     q = np.asarray(query, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
-    probe = set(np.argsort(-(C @ q))[:nprobe].tolist())
-    cref = ray.put(C)
-    qref = ray.put(q)
+    probe = np.sort(np.argsort(-(C @ q))[:nprobe])
 
-    class ProbeScore:
-        def __init__(self):
-            self.C = ray.get(cref)
-            self.q = ray.get(qref)
+    def probe_score(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        assign = np.argmax(m @ C.T, axis=1)
+        mask = np.isin(assign, probe)
+        ids = batch.column(id_col).to_numpy()[mask]
+        scores = m[mask] @ q
+        return pa.table(
+            {id_col: pa.array(ids, type=pa.int64()),
+             "score": pa.array(scores, type=pa.float64())}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(batch.column(emb_col)))
-            assign = np.argmax(m @ self.C.T, axis=1)
-            mask = np.isin(assign, list(probe))
-            ids = batch.column(id_col).to_numpy()[mask]
-            scores = (m[mask] @ self.q)
-            return pa.table(
-                {id_col: pa.array(ids, type=pa.int64()),
-                 "score": pa.array(scores, type=pa.float64())}
-            )
-
-    cand = ds.map_batches(ProbeScore, batch_format="pyarrow", concurrency=2).take_all()
+    cand = ds.map_batches(probe_score, batch_format="pyarrow", zero_copy_batch=True).take_all()
     best = heapq.nsmallest(k, cand, key=lambda r: (-r["score"], r[id_col]))
     return pa.table(
         {
@@ -346,27 +335,22 @@ def embedding_near_dupes_lsh(
     if cand.num_rows == 0:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64())})
-    # broadcast candidate ids; gather normalized candidate embeddings
+    # candidate id set is small → closure-broadcast, stateless gather stage
     need = np.unique(
         np.concatenate([cand.column("a").to_numpy(), cand.column("b").to_numpy()])
     ).astype(np.int64)
-    need_ref = ray.put(need)
 
-    class Gather:
-        def __init__(self):
-            self.need = ray.get(need_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column(id_col).to_numpy().astype(np.int64)
-            pos = np.searchsorted(self.need, ids)
-            ok = pos < len(self.need)
-            mask = np.zeros(len(ids), dtype=bool)
-            mask[ok] = self.need[pos[ok]] == ids[ok]
-            sub = b.filter(pa.array(mask))
-            return sub.select([id_col, emb_col])
+    def gather(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        pos = np.searchsorted(need, ids)
+        ok = pos < len(need)
+        mask = np.zeros(len(ids), dtype=bool)
+        mask[ok] = need[pos[ok]] == ids[ok]
+        sub = b.filter(pa.array(mask))
+        return sub.select([id_col, emb_col])
 
     got = ds.map_batches(
-        Gather, batch_format="pyarrow", concurrency=2, zero_copy_batch=True
+        gather, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     vecs = {}
     for r in got:
