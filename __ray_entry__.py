@@ -102,30 +102,36 @@ def _q_distinct_users_exact(sf_dir: str):
 
 
 def _q_distinct_users_hll(sf_dir: str):
+    """HLL distinct count via per-batch partials + Ray-task tree merge
+    (global_sketch) — same estimate as the Aggregate-operator path but
+    without its per-query all-to-all fixed cost."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
-    from hksketch.ray_glue.aggregate import HLLCountAggregate
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
 
     ds = read_table(sf_dir, "events", ["user_id"])
-    est = ds.aggregate(HLLCountAggregate(on="user_id", p=14, seed=SEED, alias_name="n"))["n"]
+    blob = global_sketch(ds, sketch_config("hll", p=14, seed=SEED), key_col="user_id")
+    est = int(round(sketch_from_bytes(blob).estimate()))
     return pa.table({"n_distinct_est": pa.array([est], type=pa.int64())})
 
 
 def _q_distinct_tokens_hll(sf_dir: str):
+    """Fused tokenize + per-batch HLL partials, tree-merged (no shuffle)."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
-    from hksketch.ray_glue.aggregate import HLLCountAggregate
-    from hksketch.text.tokenize import tokenize_column
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
 
     ds = read_table(sf_dir, "documents", ["text"])
-    tokens = ds.map_batches(
-        lambda b: tokenize_column(b.column("text")),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    blob = global_sketch(
+        ds, sketch_config("hll", p=14, seed=SEED), key_col="text", tokenize=True
     )
-    est = tokens.aggregate(HLLCountAggregate(on="token", p=14, seed=SEED, alias_name="n"))["n"]
+    est = int(round(sketch_from_bytes(blob).estimate()))
     return pa.table({"n_distinct_est": pa.array([est], type=pa.int64())})
 
 

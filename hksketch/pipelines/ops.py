@@ -140,7 +140,29 @@ def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
 
 
 def grouped_count(ds, group_cols: list[str], count_name: str = "count"):
-    """groupby(...).count() with the same pre-aggregation pattern."""
+    """groupby(...).count() with the same pre-aggregation pattern: the
+    shuffle carries one row per (batch, key-tuple), not one per input row."""
     if len(group_cols) == 1:
         return exact_counts(ds, group_cols[0], count_name=count_name)
+    if _HAVE_POLARS:
+        def pre(batch: pa.Table) -> pa.Table:
+            g = (
+                pl.from_arrow(batch)
+                .group_by(group_cols)
+                .agg(pl.len().cast(pl.Int64).alias(count_name))
+            )
+            t = g.to_arrow()
+            cols = {}
+            for name in (*group_cols, count_name):
+                c = t.column(name)
+                f = (
+                    batch.schema.field(name).type
+                    if name in group_cols
+                    else pa.int64()
+                )
+                cols[name] = c.cast(f) if c.type != f else c
+            return pa.table(cols)
+
+        ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.groupby(group_cols).aggregate(Sum(count_name, alias_name=count_name))
     return ds.groupby(group_cols).aggregate(Count(alias_name=count_name))

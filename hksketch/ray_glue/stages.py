@@ -101,12 +101,11 @@ def make_partial_sketch_fn(
                 sk.add_batch(keys)
                 n = len(keys)
             else:
-                w = (
-                    batch.column(weight_col).to_numpy(zero_copy_only=False)
-                    if weight_col
-                    else None
-                )
-                sk.add_batch(batch.column(key_col), w)
+                if weight_col:
+                    w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+                    sk.add_batch(batch.column(key_col), w)
+                else:  # distinct-style sketches (HLL/Bloom) take no weights
+                    sk.add_batch(batch.column(key_col))
                 n = batch.num_rows
             return pa.table(
                 {"sketch": pa.array([sk.to_bytes()], type=pa.binary()),
@@ -126,12 +125,11 @@ def make_partial_sketch_fn(
                 sk.add_batch(keys)
                 out_n.append(len(keys))
             else:
-                w = (
-                    sub.column(weight_col).to_numpy(zero_copy_only=False)
-                    if weight_col
-                    else None
-                )
-                sk.add_batch(sub.column(key_col), w)
+                if weight_col:
+                    w = sub.column(weight_col).to_numpy(zero_copy_only=False)
+                    sk.add_batch(sub.column(key_col), w)
+                else:
+                    sk.add_batch(sub.column(key_col))
                 out_n.append(sub.num_rows)
             out_groups.append(uniq[g])
             out_blobs.append(sk.to_bytes())
