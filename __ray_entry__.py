@@ -151,17 +151,23 @@ def _q_quantiles_value_exact(sf_dir: str):
 
 
 def _q_quantiles_value_tdigest(sf_dir: str):
+    """t-digest quantiles via per-batch partials + tree merge (the
+    Aggregate-operator UDAF form stays exercised by cms/bloom queries)."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
-    from hksketch.ray_glue.aggregate import TDigestQuantileAggregate
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
 
     ds = read_table(sf_dir, "events", ["value"])
-    agg = TDigestQuantileAggregate(on="value", qs=_QS, compression=200, alias_name="v")
-    vals = ds.aggregate(agg)["v"]
+    blob = global_sketch(
+        ds, sketch_config("tdigest", compression=200), key_col="value"
+    )
+    sk = sketch_from_bytes(blob)
     return pa.table(
         {"q": pa.array(list(_QS), type=pa.float64()),
-         "value": pa.array(vals, type=pa.float64())}
+         "value": pa.array([sk.quantile(q) for q in _QS], type=pa.float64())}
     )
 
 
@@ -169,14 +175,16 @@ def _q_quantiles_value_kll(sf_dir: str):
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
-    from hksketch.ray_glue.aggregate import KLLQuantileAggregate
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
 
     ds = read_table(sf_dir, "events", ["value"])
-    agg = KLLQuantileAggregate(on="value", qs=_QS, k=200, seed=SEED, alias_name="v")
-    vals = ds.aggregate(agg)["v"]
+    blob = global_sketch(ds, sketch_config("kll", k=200, seed=SEED), key_col="value")
+    sk = sketch_from_bytes(blob)
     return pa.table(
         {"q": pa.array(list(_QS), type=pa.float64()),
-         "value": pa.array(vals, type=pa.float64())}
+         "value": pa.array([sk.quantile(q) for q in _QS], type=pa.float64())}
     )
 
 

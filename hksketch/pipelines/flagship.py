@@ -211,21 +211,27 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
             }
         )
 
-    from ..ray_glue.stages import tree_merge_many
+    from ..ray_glue.stages import tree_merge_many_streaming
 
-    partials = pages.map_batches(
+    # STREAMING merge: iter_batches drives the lazy map stage and chunk
+    # merge tasks launch while later batches are still producing — no
+    # take_all barrier between "partials exist" and "partials merge"
+    partials_ds = pages.map_batches(
         fused_partials, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
-    ).take_all()  # one tiny row per batch
-    _t0 = _mark("fused_partials", _t0)
-    tok_blob, host_blob, hll_blob = tree_merge_many(
-        [
-            [r["tok_sketch"] for r in partials],
-            [r["host_sketch"] for r in partials],
-            [r["hll"] for r in partials],
-        ]
     )
+    total_tokens = 0
+
+    def _counting_iter():
+        nonlocal total_tokens
+        for b in partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            total_tokens += int(np.sum(b.column("n_tokens").to_numpy()))
+            yield b
+
+    tok_blob, host_blob, hll_blob = tree_merge_many_streaming(
+        _counting_iter(), ["tok_sketch", "host_sketch", "hll"]
+    )
+    _t0 = _mark("fused_partials_and_merge", _t0)
     distinct_urls = int(round(sketch_from_bytes(hll_blob).estimate()))
-    total_tokens = int(sum(r["n_tokens"] for r in partials))
     _t0 = _mark("tree_merges", _t0)
 
     mh = MinHasher(num_perm=64, ngram=3, seed=seed)

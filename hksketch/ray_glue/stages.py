@@ -145,7 +145,10 @@ def make_partial_sketch_fn(
 
 
 @ray.remote
-def _merge_blob_chunk(blobs: list[bytes]) -> bytes:
+def _merge_blob_chunk(blobs: list) -> bytes:
+    # elements may be raw bytes OR ObjectRefs of earlier chunk merges
+    # (refs nested in a list are not auto-resolved by Ray)
+    blobs = [ray.get(b) if isinstance(b, ray.ObjectRef) else b for b in blobs]
     acc = sketch_from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(sketch_from_bytes(b))
@@ -200,6 +203,45 @@ def tree_merge_many(blob_lists: list[list[bytes]], fanin: int = 8) -> list[bytes
         for b in s[1:]:
             acc.merge(sketch_from_bytes(b))
         out.append(acc.to_bytes())
+    return out
+
+
+def tree_merge_many_streaming(batch_iter, cols: list[str], fanin: int = 8) -> list[bytes]:
+    """Merge several partial-blob families WHILE the producing pipeline
+    still runs: consume partial batches from ``batch_iter`` (an
+    ``iter_batches`` stream — Ray Data executes lazily underneath, so
+    merge chunk tasks overlap the map stage instead of waiting for a
+    ``take_all`` barrier), launch a merge task whenever ``fanin`` items
+    accumulate for a family, and fold the survivors at the end.  Returns
+    one merged blob per name in ``cols``."""
+    raw: dict[str, list] = {c: [] for c in cols}
+    refs: dict[str, list] = {c: [] for c in cols}  # independent chunk tasks
+
+    for batch in batch_iter:
+        for c in cols:
+            col = batch.column(c)
+            for i in range(len(col)):
+                v = col[i].as_py()
+                if v is not None:
+                    raw[c].append(v)
+            if len(raw[c]) >= fanin:
+                refs[c].append(_merge_blob_chunk.remote(raw[c]))
+                raw[c] = []
+    out = []
+    for c in cols:
+        items = refs[c] + raw[c]
+        if not items:
+            out.append(b"")
+            continue
+        while len(items) > fanin:
+            items = [
+                _merge_blob_chunk.remote(items[i : i + fanin])
+                for i in range(0, len(items), fanin)
+            ]
+        final = items[0] if len(items) == 1 else _merge_blob_chunk.remote(items)
+        if isinstance(final, ray.ObjectRef):
+            final = ray.get(final)
+        out.append(final)
     return out
 
 
