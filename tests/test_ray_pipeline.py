@@ -176,3 +176,32 @@ def test_quantile_udaf_accuracy(ray_session):
     got = ds.aggregate(agg)["q"]
     for est, q in zip(got, (0.1, 0.5, 0.9)):
         assert abs(est - q) < 0.02
+
+
+def test_tree_merge_many_streaming_equals_sequential(ray_session):
+    """Streaming chunked merge == plain sequential fold (same blobs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.ray_glue.aggregate import make_sketch, sketch_config
+    from hksketch.ray_glue.stages import tree_merge_many_streaming
+    from hksketch.sketch import sketch_from_bytes
+
+    cfg = sketch_config("hll", p=12, seed=5)
+    blobs = []
+    rng = np.random.default_rng(0)
+    for i in range(20):  # > fanin to force chunking
+        sk = make_sketch(cfg)
+        sk.add_batch(rng.integers(0, 100_000, 5000))
+        blobs.append(sk.to_bytes())
+
+    def batches():
+        for i in range(0, 20, 3):
+            chunk = blobs[i : i + 3]
+            yield pa.table({"s": pa.array(chunk, type=pa.binary())})
+
+    (merged,) = tree_merge_many_streaming(batches(), ["s"], fanin=8)
+    ref = sketch_from_bytes(blobs[0])
+    for b in blobs[1:]:
+        ref.merge(sketch_from_bytes(b))
+    assert sketch_from_bytes(merged).state_equal(ref)
