@@ -860,6 +860,80 @@ def _q_quantiles_by_event_type(sf_dir: str):
     return ds.groupby("event_type").map_groups(quants, batch_format="pyarrow")
 
 
+def _q_topk_users_per_day_sketch(sf_dir: str):
+    """WINDOWED heavy hitters ⊕oracle: one HeavyKeeper sketch per tumbling
+    day window (grouped_sketch — shuffle carries per-(batch, day) partial
+    blobs only), top-3 users per day in the exact regime."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(b.column("ts"), unit="day"),
+             "user_id": b.column("user_id")}
+        )
+
+    ds = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = sketch_config("bucketed", k=512, width=1 << 13, depth=4, decay=0.9, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="user_id", group_col="day")
+    days, users, counts = [], [], []
+    for row in sorted(out.take_all(), key=lambda r: r["day"]):
+        sk = sketch_from_bytes(row["sketch"])
+        top = sorted(sk.list(), key=lambda ic: (-ic[1], ic[0]))[:3]
+        for u, c in top:
+            days.append(row["day"])
+            users.append(int(u))
+            counts.append(int(c))
+    return pa.table(
+        {"day": pa.array(days, type=pa.timestamp("us")),
+         "user_id": pa.array(users, type=pa.int64()),
+         "count": pa.array(counts, type=pa.int64())}
+    )
+
+
+def _q_hll_user_overlap(sf_dir: str):
+    """HLL set algebra: distinct users for two event types, their union
+    (sketch merge) and intersection (inclusion-exclusion) — the mergeable-
+    sketch operation the reference's merge() enables at query time.
+    Estimates → no SQL oracle; bound-checked in tests/test_error_bounds.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    cfg = sketch_config("hll", p=14, seed=SEED)
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    blobs = {}
+    for et in ("click", "error"):
+        side = ds.map_batches(
+            lambda b, _et=et: b.filter(pc.equal(b.column("event_type"), _et)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        blobs[et] = global_sketch(side, cfg, key_col="user_id")
+    a = sketch_from_bytes(blobs["click"])
+    b = sketch_from_bytes(blobs["error"])
+    est_a, est_b = a.estimate(), b.estimate()
+    union = a.merge(b).estimate()  # merge is union; a is now the union
+    inter = max(0.0, est_a + est_b - union)
+    return pa.table(
+        {"n_click": pa.array([int(round(est_a))], type=pa.int64()),
+         "n_error": pa.array([int(round(est_b))], type=pa.int64()),
+         "n_union": pa.array([int(round(union))], type=pa.int64()),
+         "n_intersection": pa.array([int(round(inter))], type=pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -903,6 +977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_ids": _q_clean_corpus_ids,
         "knn_multi": _q_knn_multi,
         "quantiles_by_event_type": _q_quantiles_by_event_type,
+        "topk_users_per_day_sketch": _q_topk_users_per_day_sketch,
+        "hll_user_overlap": _q_hll_user_overlap,
     }
 
 
@@ -1153,5 +1229,17 @@ SELECT event_type,
        quantile_disc(value, 0.5)  AS q50,
        quantile_disc(value, 0.75) AS q75
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "topk_users_per_day_sketch": """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, user_id,
+         CAST(count(*) AS BIGINT) AS count
+  FROM events GROUP BY day, user_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY day ORDER BY count DESC, user_id ASC) AS rn
+  FROM c
+)
+SELECT day, user_id, count FROM r WHERE rn <= 3 ORDER BY day, rn
 """,
     }

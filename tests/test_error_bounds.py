@@ -184,3 +184,25 @@ def test_sample_events_equals_keyed_bottom_k(entry, duck):
     h = hash_array(pa.array(np.sort(ids)), 12345)
     want = sorted(np.sort(ids)[np.argsort(h, kind="stable")[:100]].tolist())
     assert got == want
+
+
+def test_hll_set_algebra_within_bound(entry, duck):
+    """Union (merge) and inclusion-exclusion intersection estimates within
+    3σ-per-term bounds of the exact set sizes."""
+    t = entry.queries()["hll_user_overlap"](SF)
+    got = {c: t.column(c)[0].as_py() for c in t.column_names}
+    ex = duck.execute(
+        """SELECT
+             count(DISTINCT CASE WHEN event_type='click' THEN user_id END) a,
+             count(DISTINCT CASE WHEN event_type='error' THEN user_id END) b,
+             count(DISTINCT CASE WHEN event_type IN ('click','error')
+                            THEN user_id END) u
+           FROM events"""
+    ).fetchone()
+    sigma = 1.04 / np.sqrt(2**14)
+    assert abs(got["n_click"] - ex[0]) <= max(3 * sigma * ex[0], 1)
+    assert abs(got["n_error"] - ex[1]) <= max(3 * sigma * ex[1], 1)
+    assert abs(got["n_union"] - ex[2]) <= max(3 * sigma * ex[2], 1)
+    inter_exact = ex[0] + ex[1] - ex[2]
+    # intersection inherits 3 terms' error
+    assert abs(got["n_intersection"] - inter_exact) <= max(9 * sigma * ex[2], 2)
