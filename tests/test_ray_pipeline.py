@@ -205,3 +205,45 @@ def test_tree_merge_many_streaming_equals_sequential(ray_session):
     for b in blobs[1:]:
         ref.merge(sketch_from_bytes(b))
     assert sketch_from_bytes(merged).state_equal(ref)
+
+
+def test_grouped_sketch_absorbs_hot_key_skew(ray_session):
+    """North-rule skew contract: a group holding 50% of all rows reaches
+    its reducer as ≤ #batches partial rows (one per (batch, group)), not
+    #rows — the per-batch partial IS the salt.  Counts stay exact in the
+    exact regime."""
+    import numpy as np
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch, make_partial_sketch_fn
+    from hksketch.sketch import sketch_from_bytes
+
+    rng = np.random.default_rng(0)
+    n = 40_000
+    hosts = np.where(
+        rng.random(n) < 0.5, "hot.example.com",
+        np.array([f"h{i}.example.com" for i in rng.integers(0, 40, n)]),
+    )
+    t = pa.table({"host": pa.array(hosts), "key": pa.array(rng.integers(0, 50, n))})
+    ds = rd.from_arrow(t)
+    cfg = sketch_config("bucketed", k=64, width=1024, depth=2, decay=0.9, seed=3)
+
+    # shuffle-side volume: partial rows per group, ≤ number of batches
+    fn = make_partial_sketch_fn(cfg, "key", group_col="host")
+    partials = ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    ).take_all()
+    n_batches = int(np.ceil(n / 4096)) + 2  # block splits may add a few
+    hot_rows = sum(1 for r in partials if r["host"] == "hot.example.com")
+    assert hot_rows <= n_batches  # 20k raw rows arrived as ≤ ~12 partials
+
+    # end-to-end exactness for the hot group
+    out = grouped_sketch(ds, cfg, key_col="key", group_col="host", batch_size=4096)
+    hot = [r for r in out.take_all() if r["host"] == "hot.example.com"]
+    assert len(hot) == 1
+    got = dict(sketch_from_bytes(hot[0]["sketch"]).list())
+    truth = collections.Counter(
+        t.column("key").to_numpy()[hosts == "hot.example.com"].tolist()
+    )
+    assert {k: v for k, v in got.items()} == dict(truth)
