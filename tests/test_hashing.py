@@ -118,3 +118,37 @@ def test_hk64_slices_nulls_and_large_types():
     iv = pa.array([0, None, 5], type=pa.int64())
     hi = hash_array(iv, 3, "hk64")
     assert len(set(hi.tolist())) == 3
+
+
+def test_hk64_input_form_invariance_property():
+    """Property: hk64 hashes depend only on value bytes — identical across
+    python-list input, arrow array, arrow slices, and large_string layout;
+    and equal values always collide while the stream stays 64-bit-spread."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from hksketch.hashing import hash_array
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=20),
+        st.integers(min_value=0, max_value=2**63),
+    )
+    def prop(strings, seed):
+        arr = pa.array(strings, type=pa.string())
+        h1 = hash_array(strings, seed, "hk64")
+        h2 = hash_array(arr, seed, "hk64")
+        h3 = hash_array(arr.cast(pa.large_string()), seed, "hk64")
+        assert (h1 == h2).all() and (h2 == h3).all()
+        if len(arr) > 2:
+            s = arr.slice(1, len(arr) - 2)
+            assert (hash_array(s, seed, "hk64") == h2[1 : len(arr) - 1]).all()
+        # equal strings hash equal; distinct strings distinct (64-bit whp)
+        import numpy as np
+
+        uniq_vals = len(set(strings))
+        assert len(np.unique(h2)) == uniq_vals
+
+    prop()
