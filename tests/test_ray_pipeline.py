@@ -247,3 +247,43 @@ def test_grouped_sketch_absorbs_hot_key_skew(ray_session):
         t.column("key").to_numpy()[hosts == "hot.example.com"].tolist()
     )
     assert {k: v for k, v in got.items()} == dict(truth)
+
+
+def test_partial_sketch_retry_idempotent(ray_session, tmp_path):
+    """The design claim behind stateless partial-per-batch accumulation
+    (stages.py docstring): a retried task rebuilds the IDENTICAL partial,
+    so a mid-run worker failure cannot double-count.  Inject one task
+    failure; Ray retries; the merged counts still equal the exact truth."""
+    import numpy as np
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import make_partial_sketch_fn, tree_merge_blobs
+    from hksketch.sketch import sketch_from_bytes
+
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 30, 20_000)
+    t = pa.table({"key": pa.array(keys)})
+    cfg = sketch_config("bucketed", k=64, width=1024, depth=2, decay=0.9, seed=3)
+    inner = make_partial_sketch_fn(cfg, "key")
+    flag = tmp_path / "injected_failure"
+
+    def flaky(batch: pa.Table) -> pa.Table:
+        # kill the WORKER PROCESS once (a system failure — Ray retries the
+        # task; a user exception would not be retried)
+        if not flag.exists():
+            flag.touch()
+            import os as _os
+
+            _os._exit(1)
+        return inner(batch)
+
+    ds = rd.from_arrow(t).repartition(8)
+    rows = ds.map_batches(
+        flaky, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    ).take_all()
+    blob = tree_merge_blobs([r["sketch"] for r in rows])
+    got = dict(sketch_from_bytes(blob).list())
+    truth = collections.Counter(keys.tolist())
+    assert flag.exists()  # the failure really happened
+    assert {k: v for k, v in got.items()} == dict(truth)
