@@ -197,10 +197,9 @@ def candidate_shingle_sets(
     # actor-pool spin-up; the function+ids serialize once)
     def shingle_sets(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(need, ids)
-        pos_ok = pos < len(need)
-        mask = np.zeros(len(ids), dtype=bool)
-        mask[pos_ok] = need[pos[pos_ok]] == ids[pos_ok]
+        from ..hashing import membership_mask
+
+        mask = membership_mask(ids, need)
         if not mask.any():
             return pa.table(
                 {"doc_id": pa.array([], type=pa.int64()),

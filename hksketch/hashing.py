@@ -194,6 +194,12 @@ def hash_array(values: Any, seed: int, fn: str = "auto") -> np.ndarray:
             return _hk64_bytes(arr, seed)
         if pa.types.is_integer(t):
             nulls = (~np.asarray(arr.is_valid())) if arr.null_count else None
+            if pa.types.is_unsigned_integer(t) and t.bit_width == 64:
+                # uint64 ≥ 2^63 would fail a checked int64 cast; hash the
+                # 8-byte pattern directly (bit-reinterpret, no range check)
+                ints = arr.fill_null(0) if arr.null_count else arr
+                vals = ints.to_numpy(zero_copy_only=False).astype(np.uint64)
+                return _hk64_ints(vals.view(np.int64), seed, nulls)
             ints = arr.cast(pa.int64())
             if arr.null_count:  # fill first: nulls→NaN float in to_numpy
                 ints = ints.fill_null(0)
@@ -223,6 +229,18 @@ def hash_array(values: Any, seed: int, fn: str = "auto") -> np.ndarray:
 def hash_scalar(value: Any, seed: int, fn: str = "auto") -> int:
     """Hash one key; identical to ``hash_array([value], seed)[0]``."""
     return int(hash_array([value], seed, fn)[0])
+
+
+def membership_mask(ids: np.ndarray, sorted_need: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``ids`` in the SORTED array ``sorted_need``
+    — the broadcast-id semi-join primitive shared by MinHash candidate
+    verification and LSH embedding gathering (one implementation, not
+    per-module copies of the searchsorted/bounds/equality idiom)."""
+    pos = np.searchsorted(sorted_need, ids)
+    ok = pos < len(sorted_need)
+    mask = np.zeros(len(ids), dtype=bool)
+    mask[ok] = sorted_need[pos[ok]] == ids[ok]
+    return mask
 
 
 def rotl64(x: np.ndarray, r: np.uint64 = _ROT) -> np.ndarray:

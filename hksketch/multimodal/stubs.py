@@ -70,13 +70,25 @@ class ImageDecodeStage:
             self._have_codec = False
 
     def _decode_real(self, payloads: pa.Array) -> np.ndarray:
+        """Per payload: PIL decode when the bytes ARE a decodable image;
+        non-strict mode falls back to the deterministic fake for payloads
+        PIL rejects (fixture blobs are not real encodings), strict mode
+        propagates the codec error (garbage input should fail loudly)."""
         import io
 
         import PIL.Image
 
         out = np.empty((len(payloads), self.height, self.width, 3), dtype=np.uint8)
         for i, payload in enumerate(payloads.to_pylist()):
-            img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+            try:
+                img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+            except Exception:
+                if self.strict:
+                    raise
+                out[i] = _decode_fake(
+                    payloads.slice(i, 1), self.width, self.height
+                )[0]
+                continue
             if img.size != (self.width, self.height):
                 img = img.resize((self.width, self.height))
             out[i] = np.asarray(img, dtype=np.uint8).reshape(

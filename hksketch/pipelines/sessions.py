@@ -27,6 +27,12 @@ def _shard_fn(key_col: str, shards: int):
         raise ValueError(f"shards must be a power of two, got {shards}")
 
     def shard(b: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(b.column(key_col).type):
+            raise TypeError(
+                f"sessionize/last_event_before require an integer key column; "
+                f"{key_col!r} is {b.column(key_col).type} — hash or factorize "
+                "string keys to int64 upstream"
+            )
         keys = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         s = (splitmix64(keys.astype(np.uint64)) & U64(shards - 1)).astype(np.int32)
         return b.append_column("shard", pa.array(s))
@@ -56,7 +62,8 @@ def sessionize(
     """Per-key session count: a new session starts at any event whose gap
     to the previous event of the same key exceeds ``gap_seconds``.
 
-    Returns a Dataset[(key_col, n_sessions:int64)].
+    Returns a Dataset[(key_col, n_sessions:int64)].  Keys must be an
+    integer column (hash/factorize strings upstream).
     """
     gap_us = int(gap_seconds * 1_000_000)
     sharded = ds.map_batches(

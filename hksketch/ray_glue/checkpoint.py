@@ -55,7 +55,11 @@ def _env_lineage(cfg: dict) -> dict:
     from ..hashing import hash_scalar, resolve_hash_fn
     from ..sketch.base import DEFAULT_SEED, MERGE_PROBE
 
-    seed = int(cfg.get("params", {}).get("seed", DEFAULT_SEED))
+    params = cfg.get("params", {})
+    seed = int(params.get("seed", DEFAULT_SEED))
+    # probe with the backend THIS config's sketches hash with — probing
+    # 'auto' would fingerprint a backend that never touched the blobs
+    fn = resolve_hash_fn(params.get("hash_fn", "auto"))
     try:
         import polars as _pl
 
@@ -65,8 +69,8 @@ def _env_lineage(cfg: dict) -> dict:
     return {
         "hksketch_version": __version__,
         "polars_version": polars_ver,
-        "hash_backend": resolve_hash_fn("auto"),
-        "hash_probe": hash_scalar(MERGE_PROBE, seed),
+        "hash_backend": fn,
+        "hash_probe": hash_scalar(MERGE_PROBE, seed, fn),
     }
 
 

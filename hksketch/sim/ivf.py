@@ -31,6 +31,30 @@ import ray
 from .knn import _emb_matrix, _normalize, _train_centroids
 
 
+def _dataset_fingerprint(ds) -> str:
+    """Cheap identity of the indexed data: sorted (path, size, mtime) of the
+    input files when file-backed, else the row count — so a regenerated
+    dataset at the same path never silently reuses a stale index."""
+    import hashlib
+
+    try:
+        files = ds.input_files()
+    except Exception:
+        files = []
+    if files:
+        parts = []
+        for f in sorted(files):
+            try:
+                st = os.stat(f)
+                parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                parts.append(f)
+        payload = "|".join(parts)
+    else:
+        payload = f"rows:{ds.count()}"
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 def build_ivf_index(
     ds,
     index_dir: str,
@@ -43,12 +67,14 @@ def build_ivf_index(
 ) -> str:
     """Build (or reuse) the persisted index; returns ``index_dir``.
 
-    An existing index with matching params is reused (the build is
-    deterministic for a fixed seed, so reuse is safe); pass
-    ``overwrite=True`` to force a rebuild."""
+    An existing index is reused only when BOTH the params and the dataset
+    fingerprint (input files + sizes + mtimes) match — regenerated data at
+    the same path triggers a rebuild; ``overwrite=True`` forces one."""
     man_path = os.path.join(index_dir, "MANIFEST.json")
     params = {"n_clusters": int(n_clusters), "seed": int(seed),
-              "emb_col": emb_col, "id_col": id_col}
+              "emb_col": emb_col, "id_col": id_col,
+              "sample_rows": int(sample_rows),
+              "data_fingerprint": _dataset_fingerprint(ds)}
     if not overwrite and os.path.exists(man_path):
         old = json.load(open(man_path))
         if {k: old.get(k) for k in params} == params:
@@ -134,9 +160,10 @@ def knn_ivf_index(
         m = _normalize(_emb_matrix(b.column(emb_col)))
         scores = m @ q
         ids = b.column(id_col).to_numpy()
-        if len(scores) > k:
-            part = np.argpartition(-scores, k)[:k]
-            ids, scores = ids[part], scores[part]
+        from .knn import _topk_by_score_then_id
+
+        sel = _topk_by_score_then_id(scores, ids, k)
+        ids, scores = ids[sel], scores[sel]
         return pa.table(
             {id_col: pa.array(ids, type=pa.int64()),
              "score": pa.array(scores, type=pa.float64())}

@@ -23,6 +23,18 @@ import pyarrow as pa
 
 import ray
 
+from ..hashing import membership_mask  # shared semi-join primitive
+
+
+def _topk_by_score_then_id(scores: np.ndarray, ids: np.ndarray, k: int):
+    """Indices of the k best by (-score, id) — argpartition on score alone
+    can evict the lower-id member of a tie straddling the k boundary, which
+    the final merge (and the SQL oracle's ORDER BY score DESC, id ASC)
+    would have kept."""
+    if len(scores) <= k:
+        return np.arange(len(scores))
+    return np.lexsort((ids, -scores))[:k]
+
 
 def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -59,9 +71,8 @@ def knn_bruteforce(
         m = _normalize(_emb_matrix(batch.column(emb_col)))
         scores = m @ qn
         ids = batch.column(id_col).to_numpy()
-        if len(scores) > k:  # per-batch candidate pruning
-            part = np.argpartition(-scores, k)[:k]
-            ids, scores = ids[part], scores[part]
+        sel = _topk_by_score_then_id(scores, ids, k)  # tie-correct pruning
+        ids, scores = ids[sel], scores[sel]
         return pa.table(
             {id_col: pa.array(ids, type=pa.int64()),
              "score": pa.array(scores, type=pa.float64())}
@@ -105,7 +116,7 @@ def knn_bruteforce_multi(
         out_q, out_id, out_s = [], [], []
         for j in range(S.shape[1]):
             s = S[:, j]
-            sel = np.argpartition(-s, k)[:k] if len(s) > k else np.arange(len(s))
+            sel = _topk_by_score_then_id(s, ids, k)
             out_q.append(np.full(len(sel), j, dtype=np.int64))
             out_id.append(ids[sel])
             out_s.append(s[sel])
@@ -116,10 +127,12 @@ def knn_bruteforce_multi(
         )
 
     cand = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    by_q: dict[int, list] = {j: [] for j in range(nq)}
+    for r in cand:  # ONE pass, not a rescan per query
+        by_q[r["qidx"]].append(r)
     qid_arr, rank_arr, id_arr, score_arr = [], [], [], []
     for j in range(nq):
-        rows = [r for r in cand if r["qidx"] == j]
-        best = heapq.nsmallest(k, rows, key=lambda r: (-r["score"], r[id_col]))
+        best = heapq.nsmallest(k, by_q[j], key=lambda r: (-r["score"], r[id_col]))
         for rank, r in enumerate(best, 1):
             qid_arr.append(query_ids[j])
             rank_arr.append(rank)
@@ -247,16 +260,16 @@ def embedding_near_dupes(
     ``embedding_near_dupes_lsh``, which prunes candidates sub-quadratically.
     Raw Ray tasks are justified here: a block cross-product has no
     Dataset-API expression (maps see one block; joins key on equality)."""
-    # split() with a row target keeps per-task matmuls cache-sized
+    # bound per-task matmul size: re-split blocks to ≤ block_rows rows so a
+    # single huge input block cannot become one O(n²) task
     prep = ds.map_batches(
         lambda b: b.select([id_col, emb_col]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).repartition(target_num_rows_per_block=block_rows)
     refs = prep.to_arrow_refs()
-    # re-chunk refs driver-side only if blocks are tiny/huge is skipped:
-    # parquet blocks already bound rows; each task reads 2 blocks from the
-    # object store (zero-copy) and returns pairs only
+    # each task reads 2 blocks from the object store (zero-copy) and
+    # returns qualifying pairs only
     tasks = [
         _block_pair_task.remote(refs[i], refs[j], threshold, emb_col, id_col, i == j)
         for i in range(len(refs))
@@ -342,11 +355,7 @@ def embedding_near_dupes_lsh(
 
     def gather(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy().astype(np.int64)
-        pos = np.searchsorted(need, ids)
-        ok = pos < len(need)
-        mask = np.zeros(len(ids), dtype=bool)
-        mask[ok] = need[pos[ok]] == ids[ok]
-        sub = b.filter(pa.array(mask))
+        sub = b.filter(pa.array(membership_mask(ids, need)))
         return sub.select([id_col, emb_col])
 
     got = ds.map_batches(

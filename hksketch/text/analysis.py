@@ -33,8 +33,12 @@ def lang_id_batch(texts: pa.Array) -> pa.Array:
     Fully vectorized: ONE polars group_by over the exploded token column
     with an ``is_in(stopwords)`` sum per language, and
     ``str.count_matches`` for CJK chars — no Python loop over tokens or
-    characters (the round-1 per-token loop was the hot-stage anti-pattern)."""
-    import polars as pl
+    characters (the round-1 per-token loop was the hot-stage anti-pattern).
+    Falls back to the pure-Python reference when polars is absent."""
+    try:
+        import polars as pl
+    except Exception:  # pragma: no cover - no-polars deployments
+        return _lang_id_batch_reference(texts)
 
     toks = tokenize_column(texts, with_doc_index=True)
     n = len(texts)

@@ -152,3 +152,15 @@ def test_hk64_input_form_invariance_property():
         assert len(np.unique(h2)) == uniq_vals
 
     prop()
+
+
+def test_hk64_uint64_full_range():
+    """uint64 keys ≥ 2^63 (e.g. pre-hashed id columns) must hash, not raise
+    a checked-cast error; distinct values stay distinct."""
+    import pyarrow as pa
+
+    from hksketch.hashing import hash_array
+
+    vals = pa.array([0, 1, 2**63, 2**63 + 5, 2**64 - 1], type=pa.uint64())
+    h = hash_array(vals, 7, "hk64")
+    assert len(set(h.tolist())) == 5

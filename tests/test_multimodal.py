@@ -34,7 +34,16 @@ def test_image_decode_schema_and_determinism():
 
 
 def test_image_decode_strict_raises():
-    with pytest.raises(NotImplementedError):
+    """Strict mode on fixture (non-image) payloads: without a codec it
+    raises NotImplementedError; with PIL present the codec's own decode
+    error propagates (garbage input must fail loudly either way)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        expected: tuple = (Exception,)
+    except Exception:
+        expected = (NotImplementedError,)
+    with pytest.raises(expected):
         ImageDecodeStage(strict=True)(_image_table(1))
 
 

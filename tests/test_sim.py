@@ -191,3 +191,32 @@ def test_knn_multi_matches_single_query_results(ray_session):
         )
         assert mine.column("vec_id").to_pylist() == single.column("vec_id").to_pylist()
         assert mine.column("rank").to_pylist() == list(range(1, 9))
+
+
+def test_ivf_index_rebuilds_on_data_change(ray_session, tmp_path):
+    """A regenerated dataset at the same path must NOT silently reuse the
+    stale index (data fingerprint is part of the manifest check)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hksketch.sim.ivf import build_ivf_index
+
+    d = tmp_path / "vecs"
+    d.mkdir()
+    f = str(d / "e.parquet")
+    t1, _ = _vec_table(n=300, dim=8, seed=1)
+    pq.write_table(t1, f)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.read_parquet(f), idx, n_clusters=4, seed=7)
+    first = os.path.getmtime(os.path.join(idx, "MANIFEST.json"))
+    # same data → reuse
+    build_ivf_index(rd.read_parquet(f), idx, n_clusters=4, seed=7)
+    assert os.path.getmtime(os.path.join(idx, "MANIFEST.json")) == first
+    # regenerate the file → rebuild
+    t2, _ = _vec_table(n=300, dim=8, seed=99)
+    pq.write_table(t2, f)
+    os.utime(f, (os.path.getmtime(f) + 5,) * 2)  # ensure mtime moves
+    build_ivf_index(rd.read_parquet(f), idx, n_clusters=4, seed=7)
+    assert os.path.getmtime(os.path.join(idx, "MANIFEST.json")) > first
