@@ -1,16 +1,16 @@
 """Similarity search over an embedding column (``list<float>``).
 
-- ``knn_bruteforce``: exact cosine top-k — the query matrix is broadcast
-  (``ray.put`` once), each batch does one float32 matmul against it, and
-  per-batch top-k candidates merge on the driver (candidates only: k rows
-  per batch per query, never the full score matrix).  This is the baseline
-  any ANN variant is validated against.
-- ``knn_ivf``: IVF-flat scale path — deterministic seeded-sample centroids
-  (k-means++-style seeding + a few Lloyd iterations on a sample), cluster
-  assignment as a batch matmul, then search restricted to the ``nprobe``
-  nearest clusters via a bucket groupby.
-- ``embedding_near_dupes``: all-pairs cosine ≥ τ via block matmuls —
-  embedding-cosine near-duplicate detection.
+- ``knn_bruteforce`` / ``knn_bruteforce_multi``: exact cosine top-k for one
+  or many query vectors — queries closure-broadcast once, one matmul per
+  batch, per-batch candidates pruned to k rows by (-score, id) before the
+  driver merge.  The baseline every ANN variant is validated against.
+- ``knn_ivf``: legacy single-shot IVF (pruned full scan); the persisted
+  index with partition-pruned reads lives in ``sim.ivf``.
+- ``embedding_near_dupes``: EXACT all-pairs cosine ≥ τ as distributed
+  block-pair Ray tasks (driver holds refs + sparse pairs only).
+- ``embedding_near_dupes_lsh``: sub-quadratic random-hyperplane LSH
+  candidates + exact cosine verification, for the high-cosine near-dup
+  regime.
 """
 
 from __future__ import annotations
