@@ -934,6 +934,52 @@ def _q_hll_user_overlap(sf_dir: str):
     )
 
 
+def _q_cms_heavy_change_users(sf_dir: str):
+    """Heavy-CHANGE detection (Cormode & Muthukrishnan's change-detection
+    application): one Count-Min per time half, built distributed and
+    tree-merged; the per-user count delta |early − late| ranks users whose
+    behavior shifted most.  Exact regime (width ≫ users) → SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    lo, hi = ds.min("ts"), ds.max("ts")
+    # midpoint in integer microseconds — mirrors the SQL exactly (DuckDB
+    # interval division halves days and sub-day parts separately)
+    import datetime
+
+    _epoch = datetime.datetime(1970, 1, 1)
+    _us = datetime.timedelta(microseconds=1)
+    mid = _epoch + (((lo - _epoch) // _us + (hi - _epoch) // _us) // 2) * _us
+    cfg = sketch_config("countmin", width=1 << 15, depth=4, seed=SEED)
+    blobs = {}
+    for name, keep in (("early", pc.less_equal), ("late", pc.greater)):
+        side = ds.map_batches(
+            lambda b, _k=keep: b.filter(_k(b.column("ts"), pa.scalar(mid))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        blobs[name] = global_sketch(side, cfg, key_col="user_id")
+    early = sketch_from_bytes(blobs["early"])
+    late = sketch_from_bytes(blobs["late"])
+    users = np.sort(np.asarray(ds.unique("user_id"), dtype=np.int64))
+    delta = (
+        early.count_batch(users).astype(np.int64)
+        - late.count_batch(users).astype(np.int64)
+    )
+    order = np.lexsort((users, -np.abs(delta)))[:10]
+    return pa.table(
+        {"user_id": pa.array(users[order], type=pa.int64()),
+         "delta": pa.array(np.abs(delta)[order], type=pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -979,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_event_type": _q_quantiles_by_event_type,
         "topk_users_per_day_sketch": _q_topk_users_per_day_sketch,
         "hll_user_overlap": _q_hll_user_overlap,
+        "cms_heavy_change_users": _q_cms_heavy_change_users,
     }
 
 
@@ -1241,5 +1288,17 @@ WITH c AS (
   FROM c
 )
 SELECT day, user_id, count FROM r WHERE rn <= 3 ORDER BY day, rn
+""",
+        "cms_heavy_change_users": """
+WITH bnd AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+mid AS (SELECT make_timestamp((epoch_us(lo) + epoch_us(hi)) // 2) AS m FROM bnd),
+c AS (
+  SELECT user_id,
+         sum(CASE WHEN ts <= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS e,
+         sum(CASE WHEN ts >  (SELECT m FROM mid) THEN 1 ELSE 0 END) AS l
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(abs(e - l) AS BIGINT) AS delta
+FROM c ORDER BY delta DESC, user_id ASC LIMIT 10
 """,
     }
