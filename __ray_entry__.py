@@ -968,7 +968,19 @@ def _q_cms_heavy_change_users(sf_dir: str):
         blobs[name] = global_sketch(side, cfg, key_col="user_id")
     early = sketch_from_bytes(blobs["early"])
     late = sketch_from_bytes(blobs["late"])
-    users = np.sort(np.asarray(ds.unique("user_id"), dtype=np.int64))
+    # candidate keys from a HeavyKeeper top-k over the SAME stream, not a
+    # driver-side unique() (unbounded at 10^12 scale): a heavy-change key
+    # must be heavy in at least one window, so a k ≫ report size candidate
+    # set is sound; in the test regimes k=4096 tracks every user → exact
+    hk_blob = global_sketch(
+        ds,
+        sketch_config("bucketed", k=4096, width=1 << 15, depth=4, decay=0.9,
+                      seed=SEED),
+        key_col="user_id",
+    )
+    users = np.sort(
+        np.asarray([u for u, _ in sketch_from_bytes(hk_blob).list()], dtype=np.int64)
+    )
     delta = (
         early.count_batch(users).astype(np.int64)
         - late.count_batch(users).astype(np.int64)
