@@ -286,8 +286,13 @@ def global_sketch(
                 nparts = None
         merge_via = "driver" if (nparts is not None and nparts <= 512) else "aggregate"
     if merge_via == "driver":
-        blobs = [r["sketch"] for r in partials.take_all()]
-        return tree_merge_blobs(blobs)
+        # streaming variant of the tree merge: identical chunk grouping to
+        # tree_merge_blobs (in-order fanin-sized chunks) so the result is
+        # bit-identical, but chunk tasks launch while the map stage still
+        # produces
+        it = partials.iter_batches(batch_size=None, batch_format="pyarrow")
+        (blob,) = tree_merge_many_streaming(it, ["sketch"])
+        return blob
     out = partials.aggregate(MergeSketchBlobs(on="sketch", alias_name="sketch"))
     return out["sketch"]
 
