@@ -100,22 +100,29 @@ def exact_topk(
 
 
 def exact_distinct_count(ds, key_col: str) -> int:
-    """Exact COUNT(DISTINCT key): per-batch unique (combiner) → global
-    unique over the much smaller pre-deduped stream."""
+    """Exact COUNT(DISTINCT key): per-batch unique (combiner) → distributed
+    groupby → COUNT of groups.  The distinct keys themselves never land on
+    the driver (``unique()`` would return the full key list — unbounded for
+    e.g. distinct tokens at corpus scale); only the row count does."""
     import pyarrow.compute as pc
 
     def uniq(batch: pa.Table) -> pa.Table:
         return pa.table({key_col: pc.unique(batch.column(key_col).combine_chunks())})
 
     pre = ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
-    return len(pre.unique(key_col))
+    return pre.groupby(key_col).aggregate(Count(alias_name="_n")).count()
 
 
 def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
     """Discrete quantiles (duckdb ``quantile_disc`` semantics: element at
     0-based rank ``ceil(q*n) - 1`` of the sorted column, 0 for q=0) via
-    distributed sort + streamed rank extraction — never materializes the
-    column on the driver."""
+    distributed sort + BLOCK-PRUNED rank extraction: block refs of the
+    sorted dataset stay in the object store, tiny remote tasks report each
+    block's row count, and the driver fetches ONLY the blocks containing a
+    target rank — not the ~q·n rows a streamed scan would pull through the
+    driver (a 0.95 quantile would stream 95% of the column)."""
+    import ray
+
     n = ds.count()
     if n == 0:
         return [float("nan") for _ in qs]
@@ -124,19 +131,32 @@ def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
         return 0 if q <= 0 else min(n - 1, int(np.ceil(q * n)) - 1)
 
     ranks = sorted(set(_rank(q) for q in qs))
-    want = {r: None for r in ranks}
-    sorted_ds = ds.sort(col)
-    seen = 0
-    it = iter(sorted_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    for batch in it:
-        hi = seen + batch.num_rows
-        for r in ranks:
-            if seen <= r < hi and want[r] is None:
-                want[r] = batch.column(col)[r - seen].as_py()
-        seen = hi
-        if all(v is not None for v in want.values()):
-            break
-    return [float(want[_rank(q)]) for q in qs]
+    refs = ds.sort(col).to_arrow_refs()  # sorted order preserved
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    @ray.remote
+    def _pick(t: pa.Table, local_ranks: list[int]) -> list[float]:
+        c = t.column(col)
+        return [float(c[i].as_py()) for i in local_ranks]
+
+    per_block: dict[int, list[int]] = {}
+    for r in ranks:
+        b = int(np.searchsorted(offsets, r, side="right") - 1)
+        per_block.setdefault(b, []).append(r - int(offsets[b]))
+    picked = ray.get(
+        [_pick.remote(refs[b], lr) for b, lr in sorted(per_block.items())]
+    )
+    want: dict[int, float] = {}
+    for (b, lr), vals in zip(sorted(per_block.items()), picked):
+        for local, v in zip(lr, vals):
+            want[int(offsets[b]) + local] = v
+    return [want[_rank(q)] for q in qs]
 
 
 def grouped_count(ds, group_cols: list[str], count_name: str = "count"):
