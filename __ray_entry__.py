@@ -577,15 +577,15 @@ def _q_tokens_per_source_topk(sf_dir: str):
         Sum("count", alias_name="count")
     )
 
-    def top3(g):
-        import pyarrow as _pa
+    def top3(g: pa.Table) -> pa.Table:
+        import numpy as np
 
-        g = g.sort_values(["count", "token"], ascending=[False, True]).head(3)
-        return _pa.Table.from_pandas(
-            g[["source", "token", "count"]], preserve_index=False
-        )
+        order = np.lexsort(
+            (np.asarray(g.column("token")), -g.column("count").to_numpy())
+        )[:3]
+        return g.select(["source", "token", "count"]).take(pa.array(order))
 
-    return counts.groupby("source").map_groups(top3, batch_format="pandas")
+    return counts.groupby("source").map_groups(top3, batch_format="pyarrow")
 
 
 def _q_topk_parts_by_qty_sketch(sf_dir: str):

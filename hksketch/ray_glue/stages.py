@@ -175,37 +175,6 @@ def tree_merge_blobs(blobs: list[bytes], fanin: int = 8) -> bytes:
     return acc.to_bytes()
 
 
-def tree_merge_many(blob_lists: list[list[bytes]], fanin: int = 8) -> list[bytes]:
-    """Tree-merge several independent partial lists CONCURRENTLY — all
-    trees' chunk tasks are launched before any ray.get, so three merges
-    cost the wall time of one."""
-    states = [[b for b in blobs if b is not None] for blobs in blob_lists]
-    while any(len(s) > fanin for s in states):
-        pending: list[tuple[int, list]] = []
-        for si, s in enumerate(states):
-            if len(s) > fanin:
-                pending.append(
-                    (si, [_merge_blob_chunk.remote(s[i : i + fanin])
-                          for i in range(0, len(s), fanin)])
-                )
-        flat = [r for _, refs in pending for r in refs]
-        got = ray.get(flat)
-        off = 0
-        for si, refs in pending:
-            states[si] = got[off : off + len(refs)]
-            off += len(refs)
-    out = []
-    for s in states:
-        if not s:
-            out.append(b"")
-            continue
-        acc = sketch_from_bytes(s[0])
-        for b in s[1:]:
-            acc.merge(sketch_from_bytes(b))
-        out.append(acc.to_bytes())
-    return out
-
-
 def tree_merge_many_streaming(batch_iter, cols: list[str], fanin: int = 8) -> list[bytes]:
     """Merge several partial-blob families WHILE the producing pipeline
     still runs: consume partial batches from ``batch_iter`` (an
