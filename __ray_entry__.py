@@ -898,6 +898,93 @@ def _q_topk_users_per_day_sketch(sf_dir: str):
     )
 
 
+def _q_topk_tokens_per_source(sf_dir: str):
+    """Per-GROUP heavy hitters with a TOKENIZED key ⊕oracle: one HeavyKeeper
+    per document source (grouped_sketch — the batch is tokenized ONCE and
+    groups get zero-copy slices; partial blobs are sparse-packed so bytes ∝
+    group content), top-3 tokens per source in the exact regime."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+    cfg = sketch_config("bucketed", k=512, width=1 << 13, depth=4, decay=0.9, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="text", group_col="source", tokenize=True)
+    srcs, tokens, counts = [], [], []
+    for row in sorted(out.take_all(), key=lambda r: r["source"]):
+        sk = sketch_from_bytes(row["sketch"])
+        top = sorted(sk.list(), key=lambda ic: (-ic[1], ic[0]))[:3]
+        for t, c in top:
+            srcs.append(row["source"])
+            tokens.append(t)
+            counts.append(int(c))
+    return pa.table(
+        {"source": pa.array(srcs, type=pa.string()),
+         "token": pa.array(tokens, type=pa.string()),
+         "count": pa.array(counts, type=pa.int64())}
+    )
+
+
+def _q_tokens_per_host_sketch(sf_dir: str):
+    """Long-tail grouped sketch over the north-rule's OWN key (per-HOSTNAME
+    token top-k on Common-Crawl-style pages): the webpages fixture's Zipf
+    host distribution has hundreds of one-page hosts, exactly the regime
+    where fixed-width per-group partials explode — sparse packing keeps
+    each partial ∝ its host's content.  Deterministic synthetic fixture
+    (seeded) → rows-only check; exactness vs a polars recompute is asserted
+    in tests/test_ray_pipeline.py."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.fixtures import generate_webpages
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    import ray.data as rd
+
+    pages_dir = generate_webpages(
+        "/tmp/hksketch_fixtures/webpages_perhost",
+        n_pages=2000,
+        n_hosts=400,
+        vocab_size=1000,
+        seed=777,
+        files=4,
+    )
+    ds = rd.read_parquet(pages_dir, columns=["url", "text"])
+
+    def host(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"host": pc.replace_substring_regex(
+                b.column("url"), pattern=r"^https?://([^/]*)/.*$", replacement=r"\1"
+             ),
+             "text": b.column("text")}
+        )
+
+    ds = ds.map_batches(host, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = sketch_config("bucketed", k=256, width=1 << 12, depth=4, decay=0.9, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="text", group_col="host", tokenize=True)
+    rows = out.take_all()
+    # report top-2 tokens for the 20 busiest hosts (by token mass)
+    rows.sort(key=lambda r: (-r["n_rows"], r["host"]))
+    hosts, tokens, counts = [], [], []
+    for row in rows[:20]:
+        sk = sketch_from_bytes(row["sketch"])
+        for t, c in sorted(sk.list(), key=lambda ic: (-ic[1], ic[0]))[:2]:
+            hosts.append(row["host"])
+            tokens.append(t)
+            counts.append(int(c))
+    return pa.table(
+        {"host": pa.array(hosts, type=pa.string()),
+         "token": pa.array(tokens, type=pa.string()),
+         "count": pa.array(counts, type=pa.int64())}
+    )
+
+
 def _q_hll_user_overlap(sf_dir: str):
     """HLL set algebra: distinct users for two event types, their union
     (sketch merge) and intersection (inclusion-exclusion) — the mergeable-
@@ -1036,6 +1123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": _q_knn_multi,
         "quantiles_by_event_type": _q_quantiles_by_event_type,
         "topk_users_per_day_sketch": _q_topk_users_per_day_sketch,
+        "topk_tokens_per_source": _q_topk_tokens_per_source,
+        "tokens_per_host_sketch": _q_tokens_per_host_sketch,
         "hll_user_overlap": _q_hll_user_overlap,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }
@@ -1300,6 +1389,22 @@ WITH c AS (
   FROM c
 )
 SELECT day, user_id, count FROM r WHERE rn <= 3 ORDER BY day, rn
+""",
+        "topk_tokens_per_source": """
+WITH toks AS (
+  SELECT source, lower(tok) AS token
+  FROM (SELECT source, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
+  WHERE length(tok) <= 64
+), c AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS count
+  FROM toks GROUP BY source, token
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY count DESC, token ASC) AS rn
+  FROM c
+)
+SELECT source, token, count FROM r WHERE rn <= 3 ORDER BY source, rn
 """,
         "cms_heavy_change_users": """
 WITH bnd AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),

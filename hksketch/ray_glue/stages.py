@@ -41,6 +41,8 @@ from ..sketch import sketch_from_bytes
 from ..text.tokenize import tokenize_column
 from .aggregate import SketchAggregate, make_sketch, _to_arrow
 
+_NO_CODE = type("_NoCode", (), {"co_varnames": ()})  # builtins lack __code__
+
 
 class MergeSketchBlobs(SketchAggregate):
     """UDAF over a column of serialized partial sketches: merge them.
@@ -111,31 +113,65 @@ def make_partial_sketch_fn(
                 {"sketch": pa.array([sk.to_bytes()], type=pa.binary()),
                  "n_rows": pa.array([n], type=pa.int64())}
             )
-        # grouped: one partial per group value in this batch
+        # grouped: one partial per group value in this batch.  Cardinality-
+        # safe shape (round-2 VERDICT #4): tokenize/hash happen ONCE for the
+        # whole batch, rows are gathered into group-contiguous order with a
+        # single stable argsort, and each group's add is a zero-copy slice —
+        # per-batch work is O(rows log rows) + O(groups) slices, never
+        # O(groups × width).  Partial blob bytes are content-proportional
+        # via the sparse serializer (sketch/base.py pack_sketch).  Groups
+        # whose rows tokenize to zero tokens emit no partial (nothing to
+        # merge), so key-less groups never appear in the output.
         groups = batch.column(group_col).to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(groups, return_inverse=True)
-        out_groups, out_blobs, out_n = [], [], []
-        for g in range(len(uniq)):
-            mask = inv == g
-            idx = np.flatnonzero(mask)
-            sub = batch.take(pa.array(idx))
-            sk = make_sketch(cfg)
-            if tokenize:
-                keys = tokenize_column(sub.column(key_col)).column("token")
-                sk.add_batch(keys)
-                out_n.append(len(keys))
+        w = None
+        if tokenize:
+            toks = tokenize_column(batch.column(key_col), with_doc_index=True)
+            didx = toks.column("doc_idx").to_numpy()
+            keyarr = toks.column("token").combine_chunks()
+            kg = groups[didx]
+        else:
+            keyarr = batch.column(key_col).combine_chunks()
+            kg = groups
+            if weight_col:
+                w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        if len(kg) == 0:
+            return pa.table(
+                {group_col: pa.array([], type=batch.column(group_col).type),
+                 "sketch": pa.array([], type=pa.binary()),
+                 "n_rows": pa.array([], type=pa.int64())}
+            )
+        order = np.argsort(kg, kind="stable")
+        keys_sorted = keyarr.take(pa.array(order))
+        kg_sorted = kg[order]
+        w_sorted = w[order] if w is not None else None
+        uniq, starts = np.unique(kg_sorted, return_index=True)
+        ends = np.append(starts[1:], len(kg_sorted))
+        probe = make_sketch(cfg)
+        # one hash pass for the whole batch, via the sketch's OWN hasher
+        # (respects with_hasher backends); only kernels exposing a hashes=
+        # fast path get it
+        pass_hashes = (
+            "hashes" in getattr(probe.add_batch, "__code__", _NO_CODE).co_varnames
+            and hasattr(probe, "_hash")
+        )
+        hashes = probe._hash(keys_sorted) if pass_hashes else None
+        out_blobs, out_n = [], []
+        for i in range(len(uniq)):
+            s, e = int(starts[i]), int(ends[i])
+            sk = make_sketch(cfg) if i else probe
+            sl = keys_sorted.slice(s, e - s)
+            if pass_hashes:
+                sk.add_batch(sl, w_sorted[s:e] if w_sorted is not None else None,
+                             hashes=hashes[s:e])
+            elif w_sorted is not None:
+                sk.add_batch(sl, w_sorted[s:e])
             else:
-                if weight_col:
-                    w = sub.column(weight_col).to_numpy(zero_copy_only=False)
-                    sk.add_batch(sub.column(key_col), w)
-                else:
-                    sk.add_batch(sub.column(key_col))
-                out_n.append(sub.num_rows)
-            out_groups.append(uniq[g])
+                sk.add_batch(sl)
             out_blobs.append(sk.to_bytes())
+            out_n.append(e - s)
         return pa.table(
             {
-                group_col: pa.array(out_groups),
+                group_col: pa.array(uniq),
                 "sketch": pa.array(out_blobs, type=pa.binary()),
                 "n_rows": pa.array(out_n, type=pa.int64()),
             }
@@ -275,8 +311,11 @@ def grouped_sketch(
     tokenize: bool = False,
     batch_size: int = 16384,
 ):
-    """Dataset → Dataset[(group_col, sketch: binary)]; shuffle carries only
-    per-(batch, group) partial blobs."""
+    """Dataset → Dataset[(group_col, sketch: binary, n_rows: int64)]; the
+    shuffle carries only per-(batch, group) partial blobs (sparse-packed —
+    bytes ∝ group content), plus each group's total key count."""
+    from ray.data.aggregate import Sum
+
     fn = make_partial_sketch_fn(
         cfg, key_col, weight_col, group_col=group_col, tokenize=tokenize
     )
@@ -284,7 +323,8 @@ def grouped_sketch(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     return partials.groupby(group_col).aggregate(
-        MergeSketchBlobs(on="sketch", alias_name="sketch")
+        MergeSketchBlobs(on="sketch", alias_name="sketch"),
+        Sum("n_rows", alias_name="n_rows"),
     )
 
 

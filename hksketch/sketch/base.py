@@ -66,19 +66,30 @@ def validate_topk_params(k: int, width: int, depth: int, decay: float) -> None:
         raise BuilderError(f"decay must be in [0, 1], got {decay!r}")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _decay_thresholds_cached(decay: float, num_entries: int) -> np.ndarray:
+    out = np.empty(num_entries, dtype=np.uint64)
+    for c in range(num_entries):
+        v = (float(decay) ** c) * U64_MAX_F
+        out[c] = min(int(v), U64_MAX) if v > 0 else 0
+    out.setflags(write=False)  # shared across instances — must stay immutable
+    return out
+
+
 def precompute_decay_thresholds(
     decay: float, num_entries: int = DECAY_LOOKUP_SIZE
 ) -> np.ndarray:
     """``threshold[c] = decay^c * u64::MAX`` with saturating float→u64 cast.
 
     Full-u64 scaling so decay=1.0 ⇒ the roll always fires
-    (/root/reference/src/heavykeeper.rs:95-104).
+    (/root/reference/src/heavykeeper.rs:95-104).  Memoized per (decay, n):
+    the grouped-partial path constructs thousands of sketches per batch and
+    the table is pure; instances share one read-only array.
     """
-    out = np.empty(num_entries, dtype=np.uint64)
-    for c in range(num_entries):
-        v = (float(decay) ** c) * U64_MAX_F
-        out[c] = min(int(v), U64_MAX) if v > 0 else 0
-    return out
+    return _decay_thresholds_cached(float(decay), int(num_entries))
 
 
 def decay_threshold(table: np.ndarray, count: int) -> int:
@@ -104,16 +115,43 @@ def pack_sketch(
     header: dict[str, Any],
     arrays: dict[str, np.ndarray],
     tables: dict[str, pa.Table] | None = None,
+    nonzero_hints: dict[str, np.ndarray] | None = None,
 ) -> bytes:
     """Frame: MAGIC | u32 header_len | header json | raw array bytes |
     arrow-IPC tables.  Array dtype/shape and table byte-lengths live in the
     header so decoding needs no probing."""
     tables = tables or {}
     meta = dict(header)
-    meta["_arrays"] = {
-        name: {"dtype": str(a.dtype), "shape": list(a.shape)}
-        for name, a in arrays.items()
-    }
+    # sparse encoding: a partial sketch built from a small group slice is a
+    # mostly-zero width-sized array; storing (nonzero index, value) pairs
+    # makes blob bytes proportional to CONTENT, not configured width (the
+    # grouped-partial long-tail requirement), while reconstructing a
+    # bit-identical array — merge semantics are untouched.
+    specs: dict[str, dict] = {}
+    payloads: list[bytes] = []
+    for name, a in arrays.items():
+        spec = {"dtype": str(a.dtype), "shape": list(a.shape)}
+        flat = np.ascontiguousarray(a).reshape(-1)
+        if flat.size >= 1024 and flat.dtype.kind in "uif":
+            hint = (nonzero_hints or {}).get(name)
+            if hint is not None:
+                # caller-tracked superset of nonzero slots (sorted): scan
+                # only those instead of the full width — O(touched), the
+                # per-group-partial fast path
+                cand = np.asarray(hint, dtype=np.int64)
+                nz = cand[flat[cand] != 0]
+            else:
+                nz = np.flatnonzero(flat)
+            # break-even: u32 index + value per entry vs dense value per slot
+            if len(nz) * 3 < flat.size:
+                spec["sparse"] = int(len(nz))
+                payloads.append(nz.astype(np.uint32).tobytes())
+                payloads.append(flat[nz].tobytes())
+                specs[name] = spec
+                continue
+        payloads.append(flat.tobytes())
+        specs[name] = spec
+    meta["_arrays"] = specs
     table_blobs: dict[str, bytes] = {}
     for name, t in tables.items():
         sink = pa.BufferOutputStream()
@@ -123,8 +161,7 @@ def pack_sketch(
     meta["_tables"] = {name: len(b) for name, b in table_blobs.items()}
     hdr = json.dumps(meta, separators=(",", ":")).encode("utf-8")
     parts = [struct.pack("<I", len(hdr)), hdr]
-    for name in meta["_arrays"]:
-        parts.append(np.ascontiguousarray(arrays[name]).tobytes())
+    parts.extend(payloads)
     for name in meta["_tables"]:
         parts.append(table_blobs[name])
     # sketch arrays are sparse early in a stream; cheap zlib level-1 framing
@@ -152,9 +189,23 @@ def unpack_sketch(
     for name, spec in meta.pop("_arrays").items():
         dtype = np.dtype(spec["dtype"])
         shape = tuple(spec["shape"])
-        nbytes = dtype.itemsize * int(np.prod(shape)) if shape else dtype.itemsize
-        arrays[name] = np.frombuffer(blob, dtype=dtype, count=int(np.prod(shape)), offset=off).reshape(shape).copy()
-        off += nbytes
+        size = int(np.prod(shape)) if shape else 1
+        if "sparse" in spec:
+            nnz = int(spec["sparse"])
+            idx = np.frombuffer(blob, dtype=np.uint32, count=nnz, offset=off)
+            off += 4 * nnz
+            vals = np.frombuffer(blob, dtype=dtype, count=nnz, offset=off)
+            off += dtype.itemsize * nnz
+            full = np.zeros(size, dtype=dtype)
+            full[idx] = vals
+            arrays[name] = full.reshape(shape)
+        else:
+            arrays[name] = (
+                np.frombuffer(blob, dtype=dtype, count=size, offset=off)
+                .reshape(shape)
+                .copy()
+            )
+            off += dtype.itemsize * size
     tables: dict[str, pa.Table] = {}
     for name, nbytes in meta.pop("_tables").items():
         with pa.ipc.open_stream(pa.BufferReader(blob[off : off + nbytes])) as r:
@@ -202,7 +253,9 @@ def collapse_batch(h: np.ndarray, weights) -> tuple[np.ndarray, np.ndarray, np.n
     exact_needed = weights is not None and bool(
         (np.asarray(weights, dtype=np.float64) >= 2**53).any()
     )
-    if _HAVE_POLARS_BASE and not exact_needed:
+    # small batches (the per-group-partial regime): polars' per-call setup
+    # (~0.4 ms) dwarfs the work — numpy unique wins below a few thousand rows
+    if _HAVE_POLARS_BASE and not exact_needed and n >= 2048:
         df_cols = {"h": h, "i": np.arange(n, dtype=np.int64)}
         if weights is not None:
             df_cols["w"] = np.asarray(weights, dtype=np.float64)

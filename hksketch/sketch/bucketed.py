@@ -80,11 +80,23 @@ class BucketedTopK:
         self.rng = np.random.default_rng(self.seed)
         self.pq = TopKQueue(self.k)
         self.min_pq_count = 0
+        # touched-bucket tracking: while the set of written buckets stays
+        # small (the per-group-partial regime), serialization scans only
+        # those rows instead of the full width — None = unknown/full
+        self._touched: "set[int] | None" = set()
 
     # -- hashing ---------------------------------------------------------
 
     def _hash(self, values: Any) -> np.ndarray:
         return hash_array(values, self.seed, self.hash_fn)
+
+    def _track_touched(self, bidx: np.ndarray) -> None:
+        if self._touched is None:
+            return
+        if len(self._touched) + len(bidx) > self.width // 8:
+            self._touched = None
+            return
+        self._touched.update(np.unique(bidx).tolist())
 
     # -- core add --------------------------------------------------------
 
@@ -124,6 +136,7 @@ class BucketedTopK:
         Weighted decays and table-overflow counts stay scalar."""
         m = len(uniq)
         bidx = bucket_indices(uniq, self.width)
+        self._track_touched(bidx)
 
         # occurrence rank of each key within its bucket (fingerprint order)
         order = np.argsort(bidx, kind="stable")
@@ -311,6 +324,8 @@ class BucketedTopK:
             return (None, False)
         fp = hash_scalar(item, self.seed, self.hash_fn)
         b = int(bucket_indices(np.array([fp], dtype=np.uint64), self.width)[0])
+        if self._touched is not None:
+            self._touched.add(b)
         c = self._add_one(fp, b, int(increment))
         return self._pq_single(fp, item, c)
 
@@ -435,6 +450,13 @@ class BucketedTopK:
         using pre-merge bucket counts as fallback; then per-bucket cell union
         by fingerprint with min-count eviction on full buckets."""
         self._check_compatible(other)
+        if self._touched is not None:
+            if other._touched is None:
+                self._touched = None
+            else:
+                self._touched |= other._touched
+                if len(self._touched) * 8 > self.width:
+                    self._touched = None
 
         other_pairs = other.pq.entries()  # pre-merge snapshot, sorted order
         other_fps = set(other.pq._map)
@@ -512,8 +534,17 @@ class BucketedTopK:
             "seq": self.pq.seq_counter,
             "rng_state": rng_state_to_json(self.rng),
         }
+        hints = None
+        if self._touched is not None:
+            rows = np.fromiter(self._touched, dtype=np.int64)
+            rows.sort()
+            idx = (rows[:, None] * self.depth + np.arange(self.depth)).reshape(-1)
+            hints = {"fp": idx, "cnt": idx}
         return pack_sketch(
-            header, {"fp": self.fp, "cnt": self.cnt}, {"pq": pq_to_table(self.pq)}
+            header,
+            {"fp": self.fp, "cnt": self.cnt},
+            {"pq": pq_to_table(self.pq)},
+            nonzero_hints=hints,
         )
 
     @classmethod
@@ -529,6 +560,7 @@ class BucketedTopK:
         )
         self.fp = arrays["fp"].reshape(self.width, self.depth)
         self.cnt = arrays["cnt"].reshape(self.width, self.depth)
+        self._touched = None  # deserialized state: touched set unknown
         self.pq = pq_from_table(tables["pq"], self.k, meta["seq"])
         self.min_pq_count = meta["min_pq_count"]
         if meta.get("rng_state"):

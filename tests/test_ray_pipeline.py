@@ -287,3 +287,63 @@ def test_partial_sketch_retry_idempotent(ray_session, tmp_path):
     truth = collections.Counter(keys.tolist())
     assert flag.exists()  # the failure really happened
     assert {k: v for k, v in got.items()} == dict(truth)
+
+
+def test_grouped_partials_bytes_proportional_to_content(ray_session):
+    """Long-tail cardinality contract (round-2 VERDICT #4): per-group
+    partial blobs are sparse-packed, so a one-row host's partial is
+    hundreds of bytes while the configured dense width would be ~100 KB —
+    bytes ∝ group content, not sketch width."""
+    import numpy as np
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import make_partial_sketch_fn
+
+    rng = np.random.default_rng(5)
+    # 2000 rows over 1500 hosts: mostly singleton groups (the hostname tail)
+    hosts = np.array([f"h{i}.example" for i in rng.integers(0, 1500, 2000)])
+    t = pa.table({"host": pa.array(hosts), "key": pa.array(rng.integers(0, 9, 2000))})
+    cfg = sketch_config("bucketed", k=4096, width=1 << 15, depth=4, decay=0.9, seed=3)
+    fn = make_partial_sketch_fn(cfg, "key", group_col="host")
+    out = fn(t)
+    sizes = [len(b) for b in out.column("sketch").to_pylist()]
+    counts = out.column("n_rows").to_numpy()
+    singleton = [s for s, c in zip(sizes, counts) if c == 1]
+    assert singleton and max(singleton) < 2000  # ≪ dense ~330 KB
+    # total partial volume for the whole long-tail batch stays small
+    assert sum(sizes) < 2_000_000
+
+
+def test_tokens_per_host_query_exact_vs_recompute(ray_session):
+    """The per-hostname query's sketch counts equal an independent polars
+    tokenize+count in the exact regime (k ≫ per-host vocab)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_rentry", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.queries()["tokens_per_host_sketch"]("unused")
+    assert out.num_rows == 40  # 20 hosts × top-2
+
+    import collections as _c
+
+    from hksketch.text.tokenize import tokenize_text
+
+    t = pq.read_table("/tmp/hksketch_fixtures/webpages_perhost",
+                      columns=["url", "text"])
+    per_host: dict = {}
+    for url, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+        host = url.split("//")[1].split("/")[0]
+        per_host.setdefault(host, _c.Counter()).update(tokenize_text(text))
+    for host, token, count in zip(
+        out.column("host").to_pylist(),
+        out.column("token").to_pylist(),
+        out.column("count").to_pylist(),
+    ):
+        assert per_host[host][token] == count, (host, token)
