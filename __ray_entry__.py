@@ -261,7 +261,7 @@ def _q_q1_pricing_summary(sf_dir: str):
         disc = b.column("l_discount")
 
         def cents(col, scale):
-            return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+            return pc.cast(pc.round(pc.multiply(col, float(scale)), round_mode="half_towards_infinity"), pa.int64())
 
         return pa.table(
             {
@@ -336,7 +336,7 @@ def _q_segment_revenue(sf_dir: str):
         seg = np.where(ok, vals[pos], None)
         # integer cents: order-independent exact sum (2-decimal prices)
         rev_c = pc.cast(
-            pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+            pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0)), round_mode="half_towards_infinity"),
             pa.int64(),
         )
         return pa.table(
@@ -679,7 +679,7 @@ def _q_nation_orders_join(sf_dir: str):
         return pa.table(
             {"c_nationkey": b.column("c_nationkey"),
              "rev_c": pc.cast(
-                 pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                 pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0)), round_mode="half_towards_infinity"),
                  pa.int64(),
              )}
         )
@@ -731,7 +731,7 @@ def _q_orders_semijoin_bloom(sf_dir: str):
         b = b.filter(pa.array(keep))
         # integer cents → order-independent exact revenue sum
         rev_c = pc.cast(
-            pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+            pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0)), round_mode="half_towards_infinity"),
             pa.int64(),
         )
         return pa.table({"rev_c": rev_c})
@@ -1059,15 +1059,27 @@ def _q_cms_heavy_change_users(sf_dir: str):
     # driver-side unique() (unbounded at 10^12 scale): a heavy-change key
     # must be heavy in at least one window, so a k ≫ report size candidate
     # set is sound; in the test regimes k=4096 tracks every user → exact
+    hk_k = 4096
     hk_blob = global_sketch(
         ds,
-        sketch_config("bucketed", k=4096, width=1 << 15, depth=4, decay=0.9,
+        sketch_config("bucketed", k=hk_k, width=1 << 15, depth=4, decay=0.9,
                       seed=SEED),
         key_col="user_id",
     )
     users = np.sort(
         np.asarray([u for u, _ in sketch_from_bytes(hk_blob).list()], dtype=np.int64)
     )
+    # Regime guard: exactness (and the SQL oracle) hold only while the
+    # candidate heap never filled — every user that ever appeared is
+    # tracked.  A full heap means candidates were evicted and the result
+    # is top-k-of-heavy-keys only; fail loudly rather than silently
+    # dropping keys the oracle would rank.
+    if len(users) >= hk_k:
+        raise RuntimeError(
+            f"cms_heavy_change_users: candidate heap saturated "
+            f"({len(users)} >= k={hk_k}); raise k or accept approximate "
+            "top-change-of-heavy-keys semantics"
+        )
     delta = (
         early.count_batch(users).astype(np.int64)
         - late.count_batch(users).astype(np.int64)

@@ -139,6 +139,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "docs_per_sec": round(web["n_pages"] / web_sec, 1),
         "tokens_per_sec": round(web["total_tokens"] / web_sec, 1),
         "web_pages": web["n_pages"],
+        "doc_stats_artifact": web["doc_stats_dir"],
+        "doc_stats_rows": web["doc_stats_rows"],
         "docs": n_docs,
         "events": n_events,
     }

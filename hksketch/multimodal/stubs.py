@@ -69,22 +69,26 @@ class ImageDecodeStage:
         except Exception:
             self._have_codec = False
 
-    def _decode_real(self, payloads: pa.Array) -> np.ndarray:
+    def _decode_real(self, payloads: pa.Array) -> "tuple[np.ndarray, np.ndarray]":
         """Per payload: PIL decode when the bytes ARE a decodable image;
         non-strict mode falls back to the deterministic fake for payloads
-        PIL rejects (fixture blobs are not real encodings), strict mode
-        propagates the codec error (garbage input should fail loudly)."""
+        PIL rejects (fixture blobs are not real encodings) and FLAGS the
+        row in the returned failure mask — corrupt-image rates must be
+        observable, not silently synthesized away; strict mode propagates
+        the codec error (garbage input should fail loudly)."""
         import io
 
         import PIL.Image
 
         out = np.empty((len(payloads), self.height, self.width, 3), dtype=np.uint8)
+        failed = np.zeros(len(payloads), dtype=bool)
         for i, payload in enumerate(payloads.to_pylist()):
             try:
                 img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
             except Exception:
                 if self.strict:
                     raise
+                failed[i] = True
                 out[i] = _decode_fake(
                     payloads.slice(i, 1), self.width, self.height
                 )[0]
@@ -94,12 +98,12 @@ class ImageDecodeStage:
             out[i] = np.asarray(img, dtype=np.uint8).reshape(
                 self.height, self.width, 3
             )
-        return out
+        return out, failed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.image_col).combine_chunks()
         if self._have_codec:
-            pixels = self._decode_real(payloads)
+            pixels, failed = self._decode_real(payloads)
         elif self.strict:
             raise NotImplementedError(
                 "image decode requires PIL (not in this container); "
@@ -107,6 +111,8 @@ class ImageDecodeStage:
             )
         else:
             pixels = _decode_fake(payloads, self.width, self.height)
+            # no codec at all: every row is a synthetic decode
+            failed = np.ones(len(pixels), dtype=bool)
         flat = pixels.reshape(len(pixels), -1)
         return pa.table(
             {
@@ -116,6 +122,9 @@ class ImageDecodeStage:
                 ),
                 "height": pa.array([self.height] * len(pixels), type=pa.int32()),
                 "width": pa.array([self.width] * len(pixels), type=pa.int32()),
+                # per-row decode provenance: True = deterministic fake was
+                # substituted (corrupt payload or codec-less container)
+                "decode_failed": pa.array(failed, type=pa.bool_()),
             }
         )
 

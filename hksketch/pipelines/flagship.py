@@ -113,7 +113,9 @@ def heavy_hitter_tokens(
     return t.filter(pc.greater_equal(t.column("count"), pa.scalar(thresh)))
 
 
-def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
+def bench_webpages(
+    pages_dir: str, seed: int = 12345, doc_stats_dir: Optional[str] = None
+) -> dict:
     """The scaling-benchmark workload: a full training-data pass over the
     Common-Crawl-style fixture —
 
@@ -121,12 +123,15 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
     [a] fused tokenize + HeavyKeeper top-k tokens (tree merge)
     [b] hostname top-k
     [c] HLL distinct urls
-    [d] per-doc stats: quality scores + rolling-hash fingerprint + SimHash
+    [d] per-doc stats: quality scores + rolling-hash fingerprint + SimHash,
+        WRITTEN as partitioned Parquet (``doc_stats_dir``; one file per
+        fused-stage task, side output so the partial rows stay 1-per-batch)
     [e] MinHash band rows → bucket groupby (the LSH shuffle)
 
     The extracted pages are materialized ONCE (sized well under the object
     store) and every sub-pipeline streams from that shared intermediate.
-    Returns row counts so callers can compute docs/sec.
+    Returns row counts (and the per-doc stats artifact) so callers can
+    compute docs/sec.
     """
     import pyarrow.compute as _pc
 
@@ -177,6 +182,12 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
     from ..text.tokenize import tokenize_column
 
     sh = SimHasher(seed=seed)
+    if doc_stats_dir is None:
+        doc_stats_dir = "/tmp/hksketch_bench/doc_stats"
+    import shutil as _shutil
+
+    _shutil.rmtree(doc_stats_dir, ignore_errors=True)
+    _os.makedirs(doc_stats_dir, exist_ok=True)
 
     def fused_partials(batch: pa.Table) -> pa.Table:
         # tokenize and hash ONCE; every per-doc operator shares the pass
@@ -197,10 +208,31 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
             "doc_id",
             n_tokens_precomputed=per_doc_tokens,
         )
-        doc_fingerprints_batch(
+        fps = doc_fingerprints_batch(
             token_hashes=th, doc_idx=didx, n_docs=batch.num_rows
         )
-        sh.signatures(token_hashes=th, doc_idx=didx, n_docs=batch.num_rows)
+        sims = sh.signatures(token_hashes=th, doc_idx=didx, n_docs=batch.num_rows)
+        # per-doc stats side output: each task writes its own file (names
+        # salted by pid+counter — the bench artifact is rebuilt per run)
+        stats = pa.table(
+            {
+                "url": batch.column("url"),
+                "host": batch.column("host"),
+                "n_tokens": pa.array(per_doc_tokens, type=pa.int64()),
+                "char_len": q.column("char_len"),
+                "alpha_ratio": q.column("alpha_ratio"),
+                "digit_ratio": q.column("digit_ratio"),
+                "fingerprint": pa.array(fps, type=pa.uint64()),
+                "simhash": pa.array(sims, type=pa.uint64()),
+            }
+        )
+        import pyarrow.parquet as _pq
+        import uuid as _uuid
+
+        _pq.write_table(
+            stats,
+            _os.path.join(doc_stats_dir, f"part-{_uuid.uuid4().hex[:12]}.parquet"),
+        )
         n_tok = int(per_doc_tokens.sum())
         return pa.table(
             {
@@ -208,6 +240,7 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
                 "host_sketch": pa.array([host_sk.to_bytes()], type=pa.binary()),
                 "hll": pa.array([hll.to_bytes()], type=pa.binary()),
                 "n_tokens": pa.array([n_tok], type=pa.int64()),
+                "n_docs": pa.array([batch.num_rows], type=pa.int64()),
             }
         )
 
@@ -220,11 +253,13 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
         fused_partials, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     )
     total_tokens = 0
+    stats_rows = 0
 
     def _counting_iter():
-        nonlocal total_tokens
+        nonlocal total_tokens, stats_rows
         for b in partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             total_tokens += int(np.sum(b.column("n_tokens").to_numpy()))
+            stats_rows += int(np.sum(b.column("n_docs").to_numpy()))
             yield b
 
     tok_blob, host_blob, hll_blob = tree_merge_many_streaming(
@@ -255,6 +290,8 @@ def bench_webpages(pages_dir: str, seed: int = 12345) -> dict:
         "total_tokens": total_tokens,
         "distinct_urls": distinct_urls,
         "lsh_candidates": n_candidates,
+        "doc_stats_dir": doc_stats_dir,
+        "doc_stats_rows": stats_rows,
         "topk_tokens": sketch_to_sorted_table(tok_blob, "token", limit=20),
         "topk_hosts": sketch_to_sorted_table(host_blob, "host", limit=20),
         "stage_sec": _marks,

@@ -229,15 +229,24 @@ def tree_merge_many_streaming(batch_iter, cols: list[str], fanin: int = 8) -> li
                 v = col[i].as_py()
                 if v is not None:
                     raw[c].append(v)
-            if len(raw[c]) >= fanin:
-                refs[c].append(_merge_blob_chunk.remote(raw[c]))
-                raw[c] = []
+            # flush in EXACT fanin-sized slices: a coalesced multi-row batch
+            # must not queue >fanin blobs into one chunk task, or the chunk
+            # grouping (and thus grouping-sensitive merges) would diverge
+            # from tree_merge_blobs' in-order fanin slicing
+            while len(raw[c]) >= fanin:
+                refs[c].append(_merge_blob_chunk.remote(raw[c][:fanin]))
+                raw[c] = raw[c][fanin:]
     out = []
     for c in cols:
-        items = refs[c] + raw[c]
-        if not items:
+        if not refs[c] and not raw[c]:
             out.append(b"")
             continue
+        if refs[c] and raw[c]:
+            # the tail becomes its own (partial) level-1 chunk, exactly as
+            # tree_merge_blobs' range(0, n, fanin) slicing produces
+            refs[c].append(_merge_blob_chunk.remote(raw[c]))
+            raw[c] = []
+        items = refs[c] + raw[c]
         while len(items) > fanin:
             items = [
                 _merge_blob_chunk.remote(items[i : i + fanin])
@@ -275,20 +284,14 @@ def global_sketch(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     if merge_via == "auto":
-        # Known bounded partial count (≤512) → cheap driver tree merge;
-        # anything unknown/unbounded (lazy non-file datasets report
-        # input_files() == [] and num_blocks() raises) takes the aggregate
-        # path so partials never pile up on one driver.
-        try:
-            files = ds.input_files()
-            nparts = len(files) if files else None
-        except Exception:
-            nparts = None
-        if nparts is None:
-            try:
-                nparts = ds.num_blocks()  # MaterializedDataset only
-            except Exception:
-                nparts = None
+        # Driver load is the PARTIAL count (≈ rows / batch_size — one huge
+        # file still yields millions of partials), not the file count.
+        # Parquet-footer row estimates cost no execution; unknown inputs
+        # take the aggregate path so partials never pile up on one driver.
+        from .partitioning import estimate_rows
+
+        est = estimate_rows(ds)
+        nparts = None if est is None else -(-est // max(1, batch_size))
         merge_via = "driver" if (nparts is not None and nparts <= 512) else "aggregate"
     if merge_via == "driver":
         # streaming variant of the tree merge: identical chunk grouping to

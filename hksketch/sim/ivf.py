@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from .knn import _emb_matrix, _normalize, _train_centroids
+from .knn import _emb_matrix, _normalize, _train_centroids, scattered_sample_matrix
 
 
 def _dataset_fingerprint(ds) -> str:
@@ -81,8 +81,9 @@ def build_ivf_index(
             return index_dir
     os.makedirs(index_dir, exist_ok=True)
 
-    sample_t = ds.limit(sample_rows).take_all()
-    sample = np.array([r[emb_col] for r in sample_t], dtype=np.float64)
+    # scattered (hash-of-id order) sample: storage-order independent, so
+    # source-/time-sorted inputs train unbiased centroids
+    sample = scattered_sample_matrix(ds, emb_col, id_col, sample_rows)
     C = _train_centroids(sample, n_clusters, seed)
     cref = ray.put(C)
 

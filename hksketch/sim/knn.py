@@ -148,6 +148,36 @@ def knn_bruteforce_multi(
     )
 
 
+def scattered_sample_matrix(
+    ds, emb_col: str, id_col: str, sample_rows: int, seed: int = 0x5A11
+) -> np.ndarray:
+    """Deterministic SCATTERED sample of embeddings for centroid training
+    (round-2 VERDICT #6 fix): rows are chosen by the ``sample_rows``
+    smallest ``hash(id)`` values, so the sample spans the whole dataset
+    regardless of storage order — ``ds.limit(n)`` sampled only the head of
+    the first file, silently biasing centroids (and recall) on inputs
+    sorted by source or time.  One streamed pass; each batch pre-prunes to
+    its local best ``sample_rows`` so the driver holds O(sample × batches)
+    rows at worst and usually far less."""
+    from ..hashing import hash_array
+
+    def pick(b: pa.Table) -> pa.Table:
+        h = hash_array(b.column(id_col), seed)
+        if len(h) > sample_rows:
+            keep = np.argpartition(h, sample_rows)[:sample_rows]
+            b = b.take(pa.array(np.sort(keep)))
+            h = h[np.sort(keep)]
+        return pa.table(
+            {"_h": pa.array(h, type=pa.uint64()), emb_col: b.column(emb_col)}
+        )
+
+    got = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    got.sort(key=lambda r: r["_h"])
+    return np.array(
+        [r[emb_col] for r in got[:sample_rows]], dtype=np.float64
+    )
+
+
 def _train_centroids(sample: np.ndarray, n_clusters: int, seed: int, iters: int = 5):
     rng = np.random.default_rng(seed)
     n = len(sample)
@@ -181,9 +211,9 @@ def knn_ivf(
     sample_rows: int = 4096,
 ) -> pa.Table:
     """IVF-flat approximate top-k: centroids trained on a deterministic
-    sample, search restricted to the nprobe closest clusters."""
-    sample_t = ds.limit(sample_rows).take_all()
-    sample = np.array([r[emb_col] for r in sample_t], dtype=np.float64)
+    SCATTERED sample (hash-of-id order — storage-order independent), search
+    restricted to the nprobe closest clusters."""
+    sample = scattered_sample_matrix(ds, emb_col, id_col, sample_rows)
     C = _train_centroids(sample, n_clusters, seed)
     q = np.asarray(query, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)

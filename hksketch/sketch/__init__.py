@@ -20,7 +20,7 @@ from .cuckoo import CuckooTopK
 from .hll import HyperLogLog
 from .kll import KLL
 from .pq import TopKQueue
-from .reservoir import ReservoirSample
+from .reservoir import DistinctValueSample, ReservoirSample
 from .tdigest import TDigest
 from .topk import TopK
 
@@ -35,6 +35,7 @@ __all__ = [
     "KLL",
     "TopKQueue",
     "ReservoirSample",
+    "DistinctValueSample",
     "SketchError",
     "BuilderError",
     "IncompatibleSketchError",

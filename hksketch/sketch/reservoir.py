@@ -44,6 +44,17 @@ from .base import (
 
 @register_sketch("reservoir")
 class ReservoirSample:
+    """Mergeable bottom-k sample of DISTINCT VALUES (KMV), not of rows.
+
+    .. warning::
+       Duplicate values collapse to one tag: on a non-unique column this
+       samples the distinct-value set, NOT a uniform row sample — a row
+       appearing 1000× is exactly as likely to be in the sample as one
+       appearing once.  It is a uniform ROW sample only for unique-id
+       columns (every current caller).  ``DistinctValueSample`` is the
+       honest alias; prefer it in new code.
+    """
+
     def __init__(self, k: int, seed: int = DEFAULT_SEED):
         if not isinstance(k, (int, np.integer)) or k < 1:
             raise BuilderError(f"k must be >= 1, got {k!r}")
@@ -141,3 +152,8 @@ class ReservoirSample:
             and self.items == other.items
             and self.n_seen == other.n_seen
         )
+
+
+# the semantically honest name: this class samples distinct VALUES (KMV),
+# not rows — see the class docstring warning
+DistinctValueSample = ReservoirSample

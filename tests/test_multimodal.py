@@ -27,7 +27,7 @@ def _image_table(n=8):
 def test_image_decode_schema_and_determinism():
     stage = ImageDecodeStage()
     out = stage(_image_table())
-    assert out.column_names == ["id", "pixels", "height", "width"]
+    assert out.column_names == ["id", "pixels", "height", "width", "decode_failed"]
     assert len(out.column("pixels")[0].as_py()) == 32 * 32 * 3
     out2 = ImageDecodeStage()(_image_table())
     assert out.equals(out2)  # fake decode is deterministic
@@ -184,3 +184,21 @@ def test_image_decode_real_path_with_injected_codec(monkeypatch):
     )
     yi = (np.arange(8) * 16 // 8)
     assert (got[0] == raw[yi][:, yi]).all()
+
+
+def test_decode_failed_column_flags_fallback_rows():
+    """Non-strict decode surfaces fake-substitution per row instead of
+    silently synthesizing pixels for corrupt payloads."""
+    import numpy as np
+
+    from hksketch.multimodal.stubs import ImageDecodeStage
+
+    stage = ImageDecodeStage()
+    out = stage(_image_table())
+    flags = out.column("decode_failed").to_pylist()
+    assert len(flags) == out.num_rows
+    if stage._have_codec:
+        # fixture payloads are not decodable images → all flagged
+        assert all(flags)
+    else:
+        assert all(flags)  # codec-less container: every decode is synthetic

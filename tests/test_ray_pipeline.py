@@ -347,3 +347,36 @@ def test_tokens_per_host_query_exact_vs_recompute(ray_session):
         out.column("count").to_pylist(),
     ):
         assert per_host[host][token] == count, (host, token)
+
+
+def test_bench_webpages_emits_per_doc_stats(ray_session, webpages_tiny, tmp_path):
+    """The fused pass's per-doc work is observable: fingerprints + simhash
+    + quality land in a parquet artifact with one row per page."""
+    from hksketch.pipelines.flagship import bench_webpages
+
+    out = str(tmp_path / "doc_stats")
+    r = bench_webpages(webpages_tiny, doc_stats_dir=out)
+    t = pq.read_table(out)
+    assert t.num_rows == r["n_pages"] == r["doc_stats_rows"]
+    assert {"url", "fingerprint", "simhash", "n_tokens", "alpha_ratio"} <= set(
+        t.schema.names
+    )
+    # fingerprints match the standalone kernel for a sample row (the fused
+    # pass derives them from the flagship-seed token-hash stream)
+    from hksketch.hashing import hash_array
+    from hksketch.text.analysis import doc_fingerprints_batch
+    from hksketch.text.tokenize import tokenize_column
+
+    src = pq.read_table(webpages_tiny, columns=["url", "text"])
+    url0 = src.column("url")[0].as_py()
+    toks = tokenize_column(src.column("text").combine_chunks().slice(0, 1),
+                           with_doc_index=True)
+    fp0 = doc_fingerprints_batch(
+        token_hashes=hash_array(toks.column("token"), 12345),
+        doc_idx=toks.column("doc_idx").to_numpy(),
+        n_docs=1,
+    )[0]
+    got = t.filter(pa.array(
+        [u == url0 for u in t.column("url").to_pylist()]
+    )).column("fingerprint")[0].as_py()
+    assert got == fp0

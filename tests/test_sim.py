@@ -220,3 +220,67 @@ def test_ivf_index_rebuilds_on_data_change(ray_session, tmp_path):
     os.utime(f, (os.path.getmtime(f) + 5,) * 2)  # ensure mtime moves
     build_ivf_index(rd.read_parquet(f), idx, n_clusters=4, seed=7)
     assert os.path.getmtime(os.path.join(idx, "MANIFEST.json")) > first
+
+
+def test_scattered_centroid_sample_beats_head_sample_on_sorted_input(
+    ray_session, tmp_path
+):
+    """Round-2 VERDICT #6 'done' evidence: on a cluster-SORTED dataset the
+    old head sample (ds.limit) sees only the first clusters and IVF recall
+    collapses; the scattered hash-of-id sample trains on all of them."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hksketch.sim.knn import (
+        _train_centroids,
+        knn_bruteforce,
+        knn_ivf,
+        scattered_sample_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)) * 4
+    rows_per = 500
+    embs = np.concatenate(
+        [c + rng.standard_normal((rows_per, 16)) * 0.3 for c in centers]
+    )  # SORTED by cluster: rows 0-499 cluster 0, etc.
+    ids = np.arange(len(embs), dtype=np.int64)
+    t = pa.table(
+        {"vec_id": pa.array(ids),
+         "embedding": pa.array(embs.tolist(), type=pa.list_(pa.float64()))}
+    )
+    f = str(tmp_path / "sorted_embs.parquet")
+    pq.write_table(t, f)
+    ds = rd.read_parquet(f)
+
+    # scattered sample spans all clusters; head sample cannot
+    sample = scattered_sample_matrix(ds, "embedding", "vec_id", 256)
+    d_scatter = np.linalg.norm(sample[:, None, :] - centers[None], axis=2).min(1)
+    head = embs[:256]
+    seen_scatter = len(
+        set(np.linalg.norm(sample[:, None, :] - centers[None], axis=2).argmin(1))
+    )
+    seen_head = len(
+        set(np.linalg.norm(head[:, None, :] - centers[None], axis=2).argmin(1))
+    )
+    assert seen_scatter == 8
+    assert seen_head == 1  # the bias the fix removes
+
+    # end-to-end recall: query in the LAST cluster (never in the head)
+    q = centers[-1]
+    truth = set(knn_bruteforce(ds, q, k=10).column("vec_id").to_pylist())
+    got = set(
+        knn_ivf(ds, q, k=10, n_clusters=8, nprobe=2, sample_rows=256)
+        .column("vec_id")
+        .to_pylist()
+    )
+    recall = len(truth & got) / 10
+    assert recall >= 0.9
+
+    # the head-sample strategy on the same input: train on embs[:256] only
+    C_head = _train_centroids(head, 8, 7)
+    qn = q / np.linalg.norm(q)
+    # all head centroids sit in cluster 0's ball — far from the query
+    assert np.max((C_head / np.linalg.norm(C_head, axis=1, keepdims=True)) @ qn) < 0.5
