@@ -159,6 +159,12 @@ def main() -> None:
         levels = tuple(
             int(x) for x in os.environ.get("HK_SCALING_LEVELS", "4,16").split(",")
         )
+        # run-to-run wall time on this shared box varies ±30% with
+        # background contention; each level runs HK_SCALING_REPEATS times
+        # (fresh process each) and the FASTEST run represents the level —
+        # the least-contended observation is the closest proxy for a
+        # dedicated node
+        repeats = int(os.environ.get("HK_SCALING_REPEATS", "2"))
         results = {}
         for n in levels:
             env = dict(
@@ -173,14 +179,22 @@ def main() -> None:
                     "HK_BENCH_PAGES_DIR", "/tmp/hkfix/webpages_scaling"
                 ),
             )
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-            results[n] = json.loads(out.strip().splitlines()[-1])
+            best = None
+            for _ in range(repeats):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                got = json.loads(out.strip().splitlines()[-1])
+                if best is None or (
+                    got["queries"]["webpages_pass"]
+                    < best["queries"]["webpages_pass"]
+                ):
+                    best = got
+            results[n] = best
         lo, hi = levels
         t_lo = results[lo]["queries"]["webpages_pass"]
         t_hi = results[hi]["queries"]["webpages_pass"]

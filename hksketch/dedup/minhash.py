@@ -42,9 +42,15 @@ class MinHasher:
         self.mult = (rng.integers(1, 2**63, self.num_perm, dtype=np.uint64) << U64(1)) | U64(1)
         self.offs = rng.integers(0, 2**63, self.num_perm, dtype=np.uint64)
 
-    def shingle_hashes(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-        """→ (shingle_hash uint64[], doc_idx int64[]) over word n-grams."""
-        toks = tokenize_column(texts, with_doc_index=True)
+    def shingle_hashes(
+        self, texts: pa.Array = None, *, toks: pa.Table = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (shingle_hash uint64[], doc_idx int64[]) over word n-grams.
+
+        ``toks`` (a ``tokenize_column(..., with_doc_index=True)`` table) may
+        be passed to share ONE tokenize pass across fused operators."""
+        if toks is None:
+            toks = tokenize_column(texts, with_doc_index=True)
         idx = toks.column("doc_idx").to_numpy()
         n = self.ngram
         if toks.num_rows == 0:
@@ -61,29 +67,50 @@ class MinHasher:
         ok = idx[n - 1 :] == gidx
         return acc[ok], gidx[ok]
 
-    def signatures(self, texts: pa.Array) -> np.ndarray:
+    def signatures(
+        self, texts: pa.Array = None, *, toks: pa.Table = None, n_docs: int = None
+    ) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix; empty docs get
         all-max sentinel signatures (never collide)."""
-        sh, didx = self.shingle_hashes(texts)
-        n_docs = len(texts)
+        sh, didx = self.shingle_hashes(texts, toks=toks)
+        if n_docs is None:
+            n_docs = len(texts)
         sig = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         if len(sh) == 0:
             return sig
         # didx is nondecreasing (shingles in document order): segment mins
-        # via reduceat are ~20x faster than np.minimum.at scatter.
-        docs_with = np.unique(didx)
-        starts = np.searchsorted(didx, docs_with)
+        # via reduceat are ~20x faster than np.minimum.at scatter.  The
+        # shingle array is processed in L2-sized TILES so all num_perm
+        # passes run over cache-resident data — the untiled form streams
+        # the full array from DRAM once per permutation, which is the
+        # dominant memory traffic of the fused web-pass at high
+        # concurrency (doc segments split by a tile boundary recombine via
+        # min, which is associative, so tiling is exact).
+        tile = 1 << 16
         with np.errstate(over="ignore"):  # mod-2^64 permutations
-            for p in range(self.num_perm):
-                transformed = sh * self.mult[p] + self.offs[p]
-                sig[docs_with, p] = np.minimum.reduceat(transformed, starts)
+            for s in range(0, len(sh), tile):
+                e = min(s + tile, len(sh))
+                sub, sdid = sh[s:e], didx[s:e]
+                docs_w = np.unique(sdid)
+                starts = np.searchsorted(sdid, docs_w)
+                for p in range(self.num_perm):
+                    transformed = sub * self.mult[p] + self.offs[p]
+                    part = np.minimum.reduceat(transformed, starts)
+                    np.minimum(sig[docs_w, p], part, out=part)
+                    sig[docs_w, p] = part
         return sig
 
     def band_rows(
-        self, texts: pa.Array, ids: np.ndarray, bands: int
+        self,
+        texts: pa.Array = None,
+        ids: np.ndarray = None,
+        bands: int = 32,
+        *,
+        toks: pa.Table = None,
     ) -> pa.Table:
         """Explode signatures to (band_id, band_hash, doc_id) rows."""
-        sig = self.signatures(texts)
+        sig = self.signatures(texts, toks=toks,
+                              n_docs=len(ids) if texts is None else None)
         r = self.num_perm // bands
         out_band, out_hash, out_id = [], [], []
         maxu = np.iinfo(np.uint64).max
@@ -250,126 +277,105 @@ def verify_pairs_distributed(
     id_col: str,
     threshold: float,
 ) -> pa.Table:
-    """Exact-Jaccard verification of candidate pairs, fully distributed
-    (round-2 VERDICT #3: no driver-held shingle dict, no per-pair Python
-    loop).  Two bounded cogroup shuffles:
+    """Exact-Jaccard verification of candidate pairs, distributed (round-2
+    VERDICT #3: no driver-held shingle dict, no per-pair Python loop).
 
-    1. union(candidate shingle rows, pair-side rows) sharded by
-       hash(doc_id): each shard attaches the doc's shingle list to its
-       pair-sides via one searchsorted — O(shard) numpy;
-    2. attached rows sharded by hash(pair_id): each shard computes every
-       pair's |A∩B| with ONE lexsort over the flattened shingle values
-       (each value occurs ≤2× per pair since sides are sorted-unique, so
-       duplicate-adjacency counts are exactly the intersection), then
-       J = |A∩B| / (|A|+|B|−|A∩B|) vectorized.
+    Shape — ONE fused scan + ONE bounded shuffle:
 
-    Both shuffles carry only candidate shingle lists — volume ∝ candidate
-    docs, never the corpus.  Two shingle-less docs are identical under
-    this metric (J=1), matching the driver-loop semantics it replaces."""
-    import ray.data as rd
+    1. the (doc_id, pair_id) side table (two ints per pair — the same
+       driver-bounded volume as the candidate table itself) is broadcast
+       once; a fused ``map_batches`` scan re-shingles ONLY candidate rows
+       and emits each doc's sorted-unique shingle list once per pair-side
+       it participates in, already tagged with the pair's shard;
+    2. ``groupby(shard)`` brings both sides of each pair together; every
+       pair's |A∩B| comes from one lexsort over the flattened shingle
+       values (each value occurs ≤2× per pair since sides are sorted-
+       unique, so duplicate-adjacency counts are exactly the intersection);
+       the stage returns only (pair_id, total, inter) scalars;
+    3. the driver folds the scalars into J = inter / (total − inter)
+       vectorized; pairs with no emitted side (docs absent from ``ds``)
+       behave as empty shingle sets (J=1 when both empty), matching the
+       pre-distributed semantics.
 
-    shingle_rows = candidate_shingle_rows(ds, cand, mh, text_col, id_col)
+    Shingle lists live only in workers and the one shuffle; its volume is
+    Σ per-pair |shingles| — bounded by candidate docs, never the corpus."""
+    import ray
+
     n_pairs = cand.num_rows
     shards = max(16, min(1 << 14, 1 << max(0, (n_pairs // 100_000).bit_length())))
-
-    pair_ids = np.arange(n_pairs, dtype=np.int64)
     a_np = cand.column("a").to_numpy().astype(np.int64)
     b_np = cand.column("b").to_numpy().astype(np.int64)
-    side_rows = pa.table(
-        {
-            "doc_id": pa.array(np.concatenate([a_np, b_np]), type=pa.int64()),
-            "pair_id": pa.array(np.tile(pair_ids, 2), type=pa.int64()),
-            "a": pa.array(np.tile(a_np, 2), type=pa.int64()),
-            "b": pa.array(np.tile(b_np, 2), type=pa.int64()),
-            "shingles": pa.array([None] * (2 * n_pairs), type=pa.list_(pa.uint64())),
-        }
-    )
+    pair_ids = np.arange(n_pairs, dtype=np.int64)
+    side_doc = np.concatenate([a_np, b_np])
+    side_pair = np.tile(pair_ids, 2)
+    order = np.argsort(side_doc, kind="stable")
+    sd, sp = side_doc[order], side_pair[order]
+    sides_ref = ray.put((sd, sp))
+    need = np.unique(side_doc)
 
-    def tag_shingle(bt: pa.Table) -> pa.Table:
+    def gather_attach(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair_id": pa.array([], type=pa.int64()),
+             "shard": pa.array([], type=pa.int32()),
+             "shingles": pa.array([], type=pa.list_(pa.uint64()))}
+        )
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        from ..hashing import membership_mask
+
+        mask = membership_mask(ids, need)
+        if not mask.any():
+            return empty
+        sub = b.take(pa.array(np.flatnonzero(mask)))
+        sh, didx = mh.shingle_hashes(sub.column(text_col).combine_chunks())
+        out_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.searchsorted(didx, np.arange(len(out_ids)))
+        ends = np.append(starts[1:], len(didx))
+        _sd, _sp = ray.get(sides_ref)
+        out_pair: list[np.ndarray] = []
+        out_lists: list[np.ndarray] = []
+        for d in range(len(out_ids)):
+            lo = np.searchsorted(_sd, out_ids[d], side="left")
+            hi = np.searchsorted(_sd, out_ids[d], side="right")
+            if hi == lo:
+                continue
+            lst = np.unique(sh[starts[d] : ends[d]])
+            for pidx in _sp[lo:hi]:
+                out_pair.append(pidx)
+                out_lists.append(lst)
+        if not out_pair:
+            return empty
+        pid = np.asarray(out_pair, dtype=np.int64)
+        lens = np.array([len(l) for l in out_lists], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        flat = (
+            np.concatenate(out_lists)
+            if lens.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
         return pa.table(
             {
-                "doc_id": bt.column("doc_id"),
-                "pair_id": pa.array(
-                    np.full(bt.num_rows, -1, dtype=np.int64), type=pa.int64()
+                "pair_id": pa.array(pid, type=pa.int64()),
+                "shard": pa.array(
+                    (splitmix64(pid.astype(np.uint64)) & U64(shards - 1)).astype(
+                        np.int32
+                    )
                 ),
-                "a": pa.array(np.full(bt.num_rows, -1, dtype=np.int64)),
-                "b": pa.array(np.full(bt.num_rows, -1, dtype=np.int64)),
-                "shingles": bt.column("shingles").cast(pa.list_(pa.uint64())),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(flat, type=pa.uint64()),
+                ),
             }
         )
 
-    def by_doc(bt: pa.Table) -> pa.Table:
-        d = bt.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return bt.append_column(
-            "shard", pa.array((splitmix64(d) & U64(shards - 1)).astype(np.int32))
-        )
-
-    unioned = (
-        shingle_rows.map_batches(tag_shingle, batch_format="pyarrow", zero_copy_batch=True)
-        .union(rd.from_arrow(side_rows))
-        .map_batches(by_doc, batch_format="pyarrow", zero_copy_batch=True)
+    attached = ds.map_batches(
+        gather_attach, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def attach(g: pa.Table) -> pa.Table:
+    def reduce_pairs(g: pa.Table) -> pa.Table:
         empty = pa.table(
             {"pair_id": pa.array([], type=pa.int64()),
-             "a": pa.array([], type=pa.int64()),
-             "b": pa.array([], type=pa.int64()),
-             "shingles": pa.array([], type=pa.list_(pa.uint64()))}
-        )
-        pid = g.column("pair_id").to_numpy(zero_copy_only=False)
-        is_side = pid >= 0
-        if not is_side.any():
-            return empty
-        docs = g.filter(pa.array(~is_side))
-        sides = g.filter(pa.array(is_side))
-        doc_ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(doc_ids)
-        doc_ids = doc_ids[order]
-        doc_lists = docs.column("shingles").combine_chunks().take(pa.array(order))
-        want = sides.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(doc_ids, want)
-        pos_ok = pos < len(doc_ids)
-        found = np.zeros(len(want), dtype=bool)
-        found[pos_ok] = doc_ids[pos[pos_ok]] == want[pos_ok]
-        # docs absent from the dataset behave as empty shingle sets (the
-        # pre-distributed semantics: sets.get(id, empty))
-        if found.any():
-            taken = doc_lists.take(pa.array(np.where(found, pos, 0)))
-            lens = pc.list_value_length(taken).to_numpy(zero_copy_only=False)
-            flat = taken.flatten().to_numpy(zero_copy_only=False)
-            keep_val = np.repeat(found, lens)
-            new_lens = np.where(found, lens, 0)
-            offs = np.concatenate(([0], np.cumsum(new_lens))).astype(np.int32)
-            out = pa.ListArray.from_arrays(
-                pa.array(offs, type=pa.int32()),
-                pa.array(flat[keep_val], type=pa.uint64()),
-            )
-        else:
-            out = pa.ListArray.from_arrays(
-                pa.array(np.zeros(len(want) + 1, dtype=np.int32), type=pa.int32()),
-                pa.array([], type=pa.uint64()),
-            )
-        return pa.table(
-            {"pair_id": sides.column("pair_id"),
-             "a": sides.column("a"),
-             "b": sides.column("b"),
-             "shingles": out}
-        )
-
-    attached = unioned.groupby("shard").map_groups(attach, batch_format="pyarrow")
-
-    def by_pair(bt: pa.Table) -> pa.Table:
-        p = bt.column("pair_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return bt.append_column(
-            "shard", pa.array((splitmix64(p) & U64(shards - 1)).astype(np.int32))
-        )
-
-    def verify(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"a": pa.array([], type=pa.int64()),
-             "b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
+             "total": pa.array([], type=pa.int64()),
+             "inter": pa.array([], type=pa.int64())}
         )
         if g.num_rows == 0:
             return empty
@@ -381,40 +387,37 @@ def verify_pairs_distributed(
         lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = lists.flatten().to_numpy(zero_copy_only=False)
         upid, pstart = np.unique(pid, return_index=True)
-        total = np.add.reduceat(lens, pstart) if len(lens) else np.zeros(0, np.int64)
+        total = np.add.reduceat(lens, pstart)
         pair_of_val = np.repeat(np.searchsorted(upid, pid), lens)
         vo = np.lexsort((flat, pair_of_val))
         pv, fv = pair_of_val[vo], flat[vo]
         dup = (pv[1:] == pv[:-1]) & (fv[1:] == fv[:-1])
         inter = np.bincount(pv[1:][dup], minlength=len(upid))
-        union = total - inter
-        with np.errstate(invalid="ignore", divide="ignore"):
-            j = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
-        keep = j >= threshold
         return pa.table(
-            {"a": pa.array(t.column("a").to_numpy(zero_copy_only=False)[pstart][keep],
-                           type=pa.int64()),
-             "b": pa.array(t.column("b").to_numpy(zero_copy_only=False)[pstart][keep],
-                           type=pa.int64()),
-             "jaccard": pa.array(j[keep], type=pa.float64())}
+            {"pair_id": pa.array(upid, type=pa.int64()),
+             "total": pa.array(total, type=pa.int64()),
+             "inter": pa.array(inter.astype(np.int64), type=pa.int64())}
         )
 
     got = (
-        attached.map_batches(by_pair, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("shard")
-        .map_groups(verify, batch_format="pyarrow")
-        .to_arrow_refs()
+        attached.groupby("shard")
+        .map_groups(reduce_pairs, batch_format="pyarrow")
+        .take_all()
     )
-    import ray
-
-    parts = [r for r in ray.get(got) if r.num_rows]
-    if not parts:
-        return pa.table(
-            {"a": pa.array([], type=pa.int64()),
-             "b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
-        )
-    out = pa.concat_tables(parts)
+    total = np.zeros(n_pairs, dtype=np.int64)
+    inter = np.zeros(n_pairs, dtype=np.int64)
+    for r in got:  # ≤ one scalar row per pair — the cand-table volume
+        total[r["pair_id"]] = r["total"]
+        inter[r["pair_id"]] = r["inter"]
+    union = total - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        j = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    keep = j >= threshold
+    out = pa.table(
+        {"a": pa.array(a_np[keep], type=pa.int64()),
+         "b": pa.array(b_np[keep], type=pa.int64()),
+         "jaccard": pa.array(j[keep], type=pa.float64())}
+    )
     return out.sort_by([("a", "ascending"), ("b", "ascending")])
 
 

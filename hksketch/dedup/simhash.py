@@ -49,16 +49,30 @@ class SimHasher:
             n_docs = len(texts)
         sig = np.zeros(n_docs, dtype=np.uint64)
         if len(h):
-            # didx nondecreasing → per-doc ±1 bit votes via segment sums
-            # (64 vectorized passes beat a 2D-reduceat by ~7x in practice)
-            docs_with = np.unique(didx)
-            starts = np.searchsorted(didx, docs_with)
-            totals = np.add.reduceat(np.ones(len(h), dtype=np.int32), starts)
-            for b in range(64):
-                ones = np.add.reduceat(
-                    ((h >> U64(b)) & U64(1)).astype(np.int32), starts
+            # didx nondecreasing → per-doc ±1 bit votes via segment sums,
+            # TILED so all 64 bit passes run over L2-resident slices (the
+            # untiled form streams the token-hash array from DRAM 64×,
+            # which throttles the fused web-pass at high concurrency);
+            # per-tile partial vote counts are additive, so tiling is exact
+            ones_acc = np.zeros((n_docs, 64), dtype=np.int32)
+            totals = np.zeros(n_docs, dtype=np.int64)
+            tile = 1 << 16
+            for s in range(0, len(h), tile):
+                e = min(s + tile, len(h))
+                sub, sdid = h[s:e], didx[s:e]
+                docs_w = np.unique(sdid)
+                starts = np.searchsorted(sdid, docs_w)
+                totals[docs_w] += np.add.reduceat(
+                    np.ones(len(sub), dtype=np.int64), starts
                 )
-                sig[docs_with] |= ((2 * ones) > totals).astype(np.uint64) << U64(b)
+                for b in range(64):
+                    ones_acc[docs_w, b] += np.add.reduceat(
+                        ((sub >> U64(b)) & U64(1)).astype(np.int32), starts
+                    )
+            wins = (2 * ones_acc) > totals[:, None]
+            sig = (
+                wins.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
         return sig
 
 

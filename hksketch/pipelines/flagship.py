@@ -164,24 +164,23 @@ def bench_webpages(
         )
         return pa.table({"url": batch.column("url"), "host": host, "text": text})
 
+    # ONE fused per-doc pass over ONE streamed scan (round-3: the round-2
+    # shape materialized extracted pages and re-scanned them for the LSH
+    # band stage; both the materialize and the second scan were the fixed
+    # costs capping 8→32 scaling).  Every per-document kernel — sketches,
+    # quality, fingerprint, SimHash, MinHash banding — runs on the batch
+    # while it is hot in cache, sharing a single tokenize, and emits one
+    # partial row per batch; pages are never materialized.
     pages = ds.map_batches(
         extract, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
-    ).materialize()
-    n_pages = pages.count()
-    _t0 = _mark("extract_materialize", _t0)
-
-    # ONE fused per-doc pass: every per-document kernel runs on the batch
-    # while it is hot in cache, emitting a single partial row per batch —
-    # stage-fusion keeps the fixed per-execution cost at 2 dataset runs
-    # total instead of 6.
-    from ray.data.aggregate import Sum
-
-    from ..dedup.minhash import lsh_candidate_pairs
+    )
+    from ..dedup.minhash import MinHasher, lsh_candidate_pairs
     from ..hashing import hash_array
     from ..sketch import BucketedTopK, HyperLogLog
     from ..text.tokenize import tokenize_column
 
     sh = SimHasher(seed=seed)
+    mh = MinHasher(num_perm=64, ngram=3, seed=seed)
     if doc_stats_dir is None:
         doc_stats_dir = "/tmp/hksketch_bench/doc_stats"
     import shutil as _shutil
@@ -233,6 +232,11 @@ def bench_webpages(
             stats,
             _os.path.join(doc_stats_dir, f"part-{_uuid.uuid4().hex[:12]}.parquet"),
         )
+        # MinHash banding from the SAME tokenize pass (doc ids from urls)
+        doc_ids = (hash_array(batch.column("url"), 7) >> np.uint64(1)).astype(
+            np.int64
+        )
+        bt = mh.band_rows(ids=doc_ids, bands=16, toks=toks)
         n_tok = int(per_doc_tokens.sum())
         return pa.table(
             {
@@ -241,6 +245,15 @@ def bench_webpages(
                 "hll": pa.array([hll.to_bytes()], type=pa.binary()),
                 "n_tokens": pa.array([n_tok], type=pa.int64()),
                 "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+                "band_id": pa.array(
+                    [bt.column("band_id").to_numpy()], type=pa.list_(pa.int32())
+                ),
+                "band_hash": pa.array(
+                    [bt.column("band_hash").to_numpy()], type=pa.list_(pa.uint64())
+                ),
+                "band_doc": pa.array(
+                    [bt.column("doc_id").to_numpy()], type=pa.list_(pa.int64())
+                ),
             }
         )
 
@@ -254,35 +267,42 @@ def bench_webpages(
     )
     total_tokens = 0
     stats_rows = 0
+    band_refs: list = []
+    import ray as _ray
 
     def _counting_iter():
         nonlocal total_tokens, stats_rows
         for b in partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             total_tokens += int(np.sum(b.column("n_tokens").to_numpy()))
             stats_rows += int(np.sum(b.column("n_docs").to_numpy()))
+            # band rows go back to the object store as flat tables; the
+            # driver holds REFS only (from_arrow_refs re-assembles the
+            # Dataset for the LSH shuffle without a second page scan)
+            band_refs.append(
+                _ray.put(
+                    pa.table(
+                        {
+                            "band_id": b.column("band_id").combine_chunks().flatten(),
+                            "band_hash": b.column("band_hash")
+                            .combine_chunks()
+                            .flatten(),
+                            "doc_id": b.column("band_doc").combine_chunks().flatten(),
+                        }
+                    )
+                )
+            )
             yield b
 
     tok_blob, host_blob, hll_blob = tree_merge_many_streaming(
         _counting_iter(), ["tok_sketch", "host_sketch", "hll"]
     )
-    _t0 = _mark("fused_partials_and_merge", _t0)
+    n_pages = stats_rows
+    _t0 = _mark("fused_single_pass_and_merge", _t0)
     distinct_urls = int(round(sketch_from_bytes(hll_blob).estimate()))
     _t0 = _mark("tree_merges", _t0)
 
-    mh = MinHasher(num_perm=64, ngram=3, seed=seed)
-
-    def band_stage(batch: pa.Table) -> pa.Table:
-        doc_ids = (hash_array(batch.column("url"), 7) >> np.uint64(1)).astype(
-            np.int64
-        )  # stable global doc id from the url
-        return mh.band_rows(
-            batch.column("text").combine_chunks(), doc_ids, bands=16
-        )
-
-    bands = pages.map_batches(
-        band_stage, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
-    )
-    n_candidates = lsh_candidate_pairs(bands, est_row_multiplier=16).num_rows
+    bands = rd.from_arrow_refs(band_refs)
+    n_candidates = lsh_candidate_pairs(bands, est_row_multiplier=1).num_rows
     _t0 = _mark("lsh", _t0)
 
     return {

@@ -114,6 +114,42 @@ def _lang_id_batch_reference(texts: pa.Array) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def _ascii_class_counts(texts: pa.Array):
+    """Per-doc (alpha_count, digit_count) via byte-class masks + one
+    segment-sum each over the raw UTF-8 buffer — exactly the counts of the
+    SQL ``[A-Za-z]`` / ``[0-9]`` character classes (those classes are pure
+    ASCII, and ASCII bytes never occur inside multi-byte UTF-8 sequences).
+    Returns None for layouts the fast path doesn't cover (nulls, non-flat
+    string arrays) — callers fall back to the regex path."""
+    if not isinstance(texts, pa.Array) or texts.null_count:
+        return None
+    if not (pa.types.is_string(texts.type) or pa.types.is_large_string(texts.type)):
+        return None
+    bufs = texts.buffers()
+    odt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt)[
+        texts.offset : texts.offset + len(texts) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    seg_len = np.diff(offsets)
+    n = len(texts)
+    if len(data) == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return z, z
+    alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+    digit = (data >= 48) & (data <= 57)
+    # reduceat quirk: an empty segment returns data[start] (and a start ==
+    # len(data) raises) — clip starts and zero empty segments afterwards
+    starts = np.minimum(offsets[:-1], len(data) - 1)
+    a = np.add.reduceat(alpha.astype(np.int64), starts)
+    d = np.add.reduceat(digit.astype(np.int64), starts)
+    empty = seg_len == 0
+    a[empty] = 0
+    d[empty] = 0
+    return a, d
+
+
 def quality_scores_batch(
     batch: pa.Table,
     text_col: str,
@@ -139,21 +175,28 @@ def quality_scores_batch(
         from .tokenize import token_counts_per_doc
 
         n_tokens = pa.array(token_counts_per_doc(texts), type=pa.int64())
-    try:  # polars count_matches: same counts, ~10x faster than regex replace
-        import polars as pl
+    counts = _ascii_class_counts(texts)
+    if counts is not None:  # bytewise numpy: one pass per class, no regex
+        alpha = pa.array(counts[0].astype("float64"))
+        digit = pa.array(counts[1].astype("float64"))
+    else:
+        try:  # polars count_matches: same counts, ~10x faster than regex replace
+            import polars as pl
 
-        s = pl.from_arrow(texts)
-        alpha = pa.array(
-            s.str.count_matches("[A-Za-z]").to_numpy().astype("float64")
-        )
-        digit = pa.array(s.str.count_matches("[0-9]").to_numpy().astype("float64"))
-    except Exception:  # pragma: no cover
-        alpha = pc.utf8_length(
-            pc.replace_substring_regex(texts, pattern="[^A-Za-z]", replacement="")
-        ).cast(pa.float64())
-        digit = pc.utf8_length(
-            pc.replace_substring_regex(texts, pattern="[^0-9]", replacement="")
-        ).cast(pa.float64())
+            s = pl.from_arrow(texts)
+            alpha = pa.array(
+                s.str.count_matches("[A-Za-z]").to_numpy().astype("float64")
+            )
+            digit = pa.array(
+                s.str.count_matches("[0-9]").to_numpy().astype("float64")
+            )
+        except Exception:  # pragma: no cover
+            alpha = pc.utf8_length(
+                pc.replace_substring_regex(texts, pattern="[^A-Za-z]", replacement="")
+            ).cast(pa.float64())
+            digit = pc.utf8_length(
+                pc.replace_substring_regex(texts, pattern="[^0-9]", replacement="")
+            ).cast(pa.float64())
     denom = pc.max_element_wise(char_len.cast(pa.float64()), pa.scalar(1.0))
     return pa.table(
         {

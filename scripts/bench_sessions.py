@@ -65,16 +65,18 @@ def main() -> None:
     os.makedirs(path, exist_ok=True)
     import pyarrow.parquet as pq
 
-    f = os.path.join(path, "events.parquet")
+    f = os.path.join(path, f"events_{n}_{users}.parquet")
     if not os.path.exists(f):
         pq.write_table(t, f)
 
     import ray.data as rd
 
+    from hksketch.ray_glue.partitioning import auto_shards
+
+    ds = rd.read_parquet(f, columns=["user_id", "ts"])
+    shards = auto_shards(ds, target_rows_per_shard=2_000_000)
     t0 = time.perf_counter()
-    new_rows = sessionize(
-        rd.read_parquet(f, columns=["user_id", "ts"]), shards=256
-    ).count()
+    new_rows = sessionize(ds, shards=shards).count()
     new_sec = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -82,8 +84,19 @@ def main() -> None:
     old_sec = time.perf_counter() - t0
 
     assert new_rows == old_rows == users, (new_rows, old_rows)
+    # per-task memory bound evidence: the largest shard group's row count
+    # (== the one in-memory Arrow table a scan task sorts)
+    from hksketch.hashing import splitmix64
+
+    uid = t.column("user_id").to_numpy().astype(np.uint64)
+    per_shard = np.bincount(
+        (splitmix64(uid) & np.uint64(shards - 1)).astype(np.int64),
+        minlength=shards,
+    )
     print(json.dumps(
         {"metric": "sessionize_10M", "n_events": n, "n_users": users,
+         "auto_shards": int(shards),
+         "max_shard_rows": int(per_shard.max()),
          "new_sec": round(new_sec, 2), "old_sec": round(old_sec, 2),
          "speedup": round(old_sec / new_sec, 1),
          "new_events_per_sec": int(n / new_sec)}
