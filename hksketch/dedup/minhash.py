@@ -298,7 +298,16 @@ def verify_pairs_distributed(
        pre-distributed semantics.
 
     Shingle lists live only in workers and the one shuffle; its volume is
-    Σ per-pair |shingles| — bounded by candidate docs, never the corpus."""
+    Σ per-pair |shingles| — bounded by candidate docs, never the corpus.
+
+    Regime bound: the candidate PAIR table (two int64 per pair) is held on
+    the driver and broadcast — ~16 MB per million pairs.  That is the same
+    bound ``lsh_candidate_pairs`` already imposes upstream; if a corpus
+    produces more candidates than driver memory, tighten the banding
+    (fewer bands / more rows per band raises the collision threshold) or
+    partition the corpus and run per-partition passes — raw candidate
+    volume beyond that is a parameter-choice signal, not a verify-stage
+    scaling wall."""
     import ray
 
     n_pairs = cand.num_rows

@@ -378,32 +378,120 @@ def embedding_near_dupes_lsh(
     if cand.num_rows == 0:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64())})
-    # candidate id set is small → closure-broadcast, stateless gather stage
-    need = np.unique(
-        np.concatenate([cand.column("a").to_numpy(), cand.column("b").to_numpy()])
-    ).astype(np.int64)
-
-    def gather(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy().astype(np.int64)
-        sub = b.filter(pa.array(membership_mask(ids, need)))
-        return sub.select([id_col, emb_col])
-
-    got = ds.map_batches(
-        gather, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    vecs = {}
-    for r in got:
-        v = np.asarray(r[emb_col], dtype=np.float64)
-        nv = np.linalg.norm(v)
-        vecs[r[id_col]] = v / (nv or 1.0)
-    a_ids = cand.column("a").to_pylist()
-    b_ids = cand.column("b").to_pylist()
-    A = np.stack([vecs[i] for i in a_ids])
-    B = np.stack([vecs[i] for i in b_ids])
-    sims = np.einsum("ij,ij->i", A, B)
+    sims = verify_pair_cosines(ds, cand, emb_col, id_col)
     keep = sims >= threshold
     out = pa.table(
-        {"a": pa.array(np.asarray(a_ids)[keep], type=pa.int64()),
-         "b": pa.array(np.asarray(b_ids)[keep], type=pa.int64())}
+        {"a": pa.array(cand.column("a").to_numpy()[keep], type=pa.int64()),
+         "b": pa.array(cand.column("b").to_numpy()[keep], type=pa.int64())}
     )
     return out.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def verify_pair_cosines(
+    ds, cand: pa.Table, emb_col: str, id_col: str, shards: Optional[int] = None
+) -> np.ndarray:
+    """Exact cosine for each candidate (a, b) pair, distributed — the
+    embedding-side sibling of ``dedup.minhash.verify_pairs_distributed``
+    (round-2 VERDICT: no driver-held vector dict).
+
+    Broadcast the (doc_id, pair_id) side table (two ints per pair); one
+    fused scan emits each candidate doc's NORMALIZED vector once per
+    pair-side, tagged with the pair's shard; one bounded shuffle brings
+    both sides together and each shard computes its pairs' dot products
+    vectorized.  The driver receives one float per pair.  Pairs with a
+    side absent from ``ds`` get cosine −inf (never pass a threshold)."""
+    import ray
+
+    from ..hashing import splitmix64
+
+    n_pairs = cand.num_rows
+    if shards is None:
+        shards = max(16, min(1 << 14, 1 << max(0, (n_pairs // 100_000).bit_length())))
+    a_np = cand.column("a").to_numpy().astype(np.int64)
+    b_np = cand.column("b").to_numpy().astype(np.int64)
+    side_doc = np.concatenate([a_np, b_np])
+    side_pair = np.tile(np.arange(n_pairs, dtype=np.int64), 2)
+    side_slot = np.repeat(np.array([0, 1], dtype=np.int8), n_pairs)
+    order = np.argsort(side_doc, kind="stable")
+    sides_ref = ray.put((side_doc[order], side_pair[order], side_slot[order]))
+    need = np.unique(side_doc)
+
+    def gather_attach(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair_id": pa.array([], type=pa.int64()),
+             "slot": pa.array([], type=pa.int8()),
+             "shard": pa.array([], type=pa.int32()),
+             emb_col: pa.array([], type=pa.list_(pa.float64()))}
+        )
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = membership_mask(ids, need)
+        if not mask.any():
+            return empty
+        sub = b.take(pa.array(np.flatnonzero(mask)))
+        m = _normalize(_emb_matrix(sub.column(emb_col)))
+        sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        _sd, _sp, _sl = ray.get(sides_ref)
+        lo = np.searchsorted(_sd, sub_ids, side="left")
+        hi = np.searchsorted(_sd, sub_ids, side="right")
+        reps = (hi - lo).astype(np.int64)
+        if reps.sum() == 0:
+            return empty
+        # each doc's vector repeats once per pair-side it participates in
+        doc_of_row = np.repeat(np.arange(len(sub_ids)), reps)
+        take = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        pid = _sp[take]
+        vecs = m[doc_of_row]
+        flat = vecs.reshape(-1)
+        offs = np.arange(len(pid) + 1, dtype=np.int32) * m.shape[1]
+        return pa.table(
+            {
+                "pair_id": pa.array(pid, type=pa.int64()),
+                "slot": pa.array(_sl[take], type=pa.int8()),
+                "shard": pa.array(
+                    (splitmix64(pid.astype(np.uint64)) & np.uint64(shards - 1)).astype(
+                        np.int32
+                    )
+                ),
+                emb_col: pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(flat, type=pa.float64()),
+                ),
+            }
+        )
+
+    attached = ds.map_batches(
+        gather_attach, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def dot_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair_id": pa.array([], type=pa.int64()),
+             "cos": pa.array([], type=pa.float64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        pid = g.column("pair_id").to_numpy(zero_copy_only=False)
+        slot = g.column("slot").to_numpy(zero_copy_only=False)
+        order = np.lexsort((slot, pid))
+        pid, slot = pid[order], slot[order]
+        m = _emb_matrix(g.column(emb_col).combine_chunks().take(pa.array(order)))
+        # complete pairs appear as adjacent (slot 0, slot 1) rows
+        both = (pid[:-1] == pid[1:]) & (slot[:-1] == 0) & (slot[1:] == 1)
+        i = np.flatnonzero(both)
+        if len(i) == 0:
+            return empty
+        cos = np.einsum("ij,ij->i", m[i], m[i + 1])
+        return pa.table(
+            {"pair_id": pa.array(pid[i], type=pa.int64()),
+             "cos": pa.array(cos, type=pa.float64())}
+        )
+
+    got = (
+        attached.groupby("shard")
+        .map_groups(dot_pairs, batch_format="pyarrow")
+        .take_all()
+    )
+    sims = np.full(n_pairs, -np.inf)
+    for r in got:  # one scalar per pair — cand-table volume
+        sims[r["pair_id"]] = r["cos"]
+    return sims
