@@ -985,6 +985,20 @@ def _q_tokens_per_host_sketch(sf_dir: str):
     )
 
 
+def _q_kmeans_embedding_clusters(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table (the
+    cluster-based corpus-curation step): k-means++ init on a scattered
+    sample, Lloyd iterations via per-batch partial sums (driver folds
+    k·dim floats per batch, never rows), one assign pass.  Iterative →
+    no SQL oracle; determinism + local-Lloyd parity asserted in
+    tests/test_sim.py."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.cluster import kmeans_cluster_sizes
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_cluster_sizes(ds, n_clusters=8, seed=SEED, iters=10)
+
+
 def _q_hll_user_overlap(sf_dir: str):
     """HLL set algebra: distinct users for two event types, their union
     (sketch merge) and intersection (inclusion-exclusion) — the mergeable-
@@ -1137,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_users_per_day_sketch": _q_topk_users_per_day_sketch,
         "topk_tokens_per_source": _q_topk_tokens_per_source,
         "tokens_per_host_sketch": _q_tokens_per_host_sketch,
+        "kmeans_embedding_clusters": _q_kmeans_embedding_clusters,
         "hll_user_overlap": _q_hll_user_overlap,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }

@@ -206,3 +206,18 @@ def test_hll_set_algebra_within_bound(entry, duck):
     inter_exact = ex[0] + ex[1] - ex[2]
     # intersection inherits 3 terms' error
     assert abs(got["n_intersection"] - inter_exact) <= max(9 * sigma * ex[2], 2)
+
+
+def test_kmeans_clusters_deterministic_and_complete(entry, duck):
+    """no_oracle kmeans query: cluster sizes sum to the table row count,
+    every size is reproduced exactly by a second run (fit is
+    deterministic), and cohesion is positive for nonempty clusters."""
+    t1 = entry.queries()["kmeans_embedding_clusters"](SF)
+    t2 = entry.queries()["kmeans_embedding_clusters"](SF)
+    assert t1.equals(t2)
+    n_rows = duck.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    sizes = t1.column("n").to_pylist()
+    assert sum(sizes) == n_rows
+    for n, c in zip(sizes, t1.column("mean_cos").to_pylist()):
+        if n > 0:
+            assert c > 0.0

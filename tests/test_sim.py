@@ -284,3 +284,68 @@ def test_scattered_centroid_sample_beats_head_sample_on_sorted_input(
     qn = q / np.linalg.norm(q)
     # all head centroids sit in cluster 0's ball — far from the query
     assert np.max((C_head / np.linalg.norm(C_head, axis=1, keepdims=True)) @ qn) < 0.5
+
+
+def test_distributed_kmeans_matches_local_lloyd(ray_session, tmp_path):
+    """Distributed Lloyd (per-batch partial sums) == a local numpy Lloyd
+    from the same init, bit-for-bit cluster sizes; deterministic across
+    runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hksketch.sim.cluster import kmeans_cluster_sizes, kmeans_fit
+    from hksketch.sim.knn import (
+        _normalize,
+        _train_centroids,
+        scattered_sample_matrix,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 8)) * 3
+    embs = np.concatenate(
+        [c + rng.standard_normal((300, 8)) * 0.4 for c in centers]
+    )
+    perm = rng.permutation(len(embs))
+    embs = embs[perm]
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(len(embs), dtype=np.int64)),
+         "embedding": pa.array(embs.tolist(), type=pa.list_(pa.float64()))}
+    )
+    f = str(tmp_path / "embs.parquet")
+    pq.write_table(t, f)
+    ds = rd.read_parquet(f)
+
+    C = kmeans_fit(ds, n_clusters=4, seed=7, iters=8)
+    C2 = kmeans_fit(rd.read_parquet(f), n_clusters=4, seed=7, iters=8)
+    assert np.array_equal(C, C2)  # deterministic
+
+    # local Lloyd from the same scattered-sample init
+    Cl = _normalize(
+        _train_centroids(scattered_sample_matrix(ds, "embedding", "vec_id", 4096),
+                         4, 7)
+    )
+    m = _normalize(embs)
+    for _ in range(8):
+        a = np.argmax(m @ Cl.T, axis=1)
+        newC = Cl.copy()
+        for j in range(4):
+            if (a == j).any():
+                newC[j] = m[a == j].mean(axis=0)
+        newC = _normalize(newC)
+        if np.allclose(newC, Cl, atol=1e-12):
+            Cl = newC
+            break
+        Cl = newC
+    a_dist = np.argmax(m @ C.T, axis=1)
+    a_loc = np.argmax(m @ Cl.T, axis=1)
+    assert np.bincount(a_dist, minlength=4).tolist() == np.bincount(
+        a_loc, minlength=4
+    ).tolist()
+
+    sizes = kmeans_cluster_sizes(ds, n_clusters=4, seed=7, iters=8)
+    assert int(sum(sizes.column("n").to_pylist())) == len(embs)
+    # well-separated clusters → every cluster found, high cohesion
+    assert min(sizes.column("n").to_pylist()) > 0
+    assert min(sizes.column("mean_cos").to_pylist()) > 0.8
