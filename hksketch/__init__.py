@@ -23,3 +23,10 @@ import logging as _logging
 _logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
     _logging.ERROR
 )
+# Ray also warns "new schema: ." whenever a map_groups operator emits the
+# empty-schema bundle it generates itself for group-less sorted blocks —
+# routine in the sharded run-scan pipelines here and benign (downstream
+# consumers concat typed tables); silence that single logger too.
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).setLevel(_logging.ERROR)
