@@ -985,6 +985,118 @@ def _q_tokens_per_host_sketch(sf_dir: str):
     )
 
 
+def _q_top_unshipped_orders(sf_dir: str):
+    """TPC-H-q3-style composite ⊕oracle: BUILDING customers ⋈ pre-cutoff
+    orders ⋈ post-cutoff lineitems, top-10 orders by revenue.  Two chained
+    broadcast Bloom semi-joins (customer keys → orders; surviving order
+    keys → lineitem) so neither fact table shuffles; revenue sums integer
+    ten-thousandths (one final IEEE division mirrored in SQL); the
+    order-date lookup touches only the 10 winning keys."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import exact_counts, read_table
+    from hksketch.ray_glue.aggregate import BloomAggregate
+    from hksketch.sketch import sketch_from_bytes
+
+    cutoff = datetime.datetime(1995, 3, 15)
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    side = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bf_cust = sketch_from_bytes(
+        side.aggregate(
+            BloomAggregate(on="c_custkey", m_bits=1 << 22, k=7, seed=SEED,
+                           alias_name="s")
+        )["s"]
+    )
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def keep_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff)))
+        keep = bf_cust.contains_batch(b.column("o_custkey").combine_chunks())
+        return b.filter(pa.array(keep)).select(["o_orderkey"])
+
+    kept_orders = orders.map_batches(
+        keep_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bf_ord = sketch_from_bytes(
+        kept_orders.aggregate(
+            BloomAggregate(on="o_orderkey", m_bits=1 << 22, k=7, seed=SEED,
+                           alias_name="s")
+        )["s"]
+    )
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"]
+    )
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), pa.scalar(cutoff)))
+        keep = bf_ord.contains_batch(b.column("l_orderkey").combine_chunks())
+        b = b.filter(pa.array(keep))
+        rev4 = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev4": rev4})
+
+    rev = exact_counts(
+        li.map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        weight_col="rev4",
+        count_name="rev4",
+    )
+    top = pa.Table.from_pylist(
+        rev.sort(["rev4", "l_orderkey"], descending=[True, False]).limit(10).take_all()
+    )
+    # date lookup for the 10 winners only (broadcast the tiny key set)
+    keys = top.column("l_orderkey").to_numpy().astype("int64")
+
+    def pick(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = np.isin(b.column("o_orderkey").to_numpy(zero_copy_only=False), keys)
+        return b.filter(pa.array(m)).select(["o_orderkey", "o_orderdate"])
+
+    dates = pa.Table.from_pylist(
+        orders.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    dmap = dict(
+        zip(dates.column("o_orderkey").to_pylist(),
+            dates.column("o_orderdate").to_pylist())
+    )
+    return pa.table(
+        {
+            "o_orderkey": top.column("l_orderkey").cast(pa.int64()),
+            "revenue": pc.divide(
+                pc.cast(top.column("rev4"), pa.float64()), pa.scalar(10000.0)
+            ),
+            "o_orderdate": pa.array(
+                [dmap[k] for k in top.column("l_orderkey").to_pylist()],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+
+
 def _q_kmeans_embedding_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table (the
     cluster-based corpus-curation step): k-means++ init on a scattered
@@ -1152,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_tokens_per_source": _q_topk_tokens_per_source,
         "tokens_per_host_sketch": _q_tokens_per_host_sketch,
         "kmeans_embedding_clusters": _q_kmeans_embedding_clusters,
+        "top_unshipped_orders": _q_top_unshipped_orders,
         "hll_user_overlap": _q_hll_user_overlap,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }
@@ -1432,6 +1545,26 @@ WITH toks AS (
   FROM c
 )
 SELECT source, token, count FROM r WHERE rn <= 3 ORDER BY source, rn
+""",
+        "top_unshipped_orders": """
+WITH l AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS rev4
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l_orderkey
+)
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       l.rev4 / 10000.0 AS revenue,
+       o.o_orderdate
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+ORDER BY l.rev4 DESC, o.o_orderkey
+LIMIT 10
 """,
         "cms_heavy_change_users": """
 WITH bnd AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),

@@ -94,6 +94,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         zero_copy_batch=True,
     ).count()
 
+    # warm the FULL fused web-pass path too (kernel imports, merge tasks,
+    # band-ref plumbing, parquet side-writes) on a tiny cached fixture —
+    # first-run costs are ~4 s on this box and belong to setup, not to the
+    # measured steady-state throughput
+    from hksketch.pipelines.flagship import bench_webpages
+
+    warm_pages = generate_webpages(
+        "/tmp/hkfix/webpages_warmup", n_pages=5_000, n_hosts=500,
+        vocab_size=5_000, seed=7, files=4,
+    )
+    bench_webpages(warm_pages, doc_stats_dir="/tmp/hkfix/doc_stats_warmup")
+
     scaling_only = os.environ.get("HK_BENCH_SCALING_ONLY") == "1"
     qs = e.queries()
     bench_queries = [] if scaling_only else [
