@@ -133,7 +133,9 @@ class MinHasher:
         )
 
 
-def lsh_candidate_pairs(rows, shards="auto", est_row_multiplier: int = 1) -> pa.Table:
+def lsh_candidate_pairs(
+    rows, shards="auto", est_row_multiplier: int = 1, rows_hint=None
+) -> pa.Table:
     """(band_id, band_hash, doc_id) rows → candidate (a, b) pairs.
 
     Scale-critical shape: a groupby on the raw (band_id, band_hash) key
@@ -150,12 +152,16 @@ def lsh_candidate_pairs(rows, shards="auto", est_row_multiplier: int = 1) -> pa.
     if shards == "auto":
         from ..ray_glue.partitioning import auto_shards, estimate_rows
 
-        est = estimate_rows(rows)
+        est = rows_hint
+        if est is None:
+            est = estimate_rows(rows)
+            if est is not None:
+                est *= max(1, est_row_multiplier)
         shards = auto_shards(
             rows,
             target_rows_per_shard=2_000_000,
             min_shards=256,
-            rows_hint=None if est is None else est * max(1, est_row_multiplier),
+            rows_hint=est,
         )
     shards = int(shards)
 
@@ -460,7 +466,15 @@ def minhash_near_dupes(
         )
 
     rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-    cand = lsh_candidate_pairs(rows, est_row_multiplier=bands)
+    # band-rows datasets are mapped, so their input_files() is empty; size
+    # the bucket scan from the SOURCE dataset's footer estimate instead
+    from ..ray_glue.partitioning import estimate_rows
+
+    src_rows = estimate_rows(ds)
+    cand = lsh_candidate_pairs(
+        rows,
+        rows_hint=None if src_rows is None else src_rows * bands,
+    )
     if verify_threshold is None or cand.num_rows == 0:
         return cand.sort_by([("a", "ascending"), ("b", "ascending")])
     return verify_pairs_distributed(

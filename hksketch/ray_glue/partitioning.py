@@ -21,12 +21,13 @@ from typing import Optional
 def estimate_rows(ds) -> Optional[int]:
     """Best-effort row count WITHOUT executing the dataset.
 
-    File-backed datasets (including lazy map stages over a parquet read —
-    ``input_files()`` propagates through transforms, and maps only
-    preserve-or-shrink row counts for our sizing purpose): sum of footer
-    ``num_rows``, extrapolated from a 64-file sample when there are more.
-    Materialized datasets: ``count()`` (already computed, O(1)).
-    Anything else: None — callers fall back to a default.
+    File-backed READ datasets: sum of footer ``num_rows``, extrapolated
+    from a 64-file sample when there are more.  Materialized datasets:
+    ``count()`` (already computed, O(1)).  Anything else — including maps
+    over a read, whose ``input_files()`` reports [] on this Ray version —
+    returns None and callers fall back to a default, so operators that
+    size a shuffle over a MAPPED dataset must estimate from their SOURCE
+    dataset and pass ``rows_hint`` explicitly.
     """
     try:
         files = ds.input_files()

@@ -374,7 +374,12 @@ def embedding_near_dupes_lsh(
         concurrency=2,
         zero_copy_batch=True,
     )
-    cand = lsh_candidate_pairs(rows, est_row_multiplier=bands)
+    from ..ray_glue.partitioning import estimate_rows
+
+    src_rows = estimate_rows(ds)
+    cand = lsh_candidate_pairs(
+        rows, rows_hint=None if src_rows is None else src_rows * bands
+    )
     if cand.num_rows == 0:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64())})
