@@ -128,10 +128,10 @@ def bench_webpages(
         fused-stage task, side output so the partial rows stay 1-per-batch)
     [e] MinHash band rows → bucket groupby (the LSH shuffle)
 
-    The extracted pages are materialized ONCE (sized well under the object
-    store) and every sub-pipeline streams from that shared intermediate.
-    Returns row counts (and the per-doc stats artifact) so callers can
-    compute docs/sec.
+    ONE streamed scan does all of it: extraction feeds the fused stage
+    lazily (never materialized), and the LSH band rows come back to the
+    object store as refs for the bucket shuffle.  Returns row counts (and
+    the per-doc stats artifact) so callers can compute docs/sec.
     """
     import pyarrow.compute as _pc
 
@@ -171,8 +171,22 @@ def bench_webpages(
     # quality, fingerprint, SimHash, MinHash banding — runs on the batch
     # while it is hot in cache, sharing a single tokenize, and emits one
     # partial row per batch; pages are never materialized.
+    #
+    # Batch size targets ~4 even task waves per worker slot: a fixed size
+    # quantizes into a ragged final wave (98 tasks over 32 slots = 3.06
+    # waves → the tail leaves most slots idle), which alone costs ~10-20%
+    # at high parallelism.
+    import ray as _ray
+
+    from ..ray_glue.partitioning import estimate_rows
+
+    est = estimate_rows(ds)
+    cpus = int(_ray.available_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    batch_size = 4096
+    if est:
+        batch_size = int(min(8192, max(1024, est // (4 * max(1, cpus)))))
     pages = ds.map_batches(
-        extract, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+        extract, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     from ..dedup.minhash import MinHasher, lsh_candidate_pairs
     from ..hashing import hash_array
@@ -263,7 +277,8 @@ def bench_webpages(
     # merge tasks launch while later batches are still producing — no
     # take_all barrier between "partials exist" and "partials merge"
     partials_ds = pages.map_batches(
-        fused_partials, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+        fused_partials, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True
     )
     total_tokens = 0
     stats_rows = 0
