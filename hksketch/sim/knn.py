@@ -225,9 +225,12 @@ def knn_ivf(
         mask = np.isin(assign, probe)
         ids = batch.column(id_col).to_numpy()[mask]
         scores = m[mask] @ q
+        # per-batch tie-correct pruning: the driver merges k rows per
+        # batch, not every probed-cluster member
+        sel = _topk_by_score_then_id(scores, ids, k)
         return pa.table(
-            {id_col: pa.array(ids, type=pa.int64()),
-             "score": pa.array(scores, type=pa.float64())}
+            {id_col: pa.array(ids[sel], type=pa.int64()),
+             "score": pa.array(scores[sel], type=pa.float64())}
         )
 
     cand = ds.map_batches(probe_score, batch_format="pyarrow", zero_copy_batch=True).take_all()
