@@ -47,6 +47,75 @@ def tokenize_text(text: str | bytes) -> list[str]:
     return out
 
 
+def _tokenize_bytes_fast(texts: pa.Array, with_doc_index: bool):
+    """Byte-level vectorized tokenizer: alpha-run boundaries via shifted
+    masks directly over the UTF-8 buffer, one gather builds the token
+    bytes, and a blanket ``| 0x20`` lowercases (safe: every token byte is
+    ``[A-Za-z]``).  ~6 linear passes over the byte buffer — several times
+    faster than the regex engines, byte-identical by the same argument as
+    the spec (no UTF-8 continuation byte is ASCII-alphabetic).  Returns
+    None for layouts it doesn't cover (nulls, non-flat arrays)."""
+    if texts.null_count:
+        return None
+    if pa.types.is_string(texts.type):
+        odt = np.int32
+    elif pa.types.is_large_string(texts.type):
+        odt = np.int64
+    else:
+        return None
+    bufs = texts.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[
+        texts.offset : texts.offset + len(texts) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    n_bytes = len(data)
+    empty = pa.table(
+        {"token": pa.array([], type=pa.string()),
+         **({"doc_idx": pa.array([], type=pa.int64())} if with_doc_index else {})}
+    )
+    if n_bytes == 0:
+        return empty
+    alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+    starts_mask = alpha.copy()
+    starts_mask[1:] &= ~alpha[:-1]
+    ends_mask = alpha.copy()
+    ends_mask[:-1] &= ~alpha[1:]
+    # runs must not cross document boundaries: force a start at each doc's
+    # first byte and an end at the previous doc's last byte
+    doc_starts = offsets[:-1]
+    inb = doc_starts[(doc_starts > 0) & (doc_starts < n_bytes)]
+    starts_mask[inb] = alpha[inb]
+    prev = inb - 1
+    ends_mask[prev] = alpha[prev]
+    starts = np.flatnonzero(starts_mask)
+    if len(starts) == 0:
+        return empty
+    ends = np.flatnonzero(ends_mask)
+    lens = ends - starts + 1
+    keep = lens <= MAX_WORD_LEN
+    starts, lens = starts[keep], lens[keep]
+    if len(starts) == 0:
+        return empty
+    tot = int(lens.sum())
+    off_out = np.concatenate(([0], np.cumsum(lens)))
+    if tot >= 2**31:
+        return None
+    pos = np.repeat(starts - off_out[:-1], lens) + np.arange(tot, dtype=np.int64)
+    token_bytes = data[pos] | np.uint8(0x20)
+    token = pa.Array.from_buffers(
+        pa.utf8(),
+        len(starts),
+        [None, pa.py_buffer(off_out.astype(np.int32)), pa.py_buffer(token_bytes)],
+    )
+    cols = {"token": token}
+    if with_doc_index:
+        cols["doc_idx"] = pa.array(
+            np.searchsorted(offsets, starts, side="right") - 1, type=pa.int64()
+        )
+    return pa.table(cols)
+
+
 def tokenize_column(
     texts: pa.Array | pa.ChunkedArray,
     with_doc_index: bool = False,
@@ -59,6 +128,10 @@ def tokenize_column(
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        fast = _tokenize_bytes_fast(texts, with_doc_index)
+        if fast is not None:
+            return fast
     if _HAVE_POLARS:
         s = pl.from_arrow(texts)
         if not isinstance(s, pl.Series):
