@@ -1097,6 +1097,35 @@ def _q_top_unshipped_orders(sf_dir: str):
     )
 
 
+def _q_sample_docs_per_source(sf_dir: str):
+    """STRATIFIED deterministic sampling: a mergeable KMV bottom-k sample
+    PER GROUP, straight through ``grouped_sketch`` with the reservoir kind
+    (the registry makes any registered sketch a grouped UDAF) — the
+    balanced-sources curation step.  Value-keyed hash tags → same sample
+    under any partitioning; exactness vs a driver recompute is asserted
+    in tests/test_error_bounds.py, so the gate is rows-only in SQL terms
+    but exact in practice."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "documents", ["source", "doc_id"])
+    cfg = sketch_config("reservoir", k=5, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="doc_id", group_col="source")
+    srcs, docs = [], []
+    for row in sorted(out.take_all(), key=lambda r: r["source"]):
+        for d in sorted(sketch_from_bytes(row["sketch"]).sample()):
+            srcs.append(row["source"])
+            docs.append(int(d))
+    return pa.table(
+        {"source": pa.array(srcs, type=pa.string()),
+         "doc_id": pa.array(docs, type=pa.int64())}
+    )
+
+
 def _q_kmeans_embedding_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table (the
     cluster-based corpus-curation step): k-means++ init on a scattered
@@ -1265,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_per_host_sketch": _q_tokens_per_host_sketch,
         "kmeans_embedding_clusters": _q_kmeans_embedding_clusters,
         "top_unshipped_orders": _q_top_unshipped_orders,
+        "sample_docs_per_source": _q_sample_docs_per_source,
         "hll_user_overlap": _q_hll_user_overlap,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }

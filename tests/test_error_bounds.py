@@ -221,3 +221,23 @@ def test_kmeans_clusters_deterministic_and_complete(entry, duck):
     for n, c in zip(sizes, t1.column("mean_cos").to_pylist()):
         if n > 0:
             assert c > 0.0
+
+
+def test_stratified_sample_per_source_exact(entry, duck):
+    """Per-group KMV sample == a direct driver-side recompute of the same
+    bottom-k-by-value-hash rule — deterministic 'oracle in all but SQL'."""
+    from hksketch.hashing import hash_array
+
+    t = entry.queries()["sample_docs_per_source"](SF)
+    got: dict = {}
+    for s, d in zip(t.column("source").to_pylist(), t.column("doc_id").to_pylist()):
+        got.setdefault(s, []).append(d)
+    rows = duck.execute("SELECT source, doc_id FROM documents").fetchall()
+    by_src: dict = {}
+    for s, d in rows:
+        by_src.setdefault(s, []).append(d)
+    for s, ids in by_src.items():
+        ids = np.unique(np.array(ids, dtype=np.int64))
+        h = hash_array(pa.array(ids), 12345)
+        want = sorted(ids[np.argsort(h, kind="stable")[:5]].tolist())
+        assert got[s] == want, s
