@@ -1097,6 +1097,31 @@ def _q_top_unshipped_orders(sf_dir: str):
     )
 
 
+def _q_image_near_dupes(sf_dir: str):
+    """Multimodal near-dup detection over a binary image column: decode
+    (real PIL when importable; deterministic fake otherwise) → 64-bit
+    aHash → generic Hamming pigeonhole blocking (the text-SimHash
+    machinery reused cross-modal).  Deterministic synthetic payloads with
+    injected duplicates → rows-only gate; identity-pair exactness is
+    asserted in tests/test_multimodal.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from hksketch.multimodal.stubs import fake_image_bytes, image_near_dupes
+
+    payloads = [fake_image_bytes(i) for i in range(200)]
+    # every 40th image duplicated under a new id
+    for i in range(0, 200, 40):
+        payloads.append(payloads[i])
+    t = pa.table(
+        {"id": pa.array(np.arange(len(payloads), dtype=np.int64)),
+         "image": pa.array(payloads, type=pa.binary())}
+    )
+    return image_near_dupes(rd.from_arrow(t), max_hamming=2)
+
+
 def _q_sample_docs_per_source(sf_dir: str):
     """STRATIFIED deterministic sampling: a mergeable KMV bottom-k sample
     PER GROUP, straight through ``grouped_sketch`` with the reservoir kind
@@ -1295,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embedding_clusters": _q_kmeans_embedding_clusters,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "sample_docs_per_source": _q_sample_docs_per_source,
+        "image_near_dupes": _q_image_near_dupes,
         "hll_user_overlap": _q_hll_user_overlap,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }

@@ -88,12 +88,35 @@ def simhash_near_dupes(
 ) -> pa.Table:
     """Dataset → pa.Table(a, b, hamming) pairs with distance ≤ max_hamming."""
     sh = SimHasher(seed=seed)
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.array(
+                batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
+                type=pa.int64()),
+             "sig": pa.array(
+                 sh.signatures(batch.column(text_col).combine_chunks()),
+                 type=pa.uint64())}
+        )
+
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_near_dupes(sigs, max_hamming=max_hamming)
+
+
+def hamming_near_dupes(
+    sig_ds, id_col: str = "doc_id", sig_col: str = "sig", max_hamming: int = 3
+) -> pa.Table:
+    """Generic pigeonhole near-dup over ANY 64-bit signature Dataset
+    (text SimHash, image aHash, …): split the 64 bits into
+    ``max_hamming + 1`` blocks — any pair within the Hamming budget shares
+    at least one exact block — and surface candidates through the sharded
+    run-scan, verifying distance with a vectorized popcount."""
     nblocks = max_hamming + 1
     shift = 64 // nblocks
 
     def stage(batch: pa.Table) -> pa.Table:
-        sig = sh.signatures(batch.column(text_col).combine_chunks())
-        ids = batch.column(id_col).to_numpy()
+        sig = batch.column(sig_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         out_block, out_val, out_id, out_sig = [], [], [], []
         for b in range(nblocks):
             lo = b * shift
@@ -113,7 +136,7 @@ def simhash_near_dupes(
             }
         )
 
-    rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sig_ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
     # fold (block_id, block_val) to one uint64 bucket key and shard it —
     # same scale shape as dedup.minhash.lsh_candidate_pairs (a raw groupby

@@ -226,3 +226,71 @@ class VideoFrameSampleStage:
                 "frame": pa.array(frames, type=pa.binary()),
             }
         )
+
+
+class AHashStage:
+    """pixels → 64-bit average perceptual hash (REAL math, codec-free):
+    grayscale → 8×8 nearest-neighbor downsample → bit b set when cell b is
+    brighter than the image's 8×8 mean.  Deterministic; near-identical
+    images differ in few bits, so ``dedup.simhash.hamming_near_dupes``
+    blocks them exactly."""
+
+    def __init__(self, id_col: str = "id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        h = int(batch.column("height")[0].as_py())
+        w = int(batch.column("width")[0].as_py())
+        flat = batch.column("pixels").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        imgs = flat.reshape(n, h, w, 3).astype(np.float64)
+        gray = imgs @ np.array([0.299, 0.587, 0.114])
+        yi = (np.arange(8) * h // 8).astype(np.int64)
+        xi = (np.arange(8) * w // 8).astype(np.int64)
+        cells = gray[:, yi][:, :, xi].reshape(n, 64)
+        bits = cells > cells.mean(axis=1, keepdims=True)
+        sig = (
+            bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {"doc_id": pa.array(
+                batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                type=pa.int64()),
+             "sig": pa.array(sig, type=pa.uint64())}
+        )
+
+
+def image_near_dupes(
+    ds,
+    image_col: str = "image",
+    id_col: str = "id",
+    max_hamming: int = 3,
+    width: int = 32,
+    height: int = 32,
+):
+    """Near-duplicate image pairs: decode (real PIL when importable, the
+    deterministic fake otherwise) → aHash → generic Hamming pigeonhole
+    blocking.  Returns pa.Table(a, b, hamming)."""
+    from ..dedup.simhash import hamming_near_dupes
+
+    decoded = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs=dict(
+            image_col=image_col, id_col=id_col, width=width, height=height
+        ),
+        batch_format="pyarrow",
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+    sigs = decoded.map_batches(
+        AHashStage,
+        fn_constructor_kwargs=dict(id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+    return hamming_near_dupes(sigs, max_hamming=max_hamming)

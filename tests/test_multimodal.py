@@ -202,3 +202,27 @@ def test_decode_failed_column_flags_fallback_rows():
         assert all(flags)
     else:
         assert all(flags)  # codec-less container: every decode is synthetic
+
+
+def test_image_near_dupes_finds_identical_payloads(ray_session):
+    """Identical payload bytes decode to identical pixels → hamming-0
+    pair; unrelated payloads (independent fake pixels) stay unpaired."""
+    import numpy as np
+    import ray.data as rd
+
+    from hksketch.multimodal.stubs import fake_image_bytes, image_near_dupes
+
+    payloads = [fake_image_bytes(i) for i in range(40)]
+    payloads.append(payloads[3])  # id 40 duplicates id 3
+    t = pa.table(
+        {"id": pa.array(np.arange(len(payloads), dtype=np.int64)),
+         "image": pa.array(payloads, type=pa.binary())}
+    )
+    out = image_near_dupes(rd.from_arrow(t), max_hamming=2)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (3, 40) in pairs
+    assert out.filter(
+        pa.compute.equal(out.column("hamming"), 0)
+    ).num_rows >= 1
+    # random unrelated 64-bit hashes almost never collide within hamming 2
+    assert len(pairs) <= 3
