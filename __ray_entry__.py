@@ -1003,7 +1003,17 @@ def _q_top_unshipped_orders(sf_dir: str):
 
     cutoff = datetime.datetime(1995, 3, 15)
 
+    # Bloom sizes scale with the footer row estimates so the FP rate stays
+    # ≲1e-7 at any sf (m/n ≈ 64, k=7) instead of silently degrading as a
+    # fixed 4M-bit filter fills; capped at 2^28 bits (32 MB broadcast)
+    from hksketch.ray_glue.partitioning import estimate_rows, next_pow2
+
+    def _mbits(ds_est, default_rows):
+        n = ds_est if ds_est else default_rows
+        return min(1 << 28, max(1 << 22, next_pow2(64 * n)))
+
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    m_cust = _mbits(estimate_rows(cust), 1 << 16)
     side = cust.map_batches(
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
         batch_format="pyarrow",
@@ -1011,12 +1021,13 @@ def _q_top_unshipped_orders(sf_dir: str):
     )
     bf_cust = sketch_from_bytes(
         side.aggregate(
-            BloomAggregate(on="c_custkey", m_bits=1 << 22, k=7, seed=SEED,
+            BloomAggregate(on="c_custkey", m_bits=m_cust, k=7, seed=SEED,
                            alias_name="s")
         )["s"]
     )
 
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    m_ord = _mbits(estimate_rows(orders), 1 << 20)
 
     def keep_orders(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff)))
@@ -1028,7 +1039,7 @@ def _q_top_unshipped_orders(sf_dir: str):
     )
     bf_ord = sketch_from_bytes(
         kept_orders.aggregate(
-            BloomAggregate(on="o_orderkey", m_bits=1 << 22, k=7, seed=SEED,
+            BloomAggregate(on="o_orderkey", m_bits=m_ord, k=7, seed=SEED,
                            alias_name="s")
         )["s"]
     )
@@ -1249,17 +1260,24 @@ def _q_cms_heavy_change_users(sf_dir: str):
     users = np.sort(
         np.asarray([u for u, _ in sketch_from_bytes(hk_blob).list()], dtype=np.int64)
     )
-    # Regime guard: exactness (and the SQL oracle) hold only while the
-    # candidate heap never filled — every user that ever appeared is
-    # tracked.  A full heap means candidates were evicted and the result
-    # is top-k-of-heavy-keys only; fail loudly rather than silently
-    # dropping keys the oracle would rank.
+    # Regime guard: exactness (and the SQL oracle) hold only while every
+    # user that ever appeared is tracked.  len(users) < k proves the heap
+    # never filled (no eviction possible); at exactly k the heap MAY have
+    # evicted, so confirm with one exact distinct count (cheap, and only
+    # in the boundary case) — fail loudly rather than silently dropping
+    # keys the oracle would rank.
     if len(users) >= hk_k:
-        raise RuntimeError(
-            f"cms_heavy_change_users: candidate heap saturated "
-            f"({len(users)} >= k={hk_k}); raise k or accept approximate "
-            "top-change-of-heavy-keys semantics"
+        from hksketch.pipelines.ops import exact_distinct_count
+
+        n_users = exact_distinct_count(
+            read_table(sf_dir, "events", ["user_id"]), "user_id"
         )
+        if n_users > hk_k:
+            raise RuntimeError(
+                f"cms_heavy_change_users: candidate heap saturated "
+                f"({n_users} distinct users > k={hk_k}); raise k or accept "
+                "approximate top-change-of-heavy-keys semantics"
+            )
     delta = (
         early.count_batch(users).astype(np.int64)
         - late.count_batch(users).astype(np.int64)

@@ -226,55 +226,6 @@ def lsh_candidate_pairs(
     )
 
 
-def candidate_shingle_rows(
-    ds, cand: pa.Table, mh: "MinHasher", text_col: str, id_col: str
-):
-    """Distributed semi-join: broadcast the candidate id set, stream the
-    dataset once through a ``map_batches`` stage that keeps only candidate
-    rows and emits their sorted-unique shingle-hash arrays — texts never
-    leave the workers and nothing is re-read from storage.  Returns a
-    DATASET of (doc_id:int64, shingles:list<uint64>) rows (never
-    materialized on the driver; the verify stage cogroups it to the
-    candidate pairs)."""
-    need = np.unique(
-        np.concatenate(
-            [cand.column("a").to_numpy(), cand.column("b").to_numpy()]
-        ).astype(np.int64)
-    )
-
-    # candidate id set is small → closure-broadcast, stateless stage (no
-    # actor-pool spin-up; the function+ids serialize once)
-    def shingle_sets(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        from ..hashing import membership_mask
-
-        mask = membership_mask(ids, need)
-        if not mask.any():
-            return pa.table(
-                {"doc_id": pa.array([], type=pa.int64()),
-                 "shingles": pa.array([], type=pa.list_(pa.uint64()))}
-            )
-        idx = np.flatnonzero(mask)
-        sub = b.take(pa.array(idx))
-        sh, didx = mh.shingle_hashes(sub.column(text_col).combine_chunks())
-        out_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        lists: list[np.ndarray] = []
-        starts = np.searchsorted(didx, np.arange(len(out_ids)))
-        ends = np.append(starts[1:], len(didx))
-        for d in range(len(out_ids)):
-            lists.append(np.unique(sh[starts[d] : ends[d]]))
-        return pa.table(
-            {"doc_id": pa.array(out_ids, type=pa.int64()),
-             "shingles": pa.array(
-                 [l.tolist() for l in lists], type=pa.list_(pa.uint64())
-             )}
-        )
-
-    return ds.map_batches(
-        shingle_sets, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-
 def verify_pairs_distributed(
     ds,
     cand: pa.Table,
@@ -303,8 +254,14 @@ def verify_pairs_distributed(
        behave as empty shingle sets (J=1 when both empty), matching the
        pre-distributed semantics.
 
-    Shingle lists live only in workers and the one shuffle; its volume is
-    Σ per-pair |shingles| — bounded by candidate docs, never the corpus.
+    Shingle lists live only in workers and the one shuffle.  Its volume
+    is Σ over PAIRS of (|A|+|B|) — each doc's list ships once per pair it
+    participates in, so it grows QUADRATICALLY with duplicate-cluster size
+    (a 1000-doc boilerplate cluster ⇒ ~500k pairs × both lists).  Run
+    EXACT dedup first (standard pipeline order — `dedup.exact` removes
+    identical docs, the dominant source of giant clusters) so cluster
+    sizes stay small; the banding-parameter regime note below bounds the
+    pair count itself.
 
     Regime bound: the candidate PAIR table (two int64 per pair) is held on
     the driver and broadcast — ~16 MB per million pairs.  That is the same

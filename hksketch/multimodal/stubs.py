@@ -240,6 +240,11 @@ class AHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "sig": pa.array([], type=pa.uint64())}
+            )
         h = int(batch.column("height")[0].as_py())
         w = int(batch.column("width")[0].as_py())
         flat = batch.column("pixels").combine_chunks().flatten().to_numpy(

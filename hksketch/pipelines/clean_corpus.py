@@ -86,9 +86,13 @@ def build_duplicate_index(
 
     def h(batch: pa.Table) -> pa.Table:
         ch = hash_array(batch.column(text_col), 0xDED0)
-        src = pc.replace_substring_regex(
-            batch.column("path"), pattern=r"^.*/([^/]+)\.parquet$", replacement=r"\1"
-        )
+        # src must agree EXACTLY with _src_name (splitext of the basename)
+        # for any input extension, or _clean_partition would silently find
+        # no dup partition; unique paths per batch are few → index lookup
+        paths = batch.column("path").combine_chunks()
+        upaths = pc.unique(paths)
+        srcs = pa.array([_src_name(p.as_py()) for p in upaths], type=pa.string())
+        src = srcs.take(pc.index_in(paths, value_set=upaths))
         return pa.table(
             {
                 "content_hash": pa.array(ch, type=pa.uint64()),

@@ -240,12 +240,24 @@ def bench_webpages(
             }
         )
         import pyarrow.parquet as _pq
-        import uuid as _uuid
 
-        _pq.write_table(
-            stats,
-            _os.path.join(doc_stats_dir, f"part-{_uuid.uuid4().hex[:12]}.parquet"),
+        # RETRY-IDEMPOTENT side output: the file name derives from the
+        # batch's content (first/last url + row count), so a re-executed
+        # task overwrites its own file instead of duplicating rows; tmp +
+        # rename keeps readers from seeing partial files
+        from ..hashing import hash_scalar
+
+        tag = (
+            f"{hash_scalar(batch.column('url')[0].as_py(), 3):016x}"
+            f"-{hash_scalar(batch.column('url')[-1].as_py(), 3):016x}"
+            f"-{batch.num_rows}"
         )
+        final = _os.path.join(doc_stats_dir, f"part-{tag}.parquet")
+        # "_"-prefixed names are ignored by parquet dataset discovery, so a
+        # crashed half-written tmp never corrupts artifact reads
+        tmp_f = _os.path.join(doc_stats_dir, f"_tmp-{tag}-{_os.getpid()}")
+        _pq.write_table(stats, tmp_f)
+        _os.replace(tmp_f, final)
         # MinHash banding from the SAME tokenize pass (doc ids from urls)
         doc_ids = (hash_array(batch.column("url"), 7) >> np.uint64(1)).astype(
             np.int64

@@ -137,11 +137,16 @@ def _ascii_class_counts(texts: pa.Array):
     if len(data) == 0:
         z = np.zeros(n, dtype=np.int64)
         return z, z
+    # sentinel byte so a trailing empty doc's start == len(data) stays a
+    # valid reduceat index WITHOUT clipping (clipping would shrink the
+    # PREVIOUS segment's boundary and drop its last byte); the sentinel is
+    # non-alpha/non-digit so it never contributes
+    data = np.append(data, np.uint8(0))
     alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
     digit = (data >= 48) & (data <= 57)
-    # reduceat quirk: an empty segment returns data[start] (and a start ==
-    # len(data) raises) — clip starts and zero empty segments afterwards
-    starts = np.minimum(offsets[:-1], len(data) - 1)
+    # remaining reduceat quirk: an empty segment returns data[start] —
+    # zero empty segments afterwards
+    starts = offsets[:-1]
     a = np.add.reduceat(alpha.astype(np.int64), starts)
     d = np.add.reduceat(digit.astype(np.int64), starts)
     empty = seg_len == 0

@@ -65,3 +65,24 @@ def test_lang_id_vectorized_matches_reference():
         [t.column("text").combine_chunks(), pa.array(["", "一二三四五六", "der die und das ist"])]
     )
     assert lang_id_batch(texts).to_pylist() == _lang_id_batch_reference(texts).to_pylist()
+
+
+def test_ascii_class_counts_trailing_empty_docs():
+    """Regression: a batch ending in empty docs must not drop the previous
+    doc's final byte (the clipped-reduceat bug)."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    from hksketch.text.analysis import _ascii_class_counts, quality_scores_batch
+
+    for texts in (["abcde", ""], ["", "", ""], ["a1", ""],
+                  ["", "abc", "", "d9", ""], ["é", ""]):
+        arr = pa.array(texts, type=pa.string())
+        a, d = _ascii_class_counts(arr)
+        s = pl.Series(texts)
+        assert (a == s.str.count_matches("[A-Za-z]").to_numpy()).all()
+        assert (d == s.str.count_matches("[0-9]").to_numpy()).all()
+    b = pa.table({"doc_id": pa.array([1, 2]), "text": pa.array(["abcde", ""])})
+    q = quality_scores_batch(b, "text", "doc_id")
+    assert q.column("alpha_ratio").to_pylist() == [1.0, 0.0]

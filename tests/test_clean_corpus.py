@@ -144,3 +144,34 @@ def test_duplicate_index_is_per_source_and_fingerprinted(
     # unchanged input → reused without rebuild (manifest fingerprint)
     m2 = build_duplicate_index(files, root, "text", "url")
     assert m2 == m
+
+
+def test_dup_index_src_matches_any_extension(ray_session, webpages_tiny, tmp_path):
+    """Regression: dup partitions must land under _src_name(path) for ANY
+    input extension, or the clean pass silently skips dedup."""
+    import shutil
+
+    import pyarrow as pa
+
+    src = _files(webpages_tiny)[0]
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    shutil.copy(src, os.path.join(data, "orig.pq"))  # non-.parquet name
+    t = pq.read_table(src).slice(0, 3)
+    t = t.set_column(
+        t.schema.get_field_index("url"),
+        "url",
+        pa.array([f"https://zzz.example/d/{i}" for i in range(3)]),
+    )
+    pq.write_table(t, os.path.join(data, "extra.pq"))
+
+    from hksketch.pipelines.clean_corpus import materialize_clean_corpus
+
+    out = str(tmp_path / "clean")
+    files = sorted(
+        os.path.join(data, f) for f in os.listdir(data)
+    )
+    m = materialize_clean_corpus(files, out, min_tokens=0, min_alpha=0.0)
+    assert m["duplicates_dropped_global"] == 3
+    assert m["rows_out"] == m["rows_in"] - 3
+    assert os.path.isdir(os.path.join(out, "_dups", "src=extra"))
