@@ -233,44 +233,39 @@ def verify_pairs_distributed(
     text_col: str,
     id_col: str,
     threshold: float,
+    chunk_pairs: int = 65_536,
 ) -> pa.Table:
     """Exact-Jaccard verification of candidate pairs, distributed (round-2
     VERDICT #3: no driver-held shingle dict, no per-pair Python loop).
 
-    Shape — ONE fused scan + ONE bounded shuffle:
+    Shape — ONE fused scan + ONE bounded shuffle, with per-(doc, shard)
+    dedup so duplicate-cluster size can NOT blow up the shuffle:
 
-    1. the (doc_id, pair_id) side table (two ints per pair — the same
-       driver-bounded volume as the candidate table itself) is broadcast
-       once; a fused ``map_batches`` scan re-shingles ONLY candidate rows
-       and emits each doc's sorted-unique shingle list once per pair-side
-       it participates in, already tagged with the pair's shard;
-    2. ``groupby(shard)`` brings both sides of each pair together; every
-       pair's |A∩B| comes from one lexsort over the flattened shingle
-       values (each value occurs ≤2× per pair since sides are sorted-
-       unique, so duplicate-adjacency counts are exactly the intersection);
-       the stage returns only (pair_id, total, inter) scalars;
+    1. pairs are hashed to ``shards`` reduce partitions; the broadcast
+       side table maps each candidate doc to the DISTINCT shards its pairs
+       land in.  A fused ``map_batches`` scan re-shingles only candidate
+       rows and emits each doc's sorted-unique shingle list once PER
+       (doc, shard) — shuffle volume ≤ shards × Σ|doc shingles|, linear in
+       candidate docs even for a 1000-doc duplicate cluster (which has
+       ~500k pairs but still ships each list ≤ shards times);
+    2. each reduce partition gets its docs' lists plus (closure-broadcast)
+       its slice of the pair table, and computes every pair's |A∩B| in
+       ``chunk_pairs`` slices with one lexsort per chunk (each value
+       occurs ≤2× per pair since sides are sorted-unique, so duplicate-
+       adjacency counts are exactly the intersection) — per-task memory is
+       bounded by chunk_pairs × mean list size regardless of cluster
+       shape.  The stage returns only (pair_id, total, inter) scalars;
     3. the driver folds the scalars into J = inter / (total − inter)
-       vectorized; pairs with no emitted side (docs absent from ``ds``)
-       behave as empty shingle sets (J=1 when both empty), matching the
-       pre-distributed semantics.
-
-    Shingle lists live only in workers and the one shuffle.  Its volume
-    is Σ over PAIRS of (|A|+|B|) — each doc's list ships once per pair it
-    participates in, so it grows QUADRATICALLY with duplicate-cluster size
-    (a 1000-doc boilerplate cluster ⇒ ~500k pairs × both lists).  Run
-    EXACT dedup first (standard pipeline order — `dedup.exact` removes
-    identical docs, the dominant source of giant clusters) so cluster
-    sizes stay small; the banding-parameter regime note below bounds the
-    pair count itself.
+       vectorized; pairs with a side absent from ``ds`` behave as empty
+       shingle sets (J=1 when both empty), matching the pre-distributed
+       semantics.
 
     Regime bound: the candidate PAIR table (two int64 per pair) is held on
     the driver and broadcast — ~16 MB per million pairs.  That is the same
     bound ``lsh_candidate_pairs`` already imposes upstream; if a corpus
     produces more candidates than driver memory, tighten the banding
     (fewer bands / more rows per band raises the collision threshold) or
-    partition the corpus and run per-partition passes — raw candidate
-    volume beyond that is a parameter-choice signal, not a verify-stage
-    scaling wall."""
+    partition the corpus and run per-partition passes."""
     import ray
 
     n_pairs = cand.num_rows
@@ -278,16 +273,29 @@ def verify_pairs_distributed(
     a_np = cand.column("a").to_numpy().astype(np.int64)
     b_np = cand.column("b").to_numpy().astype(np.int64)
     pair_ids = np.arange(n_pairs, dtype=np.int64)
+    pair_shard = (splitmix64(pair_ids.astype(np.uint64)) & U64(shards - 1)).astype(
+        np.int32
+    )
+    # (doc, shard) targets, deduped and sorted by doc for the gather stage
     side_doc = np.concatenate([a_np, b_np])
-    side_pair = np.tile(pair_ids, 2)
-    order = np.argsort(side_doc, kind="stable")
-    sd, sp = side_doc[order], side_pair[order]
-    sides_ref = ray.put((sd, sp))
+    side_shard = np.tile(pair_shard, 2)
+    ds_pairs = np.unique(
+        np.stack([side_doc, side_shard.astype(np.int64)], axis=1), axis=0
+    )
+    tgt_doc, tgt_shard = ds_pairs[:, 0], ds_pairs[:, 1].astype(np.int32)
+    targets_ref = ray.put((tgt_doc, tgt_shard))
+    # per-shard pair slices (sorted by pair id), broadcast to the reducers
+    order = np.argsort(pair_shard, kind="stable")
+    ps_sorted = pair_shard[order]
+    shard_starts = np.searchsorted(ps_sorted, np.arange(shards + 1))
+    pairs_ref = ray.put(
+        (pair_ids[order], a_np[order], b_np[order], shard_starts)
+    )
     need = np.unique(side_doc)
 
-    def gather_attach(b: pa.Table) -> pa.Table:
+    def gather(b: pa.Table) -> pa.Table:
         empty = pa.table(
-            {"pair_id": pa.array([], type=pa.int64()),
+            {"doc_id": pa.array([], type=pa.int64()),
              "shard": pa.array([], type=pa.int32()),
              "shingles": pa.array([], type=pa.list_(pa.uint64()))}
         )
@@ -302,36 +310,31 @@ def verify_pairs_distributed(
         out_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         starts = np.searchsorted(didx, np.arange(len(out_ids)))
         ends = np.append(starts[1:], len(didx))
-        _sd, _sp = ray.get(sides_ref)
-        out_pair: list[np.ndarray] = []
-        out_lists: list[np.ndarray] = []
+        _td, _ts = ray.get(targets_ref)
+        out_doc: list = []
+        out_shard: list = []
+        out_lists: list = []
         for d in range(len(out_ids)):
-            lo = np.searchsorted(_sd, out_ids[d], side="left")
-            hi = np.searchsorted(_sd, out_ids[d], side="right")
+            lo = np.searchsorted(_td, out_ids[d], side="left")
+            hi = np.searchsorted(_td, out_ids[d], side="right")
             if hi == lo:
                 continue
             lst = np.unique(sh[starts[d] : ends[d]])
-            for pidx in _sp[lo:hi]:
-                out_pair.append(pidx)
+            for sidx in _ts[lo:hi]:  # one copy per DISTINCT shard
+                out_doc.append(out_ids[d])
+                out_shard.append(sidx)
                 out_lists.append(lst)
-        if not out_pair:
+        if not out_doc:
             return empty
-        pid = np.asarray(out_pair, dtype=np.int64)
         lens = np.array([len(l) for l in out_lists], dtype=np.int64)
         offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
         flat = (
-            np.concatenate(out_lists)
-            if lens.sum()
-            else np.empty(0, dtype=np.uint64)
+            np.concatenate(out_lists) if lens.sum() else np.empty(0, dtype=np.uint64)
         )
         return pa.table(
             {
-                "pair_id": pa.array(pid, type=pa.int64()),
-                "shard": pa.array(
-                    (splitmix64(pid.astype(np.uint64)) & U64(shards - 1)).astype(
-                        np.int32
-                    )
-                ),
+                "doc_id": pa.array(np.asarray(out_doc, dtype=np.int64)),
+                "shard": pa.array(np.asarray(out_shard, dtype=np.int32)),
                 "shingles": pa.ListArray.from_arrays(
                     pa.array(offs, type=pa.int32()),
                     pa.array(flat, type=pa.uint64()),
@@ -339,9 +342,7 @@ def verify_pairs_distributed(
             }
         )
 
-    attached = ds.map_batches(
-        gather_attach, batch_format="pyarrow", zero_copy_batch=True
-    )
+    attached = ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
 
     def reduce_pairs(g: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -351,24 +352,63 @@ def verify_pairs_distributed(
         )
         if g.num_rows == 0:
             return empty
-        pid = g.column("pair_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(pid, kind="stable")
-        t = g.take(pa.array(order))
-        pid = pid[order]
-        lists = t.column("shingles").combine_chunks()
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        my_shard = int(g.column("shard")[0].as_py())
+        _pid, _pa, _pb, _starts = ray.get(pairs_ref)
+        lo, hi = int(_starts[my_shard]), int(_starts[my_shard + 1])
+        if hi == lo:
+            return empty
+        # this partition's doc lists, sorted by doc (docs may arrive from
+        # several gather tasks; lists for one doc are identical — keep one)
+        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
+        dorder = np.argsort(docs, kind="stable")
+        docs = docs[dorder]
+        first = np.concatenate(([True], docs[1:] != docs[:-1]))
+        docs = docs[first]
+        lists = (
+            g.column("shingles")
+            .combine_chunks()
+            .take(pa.array(dorder[first]))
+        )
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         flat = lists.flatten().to_numpy(zero_copy_only=False)
-        upid, pstart = np.unique(pid, return_index=True)
-        total = np.add.reduceat(lens, pstart)
-        pair_of_val = np.repeat(np.searchsorted(upid, pid), lens)
-        vo = np.lexsort((flat, pair_of_val))
-        pv, fv = pair_of_val[vo], flat[vo]
-        dup = (pv[1:] == pv[:-1]) & (fv[1:] == fv[:-1])
-        inter = np.bincount(pv[1:][dup], minlength=len(upid))
+        loffs = np.concatenate(([0], np.cumsum(lens)))
+
+        out_pid, out_tot, out_int = [], [], []
+        for cs in range(lo, hi, chunk_pairs):
+            ce = min(cs + chunk_pairs, hi)
+            pid_c = _pid[cs:ce]
+            m = ce - cs
+            ia = np.searchsorted(docs, _pa[cs:ce])
+            ib = np.searchsorted(docs, _pb[cs:ce])
+            fa = (ia < len(docs)) & (docs[np.minimum(ia, len(docs) - 1)] == _pa[cs:ce])
+            fb = (ib < len(docs)) & (docs[np.minimum(ib, len(docs) - 1)] == _pb[cs:ce])
+            la = np.where(fa, lens[np.minimum(ia, len(docs) - 1)], 0)
+            lb = np.where(fb, lens[np.minimum(ib, len(docs) - 1)], 0)
+            total = la + lb
+            # gather both sides' values, tagged with the pair index
+            def _vals(idx, found, ln):
+                st = np.where(found, loffs[np.minimum(idx, len(docs) - 1)], 0)
+                pos = np.repeat(st - np.concatenate(([0], np.cumsum(ln)[:-1])), ln)
+                pos = pos + np.arange(int(ln.sum()), dtype=np.int64)
+                return flat[pos], np.repeat(np.arange(m), ln)
+
+            va, pa_idx = _vals(ia, fa, la)
+            vb, pb_idx = _vals(ib, fb, lb)
+            vals = np.concatenate([va, vb])
+            pov = np.concatenate([pa_idx, pb_idx])
+            vo = np.lexsort((vals, pov))
+            pv, fv = pov[vo], vals[vo]
+            dup = (pv[1:] == pv[:-1]) & (fv[1:] == fv[:-1])
+            inter = np.bincount(pv[1:][dup], minlength=m)
+            out_pid.append(pid_c)
+            out_tot.append(total)
+            out_int.append(inter.astype(np.int64))
         return pa.table(
-            {"pair_id": pa.array(upid, type=pa.int64()),
-             "total": pa.array(total, type=pa.int64()),
-             "inter": pa.array(inter.astype(np.int64), type=pa.int64())}
+            {"pair_id": pa.array(np.concatenate(out_pid), type=pa.int64()),
+             "total": pa.array(np.concatenate(out_tot), type=pa.int64()),
+             "inter": pa.array(np.concatenate(out_int), type=pa.int64())}
         )
 
     got = (
@@ -378,7 +418,7 @@ def verify_pairs_distributed(
     )
     total = np.zeros(n_pairs, dtype=np.int64)
     inter = np.zeros(n_pairs, dtype=np.int64)
-    for r in got:  # ≤ one scalar row per pair — the cand-table volume
+    for r in got:  # one scalar row per pair — the cand-table volume
         total[r["pair_id"]] = r["total"]
         inter[r["pair_id"]] = r["inter"]
     union = total - inter

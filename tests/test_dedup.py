@@ -129,3 +129,51 @@ def test_minhash_distributed_verify_matches_exact_jaccard(ray_session):
                                         out.column("b").to_pylist(),
                                         out.column("jaccard").to_pylist())}
     assert got[(1, 2)] == pytest.approx(ngram_jaccard(BASE, NEAR, 3), abs=1e-12)
+
+
+def test_minhash_verify_exact_on_duplicate_cluster(ray_session, tmp_path):
+    """A large duplicate cluster (the quadratic-candidate regime): the
+    distributed verify must return exactly the brute-force Jaccard for
+    every candidate pair, with small per-(doc, shard)-deduped chunks."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hksketch.dedup.minhash import MinHasher, minhash_near_dupes
+
+    rng = np.random.default_rng(2)
+    base = [f"tok{i}" for i in rng.integers(0, 400, 120)]
+    docs = []
+    for i in range(60):  # 60-doc near-dup cluster → ~1.7k candidate pairs
+        d = list(base)
+        for _ in range(rng.integers(0, 4)):
+            d[rng.integers(0, len(d))] = f"tok{rng.integers(0, 400)}"
+        docs.append(" ".join(d))
+    for i in range(40):  # unrelated docs
+        docs.append(" ".join(f"z{rng.integers(0, 5000)}" for _ in range(100)))
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+         "text": pa.array(docs)}
+    )
+    f = str(tmp_path / "cluster.parquet")
+    pq.write_table(t, f)
+    out = minhash_near_dupes(
+        rd.read_parquet(f), "text", "doc_id", num_perm=64, bands=16,
+        verify_threshold=0.5, seed=3,
+    )
+    assert out.num_rows > 500  # the cluster really is quadratic in pairs
+
+    # brute-force verification of every reported pair's jaccard
+    mh = MinHasher(num_perm=64, ngram=3, seed=3)
+    sets = {}
+    for i, d in enumerate(docs):
+        sh, _ = mh.shingle_hashes(pa.array([d]))
+        sets[i] = np.unique(sh)
+    for a, b, j in zip(out.column("a").to_pylist(), out.column("b").to_pylist(),
+                       out.column("jaccard").to_pylist()):
+        inter = len(np.intersect1d(sets[a], sets[b], assume_unique=True))
+        union = len(sets[a]) + len(sets[b]) - inter
+        want = 1.0 if union == 0 else inter / union
+        assert abs(j - want) < 1e-12, (a, b, j, want)
+        assert want >= 0.5
