@@ -396,18 +396,19 @@ def embedding_near_dupes_lsh(
 
 
 def verify_pair_cosines(
-    ds, cand: pa.Table, emb_col: str, id_col: str, shards: Optional[int] = None
+    ds, cand: pa.Table, emb_col: str, id_col: str, shards: Optional[int] = None,
+    chunk_pairs: int = 262_144,
 ) -> np.ndarray:
     """Exact cosine for each candidate (a, b) pair, distributed — the
     embedding-side sibling of ``dedup.minhash.verify_pairs_distributed``
-    (round-2 VERDICT: no driver-held vector dict).
-
-    Broadcast the (doc_id, pair_id) side table (two ints per pair); one
-    fused scan emits each candidate doc's NORMALIZED vector once per
-    pair-side, tagged with the pair's shard; one bounded shuffle brings
-    both sides together and each shard computes its pairs' dot products
-    vectorized.  The driver receives one float per pair.  Pairs with a
-    side absent from ``ds`` get cosine −inf (never pass a threshold)."""
+    (round-2 VERDICT: no driver-held vector dict), with the same
+    per-(doc, shard) dedup so duplicate-cluster size cannot blow up the
+    shuffle: each candidate doc's NORMALIZED vector ships once per
+    DISTINCT reduce shard its pairs land in (volume ≤ shards × docs × dim,
+    linear in candidate docs), the light pair table broadcasts to the
+    reducers sliced per shard, and dot products run in fixed-size pair
+    chunks.  The driver receives one float per pair.  Pairs with a side
+    absent from ``ds`` get cosine −inf (never pass a threshold)."""
     import ray
 
     from ..hashing import splitmix64
@@ -417,17 +418,24 @@ def verify_pair_cosines(
         shards = max(16, min(1 << 14, 1 << max(0, (n_pairs // 100_000).bit_length())))
     a_np = cand.column("a").to_numpy().astype(np.int64)
     b_np = cand.column("b").to_numpy().astype(np.int64)
+    pair_ids = np.arange(n_pairs, dtype=np.int64)
+    pair_shard = (
+        splitmix64(pair_ids.astype(np.uint64)) & np.uint64(shards - 1)
+    ).astype(np.int32)
     side_doc = np.concatenate([a_np, b_np])
-    side_pair = np.tile(np.arange(n_pairs, dtype=np.int64), 2)
-    side_slot = np.repeat(np.array([0, 1], dtype=np.int8), n_pairs)
-    order = np.argsort(side_doc, kind="stable")
-    sides_ref = ray.put((side_doc[order], side_pair[order], side_slot[order]))
+    side_shard = np.tile(pair_shard, 2)
+    uniq_ts = np.unique(
+        np.stack([side_doc, side_shard.astype(np.int64)], axis=1), axis=0
+    )
+    targets_ref = ray.put((uniq_ts[:, 0], uniq_ts[:, 1].astype(np.int32)))
+    order = np.argsort(pair_shard, kind="stable")
+    shard_starts = np.searchsorted(pair_shard[order], np.arange(shards + 1))
+    pairs_ref = ray.put((pair_ids[order], a_np[order], b_np[order], shard_starts))
     need = np.unique(side_doc)
 
-    def gather_attach(b: pa.Table) -> pa.Table:
+    def gather(b: pa.Table) -> pa.Table:
         empty = pa.table(
-            {"pair_id": pa.array([], type=pa.int64()),
-             "slot": pa.array([], type=pa.int8()),
+            {"doc_id": pa.array([], type=pa.int64()),
              "shard": pa.array([], type=pa.int32()),
              emb_col: pa.array([], type=pa.list_(pa.float64()))}
         )
@@ -438,38 +446,28 @@ def verify_pair_cosines(
         sub = b.take(pa.array(np.flatnonzero(mask)))
         m = _normalize(_emb_matrix(sub.column(emb_col)))
         sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        _sd, _sp, _sl = ray.get(sides_ref)
-        lo = np.searchsorted(_sd, sub_ids, side="left")
-        hi = np.searchsorted(_sd, sub_ids, side="right")
+        _td, _ts = ray.get(targets_ref)
+        lo = np.searchsorted(_td, sub_ids, side="left")
+        hi = np.searchsorted(_td, sub_ids, side="right")
         reps = (hi - lo).astype(np.int64)
         if reps.sum() == 0:
             return empty
-        # each doc's vector repeats once per pair-side it participates in
         doc_of_row = np.repeat(np.arange(len(sub_ids)), reps)
         take = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
-        pid = _sp[take]
         vecs = m[doc_of_row]
-        flat = vecs.reshape(-1)
-        offs = np.arange(len(pid) + 1, dtype=np.int32) * m.shape[1]
+        offs = np.arange(len(take) + 1, dtype=np.int32) * m.shape[1]
         return pa.table(
             {
-                "pair_id": pa.array(pid, type=pa.int64()),
-                "slot": pa.array(_sl[take], type=pa.int8()),
-                "shard": pa.array(
-                    (splitmix64(pid.astype(np.uint64)) & np.uint64(shards - 1)).astype(
-                        np.int32
-                    )
-                ),
+                "doc_id": pa.array(_td[take], type=pa.int64()),
+                "shard": pa.array(_ts[take], type=pa.int32()),
                 emb_col: pa.ListArray.from_arrays(
                     pa.array(offs, type=pa.int32()),
-                    pa.array(flat, type=pa.float64()),
+                    pa.array(vecs.reshape(-1), type=pa.float64()),
                 ),
             }
         )
 
-    attached = ds.map_batches(
-        gather_attach, batch_format="pyarrow", zero_copy_batch=True
-    )
+    attached = ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
 
     def dot_pairs(g: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -478,20 +476,42 @@ def verify_pair_cosines(
         )
         if g.num_rows == 0:
             return empty
-        pid = g.column("pair_id").to_numpy(zero_copy_only=False)
-        slot = g.column("slot").to_numpy(zero_copy_only=False)
-        order = np.lexsort((slot, pid))
-        pid, slot = pid[order], slot[order]
-        m = _emb_matrix(g.column(emb_col).combine_chunks().take(pa.array(order)))
-        # complete pairs appear as adjacent (slot 0, slot 1) rows
-        both = (pid[:-1] == pid[1:]) & (slot[:-1] == 0) & (slot[1:] == 1)
-        i = np.flatnonzero(both)
-        if len(i) == 0:
+        my_shard = int(g.column("shard")[0].as_py())
+        _pid, _pa_, _pb_, _starts = ray.get(pairs_ref)
+        lo, hi = int(_starts[my_shard]), int(_starts[my_shard + 1])
+        if hi == lo:
             return empty
-        cos = np.einsum("ij,ij->i", m[i], m[i + 1])
+        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
+        dorder = np.argsort(docs, kind="stable")
+        docs = docs[dorder]
+        first = np.concatenate(([True], docs[1:] != docs[:-1]))
+        docs = docs[first]
+        M = _emb_matrix(
+            g.column(emb_col).combine_chunks().take(pa.array(dorder[first]))
+        )
+        out_pid, out_cos = [], []
+        for cs in range(lo, hi, chunk_pairs):
+            ce = min(cs + chunk_pairs, hi)
+            ia = np.searchsorted(docs, _pa_[cs:ce])
+            ib = np.searchsorted(docs, _pb_[cs:ce])
+            fa = (ia < len(docs)) & (
+                docs[np.minimum(ia, len(docs) - 1)] == _pa_[cs:ce]
+            )
+            fb = (ib < len(docs)) & (
+                docs[np.minimum(ib, len(docs) - 1)] == _pb_[cs:ce]
+            )
+            ok = fa & fb
+            if not ok.any():
+                continue
+            A = M[np.minimum(ia, len(docs) - 1)[ok]]
+            B = M[np.minimum(ib, len(docs) - 1)[ok]]
+            out_pid.append(_pid[cs:ce][ok])
+            out_cos.append(np.einsum("ij,ij->i", A, B))
+        if not out_pid:
+            return empty
         return pa.table(
-            {"pair_id": pa.array(pid[i], type=pa.int64()),
-             "cos": pa.array(cos, type=pa.float64())}
+            {"pair_id": pa.array(np.concatenate(out_pid), type=pa.int64()),
+             "cos": pa.array(np.concatenate(out_cos), type=pa.float64())}
         )
 
     got = (
