@@ -268,36 +268,22 @@ def verify_pairs_distributed(
     partition the corpus and run per-partition passes."""
     import ray
 
-    n_pairs = cand.num_rows
-    shards = max(16, min(1 << 14, 1 << max(0, (n_pairs // 100_000).bit_length())))
-    a_np = cand.column("a").to_numpy().astype(np.int64)
-    b_np = cand.column("b").to_numpy().astype(np.int64)
-    pair_ids = np.arange(n_pairs, dtype=np.int64)
-    pair_shard = (splitmix64(pair_ids.astype(np.uint64)) & U64(shards - 1)).astype(
-        np.int32
+    from .pairverify import (
+        dedup_sorted_docs,
+        fanout_targets,
+        fold_pair_scalars,
+        list_array_int64,
+        pair_shard_plan,
+        presence,
     )
-    # (doc, shard) targets, deduped and sorted by doc for the gather stage
-    side_doc = np.concatenate([a_np, b_np])
-    side_shard = np.tile(pair_shard, 2)
-    ds_pairs = np.unique(
-        np.stack([side_doc, side_shard.astype(np.int64)], axis=1), axis=0
-    )
-    tgt_doc, tgt_shard = ds_pairs[:, 0], ds_pairs[:, 1].astype(np.int32)
-    targets_ref = ray.put((tgt_doc, tgt_shard))
-    # per-shard pair slices (sorted by pair id), broadcast to the reducers
-    order = np.argsort(pair_shard, kind="stable")
-    ps_sorted = pair_shard[order]
-    shard_starts = np.searchsorted(ps_sorted, np.arange(shards + 1))
-    pairs_ref = ray.put(
-        (pair_ids[order], a_np[order], b_np[order], shard_starts)
-    )
-    need = np.unique(side_doc)
+
+    a_np, b_np, n_pairs, shards, targets_ref, pairs_ref, need = pair_shard_plan(cand)
 
     def gather(b: pa.Table) -> pa.Table:
         empty = pa.table(
             {"doc_id": pa.array([], type=pa.int64()),
              "shard": pa.array([], type=pa.int32()),
-             "shingles": pa.array([], type=pa.list_(pa.uint64()))}
+             "shingles": pa.array([], type=pa.large_list(pa.uint64()))}
         )
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         from ..hashing import membership_mask
@@ -307,37 +293,30 @@ def verify_pairs_distributed(
             return empty
         sub = b.take(pa.array(np.flatnonzero(mask)))
         sh, didx = mh.shingle_hashes(sub.column(text_col).combine_chunks())
-        out_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        starts = np.searchsorted(didx, np.arange(len(out_ids)))
+        sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.searchsorted(didx, np.arange(len(sub_ids)))
         ends = np.append(starts[1:], len(didx))
-        _td, _ts = ray.get(targets_ref)
-        out_doc: list = []
-        out_shard: list = []
-        out_lists: list = []
-        for d in range(len(out_ids)):
-            lo = np.searchsorted(_td, out_ids[d], side="left")
-            hi = np.searchsorted(_td, out_ids[d], side="right")
-            if hi == lo:
-                continue
-            lst = np.unique(sh[starts[d] : ends[d]])
-            for sidx in _ts[lo:hi]:  # one copy per DISTINCT shard
-                out_doc.append(out_ids[d])
-                out_shard.append(sidx)
-                out_lists.append(lst)
-        if not out_doc:
+        lists_unique = [np.unique(sh[starts[d] : ends[d]]) for d in range(len(sub_ids))]
+        dl = np.array([len(l) for l in lists_unique], dtype=np.int64)
+        flat_docs = (
+            np.concatenate(lists_unique) if dl.sum() else np.empty(0, dtype=np.uint64)
+        )
+        doffs = np.concatenate(([0], np.cumsum(dl)))
+        doc_of_row, row_shard, reps = fanout_targets(sub_ids, ray.get(targets_ref))
+        if len(doc_of_row) == 0:
             return empty
-        lens = np.array([len(l) for l in out_lists], dtype=np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
-        flat = (
-            np.concatenate(out_lists) if lens.sum() else np.empty(0, dtype=np.uint64)
+        # vectorized fan-out: each emitted row is its doc's list segment
+        out_lens = dl[doc_of_row]
+        offs = np.concatenate(([0], np.cumsum(out_lens)))
+        pos = np.repeat(doffs[doc_of_row] - offs[:-1], out_lens) + np.arange(
+            int(out_lens.sum()), dtype=np.int64
         )
         return pa.table(
             {
-                "doc_id": pa.array(np.asarray(out_doc, dtype=np.int64)),
-                "shard": pa.array(np.asarray(out_shard, dtype=np.int32)),
-                "shingles": pa.ListArray.from_arrays(
-                    pa.array(offs, type=pa.int32()),
-                    pa.array(flat, type=pa.uint64()),
+                "doc_id": pa.array(sub_ids[doc_of_row], type=pa.int64()),
+                "shard": pa.array(row_shard, type=pa.int32()),
+                "shingles": list_array_int64(
+                    offs, pa.array(flat_docs[pos], type=pa.uint64())
                 ),
             }
         )
@@ -353,22 +332,11 @@ def verify_pairs_distributed(
         if g.num_rows == 0:
             return empty
         my_shard = int(g.column("shard")[0].as_py())
-        _pid, _pa, _pb, _starts = ray.get(pairs_ref)
+        _pid, _pa_, _pb_, _starts = ray.get(pairs_ref)
         lo, hi = int(_starts[my_shard]), int(_starts[my_shard + 1])
         if hi == lo:
             return empty
-        # this partition's doc lists, sorted by doc (docs may arrive from
-        # several gather tasks; lists for one doc are identical — keep one)
-        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
-        dorder = np.argsort(docs, kind="stable")
-        docs = docs[dorder]
-        first = np.concatenate(([True], docs[1:] != docs[:-1]))
-        docs = docs[first]
-        lists = (
-            g.column("shingles")
-            .combine_chunks()
-            .take(pa.array(dorder[first]))
-        )
+        docs, lists = dedup_sorted_docs(g, "shingles")
         lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(
             np.int64
         )
@@ -380,16 +348,14 @@ def verify_pairs_distributed(
             ce = min(cs + chunk_pairs, hi)
             pid_c = _pid[cs:ce]
             m = ce - cs
-            ia = np.searchsorted(docs, _pa[cs:ce])
-            ib = np.searchsorted(docs, _pb[cs:ce])
-            fa = (ia < len(docs)) & (docs[np.minimum(ia, len(docs) - 1)] == _pa[cs:ce])
-            fb = (ib < len(docs)) & (docs[np.minimum(ib, len(docs) - 1)] == _pb[cs:ce])
-            la = np.where(fa, lens[np.minimum(ia, len(docs) - 1)], 0)
-            lb = np.where(fb, lens[np.minimum(ib, len(docs) - 1)], 0)
+            ia, fa = presence(docs, _pa_[cs:ce])
+            ib, fb = presence(docs, _pb_[cs:ce])
+            la = np.where(fa, lens[ia] if len(docs) else 0, 0)
+            lb = np.where(fb, lens[ib] if len(docs) else 0, 0)
             total = la + lb
-            # gather both sides' values, tagged with the pair index
+
             def _vals(idx, found, ln):
-                st = np.where(found, loffs[np.minimum(idx, len(docs) - 1)], 0)
+                st = np.where(found, loffs[idx] if len(docs) else 0, 0)
                 pos = np.repeat(st - np.concatenate(([0], np.cumsum(ln)[:-1])), ln)
                 pos = pos + np.arange(int(ln.sum()), dtype=np.int64)
                 return flat[pos], np.repeat(np.arange(m), ln)
@@ -411,16 +377,10 @@ def verify_pairs_distributed(
              "inter": pa.array(np.concatenate(out_int), type=pa.int64())}
         )
 
-    got = (
-        attached.groupby("shard")
-        .map_groups(reduce_pairs, batch_format="pyarrow")
-        .take_all()
-    )
-    total = np.zeros(n_pairs, dtype=np.int64)
-    inter = np.zeros(n_pairs, dtype=np.int64)
-    for r in got:  # one scalar row per pair — the cand-table volume
-        total[r["pair_id"]] = r["total"]
-        inter[r["pair_id"]] = r["inter"]
+    got = attached.groupby("shard").map_groups(reduce_pairs, batch_format="pyarrow")
+    folded = fold_pair_scalars(got, n_pairs, {"total": 0, "inter": 0})
+    total = folded["total"].astype(np.int64)
+    inter = folded["inter"].astype(np.int64)
     union = total - inter
     with np.errstate(invalid="ignore", divide="ignore"):
         j = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
@@ -447,11 +407,11 @@ def minhash_near_dupes(
 
     Candidates from LSH banding; verified (optionally) with exact shingle
     Jaccard computed FULLY DISTRIBUTED (``verify_pairs_distributed``):
-    shingle sets are gathered by a broadcast semi-join into a Dataset,
-    cogrouped to the candidate pairs by two bounded shard shuffles, and
-    every pair's Jaccard comes out of one vectorized lexsort per shard —
-    no driver-side text reads, no driver-held shingle dict, no per-pair
-    Python loop.
+    one fused gather scan ships each candidate doc's shingle list once
+    per (doc, reduce-shard), ONE bounded shard shuffle cogroups them with
+    the closure-broadcast pair slices, and every pair's Jaccard comes out
+    of one vectorized lexsort per fixed-size pair chunk — no driver-side
+    text reads, no driver-held shingle dict, no per-pair Python loop.
     """
     mh = MinHasher(num_perm=num_perm, ngram=ngram, seed=seed)
 

@@ -400,44 +400,33 @@ def verify_pair_cosines(
     chunk_pairs: int = 262_144,
 ) -> np.ndarray:
     """Exact cosine for each candidate (a, b) pair, distributed — the
-    embedding-side sibling of ``dedup.minhash.verify_pairs_distributed``
-    (round-2 VERDICT: no driver-held vector dict), with the same
-    per-(doc, shard) dedup so duplicate-cluster size cannot blow up the
-    shuffle: each candidate doc's NORMALIZED vector ships once per
-    DISTINCT reduce shard its pairs land in (volume ≤ shards × docs × dim,
-    linear in candidate docs), the light pair table broadcasts to the
-    reducers sliced per shard, and dot products run in fixed-size pair
-    chunks.  The driver receives one float per pair.  Pairs with a side
-    absent from ``ds`` get cosine −inf (never pass a threshold)."""
+    embedding-side sibling of ``dedup.minhash.verify_pairs_distributed``,
+    built on the SAME ``dedup.pairverify`` scaffolding: vectors ship once
+    per (doc, reduce-shard) (linear in candidate docs for any cluster
+    shape), the light pair table broadcasts sliced per shard, and dot
+    products run in fixed-size pair chunks.  The driver receives one float
+    per pair.  Pairs with a side absent from ``ds`` get cosine −inf
+    (never pass a threshold)."""
     import ray
 
-    from ..hashing import splitmix64
-
-    n_pairs = cand.num_rows
-    if shards is None:
-        shards = max(16, min(1 << 14, 1 << max(0, (n_pairs // 100_000).bit_length())))
-    a_np = cand.column("a").to_numpy().astype(np.int64)
-    b_np = cand.column("b").to_numpy().astype(np.int64)
-    pair_ids = np.arange(n_pairs, dtype=np.int64)
-    pair_shard = (
-        splitmix64(pair_ids.astype(np.uint64)) & np.uint64(shards - 1)
-    ).astype(np.int32)
-    side_doc = np.concatenate([a_np, b_np])
-    side_shard = np.tile(pair_shard, 2)
-    uniq_ts = np.unique(
-        np.stack([side_doc, side_shard.astype(np.int64)], axis=1), axis=0
+    from ..dedup.pairverify import (
+        dedup_sorted_docs,
+        fanout_targets,
+        fold_pair_scalars,
+        list_array_int64,
+        pair_shard_plan,
+        presence,
     )
-    targets_ref = ray.put((uniq_ts[:, 0], uniq_ts[:, 1].astype(np.int32)))
-    order = np.argsort(pair_shard, kind="stable")
-    shard_starts = np.searchsorted(pair_shard[order], np.arange(shards + 1))
-    pairs_ref = ray.put((pair_ids[order], a_np[order], b_np[order], shard_starts))
-    need = np.unique(side_doc)
+
+    a_np, b_np, n_pairs, shards, targets_ref, pairs_ref, need = pair_shard_plan(
+        cand, shards
+    )
 
     def gather(b: pa.Table) -> pa.Table:
         empty = pa.table(
             {"doc_id": pa.array([], type=pa.int64()),
              "shard": pa.array([], type=pa.int32()),
-             emb_col: pa.array([], type=pa.list_(pa.float64()))}
+             emb_col: pa.array([], type=pa.large_list(pa.float64()))}
         )
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         mask = membership_mask(ids, need)
@@ -446,23 +435,17 @@ def verify_pair_cosines(
         sub = b.take(pa.array(np.flatnonzero(mask)))
         m = _normalize(_emb_matrix(sub.column(emb_col)))
         sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        _td, _ts = ray.get(targets_ref)
-        lo = np.searchsorted(_td, sub_ids, side="left")
-        hi = np.searchsorted(_td, sub_ids, side="right")
-        reps = (hi - lo).astype(np.int64)
-        if reps.sum() == 0:
+        doc_of_row, row_shard, _reps = fanout_targets(sub_ids, ray.get(targets_ref))
+        if len(doc_of_row) == 0:
             return empty
-        doc_of_row = np.repeat(np.arange(len(sub_ids)), reps)
-        take = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
         vecs = m[doc_of_row]
-        offs = np.arange(len(take) + 1, dtype=np.int32) * m.shape[1]
+        offs = np.arange(len(doc_of_row) + 1, dtype=np.int64) * m.shape[1]
         return pa.table(
             {
-                "doc_id": pa.array(_td[take], type=pa.int64()),
-                "shard": pa.array(_ts[take], type=pa.int32()),
-                emb_col: pa.ListArray.from_arrays(
-                    pa.array(offs, type=pa.int32()),
-                    pa.array(vecs.reshape(-1), type=pa.float64()),
+                "doc_id": pa.array(sub_ids[doc_of_row], type=pa.int64()),
+                "shard": pa.array(row_shard, type=pa.int32()),
+                emb_col: list_array_int64(
+                    offs, pa.array(vecs.reshape(-1), type=pa.float64())
                 ),
             }
         )
@@ -481,32 +464,18 @@ def verify_pair_cosines(
         lo, hi = int(_starts[my_shard]), int(_starts[my_shard + 1])
         if hi == lo:
             return empty
-        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
-        dorder = np.argsort(docs, kind="stable")
-        docs = docs[dorder]
-        first = np.concatenate(([True], docs[1:] != docs[:-1]))
-        docs = docs[first]
-        M = _emb_matrix(
-            g.column(emb_col).combine_chunks().take(pa.array(dorder[first]))
-        )
+        docs, lists = dedup_sorted_docs(g, emb_col)
+        M = _emb_matrix(lists)
         out_pid, out_cos = [], []
         for cs in range(lo, hi, chunk_pairs):
             ce = min(cs + chunk_pairs, hi)
-            ia = np.searchsorted(docs, _pa_[cs:ce])
-            ib = np.searchsorted(docs, _pb_[cs:ce])
-            fa = (ia < len(docs)) & (
-                docs[np.minimum(ia, len(docs) - 1)] == _pa_[cs:ce]
-            )
-            fb = (ib < len(docs)) & (
-                docs[np.minimum(ib, len(docs) - 1)] == _pb_[cs:ce]
-            )
+            ia, fa = presence(docs, _pa_[cs:ce])
+            ib, fb = presence(docs, _pb_[cs:ce])
             ok = fa & fb
             if not ok.any():
                 continue
-            A = M[np.minimum(ia, len(docs) - 1)[ok]]
-            B = M[np.minimum(ib, len(docs) - 1)[ok]]
             out_pid.append(_pid[cs:ce][ok])
-            out_cos.append(np.einsum("ij,ij->i", A, B))
+            out_cos.append(np.einsum("ij,ij->i", M[ia[ok]], M[ib[ok]]))
         if not out_pid:
             return empty
         return pa.table(
@@ -514,12 +483,5 @@ def verify_pair_cosines(
              "cos": pa.array(np.concatenate(out_cos), type=pa.float64())}
         )
 
-    got = (
-        attached.groupby("shard")
-        .map_groups(dot_pairs, batch_format="pyarrow")
-        .take_all()
-    )
-    sims = np.full(n_pairs, -np.inf)
-    for r in got:  # one scalar per pair — cand-table volume
-        sims[r["pair_id"]] = r["cos"]
-    return sims
+    got = attached.groupby("shard").map_groups(dot_pairs, batch_format="pyarrow")
+    return fold_pair_scalars(got, n_pairs, {"cos": -np.inf})["cos"]

@@ -164,6 +164,31 @@ def test_minhash_verify_exact_on_duplicate_cluster(ray_session, tmp_path):
     )
     assert out.num_rows > 500  # the cluster really is quadratic in pairs
 
+    # chunk-boundary coverage: a tiny chunk_pairs forces many reduce
+    # iterations; results must be identical to the default single chunk
+    from hksketch.dedup.minhash import (
+        MinHasher as _MH,
+        lsh_candidate_pairs,
+        verify_pairs_distributed,
+    )
+
+    ds2 = rd.read_parquet(f)
+    mh2 = _MH(num_perm=64, ngram=3, seed=3)
+
+    def _stage(batch):
+        return mh2.band_rows(
+            batch.column("text").combine_chunks(),
+            batch.column("doc_id").to_numpy(), 16,
+        )
+
+    cand2 = lsh_candidate_pairs(
+        ds2.map_batches(_stage, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    chunked = verify_pairs_distributed(
+        ds2, cand2, mh2, "text", "doc_id", 0.5, chunk_pairs=7
+    )
+    assert chunked.equals(out)
+
     # brute-force verification of every reported pair's jaccard
     mh = MinHasher(num_perm=64, ngram=3, seed=3)
     sets = {}
