@@ -1,7 +1,7 @@
 from .exact import exact_dedup
 from .minhash import MinHasher, minhash_near_dupes
-from .simhash import SimHasher, simhash_near_dupes
 from .ngram import ngram_jaccard
+from .simhash import SimHasher, hamming_near_dupes, simhash_near_dupes
 
 __all__ = [
     "exact_dedup",
@@ -9,5 +9,6 @@ __all__ = [
     "minhash_near_dupes",
     "SimHasher",
     "simhash_near_dupes",
+    "hamming_near_dupes",
     "ngram_jaccard",
 ]
