@@ -15,18 +15,45 @@ Layout (SURVEY.md §7.0):
 
 __version__ = "0.1.0"
 
-# Ray logs a benign "Failed to hash the schemas (for deduplication)" warning
-# on blob-carrying blocks; importing hksketch (driver AND workers) silences
-# that single logger so pipeline output stays readable.
+# Ray logs two benign warnings on the pipelines here; drop ONLY those
+# specific messages with logging.Filters (round-3 ADVICE: raising the whole
+# logger's level to ERROR hid real executor warnings for downstream users).
 import logging as _logging
 
-_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
-    _logging.ERROR
-)
-# Ray also warns "new schema: ." whenever a map_groups operator emits the
-# empty-schema bundle it generates itself for group-less sorted blocks —
-# routine in the sharded run-scan pipelines here and benign (downstream
-# consumers concat typed tables); silence that single logger too.
-_logging.getLogger(
-    "ray.data._internal.execution.streaming_executor_state"
-).setLevel(_logging.ERROR)
+
+class _DropKnownBenign(_logging.Filter):
+    """Per-message filter for two known-benign Ray Data warnings:
+
+    - "Failed to hash the schemas (for deduplication)" — raised for
+      blob-carrying blocks whose binary columns aren't hashable; harmless.
+    - the schema-divergence warning whose OLD or NEW schema is the EMPTY
+      schema — map_groups emits an empty-schema bundle itself for
+      group-less sorted blocks (routine in the sharded run-scans here).
+      A real schema divergence (two non-empty schemas) still warns.
+    """
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # True = keep
+        try:
+            msg = record.getMessage()
+        except Exception:
+            return True
+        if "Failed to hash the schemas (for deduplication)" in msg:
+            return False
+        if "RefBundle with a different schema" in msg and (
+            "new schema: ." in msg or "Previous schema: ," in msg
+        ):
+            return False
+        return True
+
+
+def _install_log_filters() -> None:
+    for name in (
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+        "ray.data._internal.execution.streaming_executor_state",
+    ):
+        lg = _logging.getLogger(name)
+        if not any(isinstance(f, _DropKnownBenign) for f in lg.filters):
+            lg.addFilter(_DropKnownBenign())
+
+
+_install_log_filters()

@@ -33,6 +33,15 @@ def pair_shard_plan(cand: pa.Table, shards: int | None = None):
         shards = max(
             16, min(1 << 14, 1 << max(0, (n_pairs // 100_000).bit_length()))
         )
+    else:
+        # pairs map to shards with `& (shards-1)`: a non-power-of-two count
+        # would silently skew every pair into a subset of shards and break
+        # the per-task memory bound — round up to the next power of two
+        shards = int(shards)
+        if shards < 1:
+            raise ValueError(f"shards must be >= 1, got {shards}")
+        if shards & (shards - 1):
+            shards = 1 << shards.bit_length()
     a_np = cand.column("a").to_numpy().astype(np.int64)
     b_np = cand.column("b").to_numpy().astype(np.int64)
     pair_ids = np.arange(n_pairs, dtype=np.int64)

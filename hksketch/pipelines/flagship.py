@@ -202,7 +202,24 @@ def bench_webpages(
     _shutil.rmtree(doc_stats_dir, ignore_errors=True)
     _os.makedirs(doc_stats_dir, exist_ok=True)
 
+    _partial_schema = pa.schema(
+        [
+            ("tok_sketch", pa.binary()),
+            ("host_sketch", pa.binary()),
+            ("hll", pa.binary()),
+            ("n_tokens", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("band_id", pa.list_(pa.int32())),
+            ("band_hash", pa.list_(pa.uint64())),
+            ("band_doc", pa.list_(pa.int64())),
+        ]
+    )
+
     def fused_partials(batch: pa.Table) -> pa.Table:
+        # empty blocks (empty parquet file / empty upstream batch) carry no
+        # first url for the side-output tag — emit a 0-row partial table
+        if batch.num_rows == 0:
+            return _partial_schema.empty_table()
         # tokenize and hash ONCE; every per-doc operator shares the pass
         texts = batch.column("text").combine_chunks()
         toks = tokenize_column(texts, with_doc_index=True)

@@ -1,17 +1,12 @@
-# ray.data's import-time logging config resets logger levels, so the
-# benign-warning silencing must run AFTER it (hksketch/__init__ runs too
-# early when hksketch is imported before ray.data)
-import logging as _logging
-
+# ray.data's import-time logging config resets logger state, so the
+# benign-warning filters must (re-)install AFTER it (hksketch/__init__ runs
+# too early when hksketch is imported before ray.data).  Filters drop only
+# the two known-benign messages — real executor warnings pass through.
 import ray.data as _rd  # noqa: F401  (forces configure_logging first)
 
-for _name in (
-    "ray.data._internal.arrow_ops.transform_pyarrow",
-    # "new schema: ." for the empty-schema bundles map_groups emits on
-    # group-less sorted blocks — routine in the sharded run-scans here
-    "ray.data._internal.execution.streaming_executor_state",
-):
-    _logging.getLogger(_name).setLevel(_logging.ERROR)
+from .. import _install_log_filters
+
+_install_log_filters()
 
 from .aggregate import (
     BloomAggregate,

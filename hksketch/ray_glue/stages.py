@@ -41,7 +41,17 @@ from ..sketch import sketch_from_bytes
 from ..text.tokenize import tokenize_column
 from .aggregate import SketchAggregate, make_sketch, _to_arrow
 
-_NO_CODE = type("_NoCode", (), {"co_varnames": ()})  # builtins lack __code__
+def _accepts_hashes_kwarg(fn) -> bool:
+    """True iff ``fn`` has a real parameter named ``hashes`` (round-3
+    ADVICE: ``co_varnames`` also lists LOCALS, so a kernel with a local
+    named ``hashes`` but no such parameter would get a TypeError on the
+    ``hashes=`` fast-path call)."""
+    import inspect
+
+    try:
+        return "hashes" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):  # builtins / C callables
+        return False
 
 
 class MergeSketchBlobs(SketchAggregate):
@@ -150,9 +160,8 @@ def make_partial_sketch_fn(
         # one hash pass for the whole batch, via the sketch's OWN hasher
         # (respects with_hasher backends); only kernels exposing a hashes=
         # fast path get it
-        pass_hashes = (
-            "hashes" in getattr(probe.add_batch, "__code__", _NO_CODE).co_varnames
-            and hasattr(probe, "_hash")
+        pass_hashes = _accepts_hashes_kwarg(probe.add_batch) and hasattr(
+            probe, "_hash"
         )
         hashes = probe._hash(keys_sorted) if pass_hashes else None
         out_blobs, out_n = [], []
