@@ -96,6 +96,50 @@ def test_pair_shard_plan_non_pow2_rounds_up(ray_session):
         pair_shard_plan(cand, shards=0)
 
 
+# ---------- VERDICT #2: kmeans fold runs on workers, not the driver ----------
+
+
+def test_kmeans_fit_has_no_driver_fold():
+    import inspect
+
+    from hksketch.sim import cluster
+
+    src = inspect.getsource(cluster.kmeans_fit)
+    assert "take_all" not in src  # the fit loop must never materialize rows
+
+
+def test_tree_fold_partials_matches_direct_sum(ray_session):
+    import ray.data as rd
+
+    from hksketch.sim.cluster import tree_fold_partials
+
+    rng = np.random.default_rng(3)
+    k, dim = 4, 8
+    tables = [
+        pa.table(
+            {"sums": pa.array(list(rng.standard_normal((5, k * dim))),
+                              type=pa.list_(pa.float64())),
+             "counts": pa.array(list(rng.integers(0, 9, (5, k)).astype(float)),
+                                type=pa.list_(pa.float64()))}
+        )
+        for _ in range(40)  # > fanin: exercises the multi-level tree
+    ]
+    ds = rd.from_arrow_refs([ray_session.put(t) for t in tables])
+    S, n = tree_fold_partials(ds, cols=("sums", "counts"), shapes=((k, dim), (k,)))
+    exp_S = sum(
+        t.column("sums").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(5, k, dim).sum(axis=0)
+        for t in tables
+    )
+    exp_n = sum(
+        t.column("counts").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(5, k).sum(axis=0)
+        for t in tables
+    )
+    assert np.allclose(S, exp_S)
+    assert np.allclose(n, exp_n)
+
+
 # ---------- ADVICE: fused_partials survives empty blocks ----------
 
 
