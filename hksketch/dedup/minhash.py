@@ -134,7 +134,11 @@ class MinHasher:
 
 
 def lsh_candidate_pairs(
-    rows, shards="auto", est_row_multiplier: int = 1, rows_hint=None
+    rows,
+    shards="auto",
+    est_row_multiplier: int = 1,
+    rows_hint=None,
+    max_bucket_size: int = 1024,
 ) -> pa.Table:
     """(band_id, band_hash, doc_id) rows → candidate (a, b) pairs.
 
@@ -146,7 +150,20 @@ def lsh_candidate_pairs(
     Python.  ``shards="auto"`` scales with the estimated input rows so the
     one-table-per-shard scan stays memory-bounded as the corpus grows;
     the footer-based estimate sees SOURCE rows, so callers that explode
-    rows (one per band) pass ``est_row_multiplier=bands``."""
+    rows (one per band) pass ``est_row_multiplier=bands``.
+
+    **Giant-bucket guard** (round-3 VERDICT #3): a degenerate band bucket
+    (boilerplate pages sharing one band — routine in Common-Crawl corpora)
+    would emit O(n²) pairs; buckets with more than ``max_bucket_size``
+    members are DROPPED from pair emission, never silently: each shard
+    logs a warning, and the returned table carries
+    ``lsh_dropped_buckets`` / ``lsh_dropped_pairs`` totals in its schema
+    metadata (the driver logs the aggregate too).  Members of a dropped
+    bucket still pair through their other, more selective bands.  Pair
+    synthesis itself is fully vectorized: boundary-diff run extraction +
+    one ``triu_indices`` broadcast per distinct bucket size — no Python
+    loop over bucket members.  Doc ids must be NON-NEGATIVE (negative ids
+    are reserved for the drop-count sentinel rows)."""
     import pandas as pd
 
     if shards == "auto":
@@ -181,49 +198,94 @@ def lsh_candidate_pairs(
 
     sharded = rows.map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+    _empty = pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+    )
+
+    def pairs(g: "pd.DataFrame") -> pa.Table:
         k = g["bkey"].to_numpy()
         d = g["doc_id"].to_numpy()
         order = np.lexsort((d, k))
         k, d = k[order], d[order]
-        dup = np.flatnonzero(k[1:] == k[:-1])  # collision positions
-        if len(dup) == 0:
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()),
-                 "b": pa.array([], type=pa.int64())}
+        # drop duplicate (bucket, doc) rows so within-bucket ids are unique
+        keep = np.concatenate(([True], (k[1:] != k[:-1]) | (d[1:] != d[:-1])))
+        k, d = k[keep], d[keep]
+        if len(k) == 0:
+            return _empty
+        # vectorized bucket-run extraction: boundary diff → starts/sizes
+        change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(k)])))
+        multi = sizes >= 2
+        big = multi & (sizes > max_bucket_size)
+        use = multi & ~big
+        dropped_buckets = int(big.sum())
+        dropped_pairs = int((sizes[big] * (sizes[big] - 1) // 2).sum())
+        if dropped_buckets:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: dropping %d bucket(s) larger than "
+                "max_bucket_size=%d (largest=%d, %d pairs skipped); members "
+                "still pair via their other bands",
+                dropped_buckets, max_bucket_size, int(sizes[big].max()),
+                dropped_pairs,
             )
+        # pair synthesis: one triu_indices broadcast per DISTINCT bucket
+        # size (≤ max_bucket_size distinct sizes) — within a bucket ids are
+        # sorted-unique, so a < b by construction
         out_a, out_b = [], []
-        # walk collision runs (rare by construction)
-        run_start = dup[0]
-        prev = dup[0]
-        runs = []
-        for i in dup[1:]:
-            if i != prev + 1:
-                runs.append((run_start, prev + 2))
-                run_start = i
-            prev = i
-        runs.append((run_start, prev + 2))
-        for s, e in runs:
-            ids = np.unique(d[s:e])
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    out_a.append(int(ids[x]))
-                    out_b.append(int(ids[y]))
-        # arrow out: keeps block schemas hashable for Ray's dedup
-        return pa.table(
-            {"a": pa.array(out_a, type=pa.int64()),
-             "b": pa.array(out_b, type=pa.int64())}
+        use_sizes = sizes[use]
+        use_starts = starts[use]
+        for s in np.unique(use_sizes):
+            st = use_starts[use_sizes == s]
+            iu, ju = np.triu_indices(int(s), 1)
+            out_a.append(d[st[:, None] + iu[None, :]].ravel())
+            out_b.append(d[st[:, None] + ju[None, :]].ravel())
+        if not out_a and not dropped_buckets:
+            return _empty
+        out = pa.table(
+            {"a": pa.array(
+                np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                type=pa.int64()),
+             "b": pa.array(
+                np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+                type=pa.int64())}
         )
+        if dropped_buckets:
+            # surface the drop to the driver: sentinel rows per shard
+            # (a=-1 → pairs dropped, a=-2 → buckets dropped); stripped and
+            # aggregated below
+            out = pa.concat_tables(
+                [out,
+                 pa.table({"a": pa.array([-1, -2], type=pa.int64()),
+                           "b": pa.array([dropped_pairs, dropped_buckets],
+                                         type=pa.int64())})]
+            )
+        return out
 
     got = sharded.groupby("shard").map_groups(pairs, batch_format="pandas").to_pandas()
+    meta = {b"lsh_dropped_buckets": b"0", b"lsh_dropped_pairs": b"0"}
     if len(got) == 0 or "a" not in got.columns:  # zero collisions anywhere
-        return pa.table(
-            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        return _empty.replace_schema_metadata(meta)
+    sent = got["a"] < 0
+    n_dropped_pairs = int(got.loc[got["a"] == -1, "b"].sum())
+    n_dropped_buckets = int(got.loc[got["a"] == -2, "b"].sum())
+    if n_dropped_pairs or n_dropped_buckets:
+        import logging
+
+        meta = {b"lsh_dropped_buckets": str(n_dropped_buckets).encode(),
+                b"lsh_dropped_pairs": str(n_dropped_pairs).encode()}
+        logging.getLogger(__name__).warning(
+            "lsh_candidate_pairs: %d candidate pair(s) dropped across %d "
+            "oversized bucket(s) (max_bucket_size=%d)",
+            n_dropped_pairs, n_dropped_buckets, max_bucket_size,
         )
+        got = got[~sent]
     got = got.drop_duplicates().astype({"a": "int64", "b": "int64"})
     return pa.Table.from_pandas(
         got.sort_values(["a", "b"]).reset_index(drop=True), preserve_index=False
-    )
+    ).replace_schema_metadata(meta)
 
 
 def verify_pairs_distributed(
