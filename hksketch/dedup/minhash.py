@@ -323,11 +323,15 @@ def verify_pairs_distributed(
        semantics.
 
     Regime bound: the candidate PAIR table (two int64 per pair) is held on
-    the driver and broadcast — ~16 MB per million pairs.  That is the same
-    bound ``lsh_candidate_pairs`` already imposes upstream; if a corpus
-    produces more candidates than driver memory, tighten the banding
-    (fewer bands / more rows per band raises the collision threshold) or
-    partition the corpus and run per-partition passes."""
+    the driver (~16 MB per million pairs) — same bound
+    ``lsh_candidate_pairs`` already imposes upstream.  It is NOT broadcast
+    whole: ``pair_shard_plan`` ships one per-shard slice ref per reducer
+    (round-3 VERDICT #6), so worker heap and per-node object-store
+    traffic stay at ``n_pairs / shards``.  If a corpus produces more
+    candidates than driver memory, tighten the banding (fewer bands /
+    more rows per band raises the collision threshold), raise
+    ``max_bucket_size`` selectivity, or partition the corpus and run
+    per-partition passes."""
     import ray
 
     from .pairverify import (
@@ -339,7 +343,7 @@ def verify_pairs_distributed(
         presence,
     )
 
-    a_np, b_np, n_pairs, shards, targets_ref, pairs_ref, need = pair_shard_plan(cand)
+    a_np, b_np, n_pairs, shards, targets_ref, pairs_refs, need = pair_shard_plan(cand)
 
     def gather(b: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -394,8 +398,9 @@ def verify_pairs_distributed(
         if g.num_rows == 0:
             return empty
         my_shard = int(g.column("shard")[0].as_py())
-        _pid, _pa_, _pb_, _starts = ray.get(pairs_ref)
-        lo, hi = int(_starts[my_shard]), int(_starts[my_shard + 1])
+        # fetch ONLY this shard's pair slice (bounded by n_pairs / shards)
+        _pid, _pa_, _pb_ = ray.get(pairs_refs[my_shard])
+        lo, hi = 0, len(_pid)
         if hi == lo:
             return empty
         docs, lists = dedup_sorted_docs(g, "shingles")

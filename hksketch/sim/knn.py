@@ -418,7 +418,7 @@ def verify_pair_cosines(
         presence,
     )
 
-    a_np, b_np, n_pairs, shards, targets_ref, pairs_ref, need = pair_shard_plan(
+    a_np, b_np, n_pairs, shards, targets_ref, pairs_refs, need = pair_shard_plan(
         cand, shards
     )
 
@@ -460,8 +460,9 @@ def verify_pair_cosines(
         if g.num_rows == 0:
             return empty
         my_shard = int(g.column("shard")[0].as_py())
-        _pid, _pa_, _pb_, _starts = ray.get(pairs_ref)
-        lo, hi = int(_starts[my_shard]), int(_starts[my_shard + 1])
+        # fetch ONLY this shard's pair slice (bounded by n_pairs / shards)
+        _pid, _pa_, _pb_ = ray.get(pairs_refs[my_shard])
+        lo, hi = 0, len(_pid)
         if hi == lo:
             return empty
         docs, lists = dedup_sorted_docs(g, emb_col)
