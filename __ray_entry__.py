@@ -464,9 +464,11 @@ def _q_knn_ivf(sf_dir: str):
     from hksketch.pipelines.ops import read_table
     from hksketch.sim.ivf import build_ivf_index, knn_ivf_index
 
+    from hksketch.ray_glue.storage import artifact_dir
+
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    idx = os.path.join(
-        "/tmp/hk_ivf", sf_dir.strip("/").replace("/", "_") + "_c16_s7"
+    idx = artifact_dir(
+        "ivf", sf_dir.strip("/").replace("/", "_") + "_c16_s7"
     )
     build_ivf_index(ds, idx, n_clusters=16, seed=7)
     t = knn_ivf_index(idx, _load_query_vec(sf_dir), k=10, nprobe=8)

@@ -24,6 +24,12 @@ lands on the driver):
 
 The reference discipline mirrored here: shard → sketch/scan → merge, never
 centralize raw keys (/root/reference/src/heavykeeper.rs:1162-1186).
+
+Storage contract: ``out_root`` (clean shards + ``_dups`` index) is written
+partly by worker tasks and read back by driver-side resume logic — on a
+multi-node cluster it must be a shared mount / object-store URI, never a
+node-local path (``hksketch.ray_glue.storage``; resolve defaults via
+``HK_STORAGE_ROOT``).
 """
 
 from __future__ import annotations

@@ -206,7 +206,13 @@ def bench_webpages(
     sh = SimHasher(seed=seed)
     mh = MinHasher(num_perm=64, ngram=3, seed=seed)
     if doc_stats_dir is None:
-        doc_stats_dir = "/tmp/hksketch_bench/doc_stats"
+        # default resolves under the shared storage root (HK_STORAGE_ROOT);
+        # the built-in /tmp fallback is SINGLE-NODE ONLY — worker tasks
+        # write here, so on a cluster this must be a shared mount
+        # (ray_glue.storage module docstring)
+        from ..ray_glue.storage import artifact_dir
+
+        doc_stats_dir = artifact_dir("bench", "doc_stats")
     import shutil as _shutil
 
     _shutil.rmtree(doc_stats_dir, ignore_errors=True)

@@ -15,6 +15,11 @@ per cluster.  Queries read ONLY the ``nprobe`` probed partitions — at
 10^12-vector scale the other ``n_clusters − nprobe`` directories never
 leave storage, and the same index serves every subsequent query (the
 round-1 version re-scanned and re-assigned the full dataset per query).
+
+Storage contract: ``index_dir`` is written by WORKER tasks
+(``write_parquet``) and read by the driver — on a multi-node cluster it
+must be a shared mount / object-store URI, never a node-local path
+(``hksketch.ray_glue.storage``; default root honors ``HK_STORAGE_ROOT``).
 """
 
 from __future__ import annotations

@@ -246,6 +246,39 @@ def test_pair_shard_plan_per_shard_slices(ray_session):
     assert max_slice < 4 * (n_pairs // shards + 1)
 
 
+# ---------- VERDICT #4: shared-storage root threads through ----------
+
+
+def test_storage_root_resolution(monkeypatch, tmp_path):
+    from hksketch.ray_glue.storage import artifact_dir, storage_root
+
+    monkeypatch.delenv("HK_STORAGE_ROOT", raising=False)
+    assert storage_root() == "/tmp/hksketch_artifacts"  # single-node default
+    monkeypatch.setenv("HK_STORAGE_ROOT", str(tmp_path / "shared"))
+    assert storage_root() == str(tmp_path / "shared")
+    assert artifact_dir("ivf", "x") == str(tmp_path / "shared" / "ivf" / "x")
+    # explicit root beats env
+    assert storage_root("/mnt/other") == "/mnt/other"
+
+
+def test_artifacts_land_under_non_default_root(
+    ray_session, webpages_tiny, monkeypatch, tmp_path
+):
+    """Every worker-written artifact with a defaulted location must resolve
+    under HK_STORAGE_ROOT when it is set."""
+    root = tmp_path / "sharedroot"
+    monkeypatch.setenv("HK_STORAGE_ROOT", str(root))
+
+    from hksketch.pipelines.flagship import bench_webpages
+
+    out = bench_webpages(webpages_tiny)  # doc_stats_dir defaulted
+    assert out["doc_stats_dir"].startswith(str(root))
+    assert os.path.isdir(out["doc_stats_dir"])
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(out["doc_stats_dir"])
+    )
+
+
 # ---------- ADVICE: fused_partials survives empty blocks ----------
 
 
