@@ -862,10 +862,14 @@ def _q_quantiles_by_event_type(sf_dir: str):
     return ds.groupby("event_type").map_groups(quants, batch_format="pyarrow")
 
 
-def _q_topk_users_per_day_sketch(sf_dir: str):
+def _q_topk_users_per_day_sketch(sf_dir: str, variant: str = "bucketed"):
     """WINDOWED heavy hitters ⊕oracle: one HeavyKeeper sketch per tumbling
     day window (grouped_sketch — shuffle carries per-(batch, day) partial
-    blobs only), top-3 users per day in the exact regime."""
+    blobs only), top-3 users per day in the exact regime.  ``variant``
+    selects the kernel; the cuckoo variant sends K1-K5 (lobby/promote/kick
+    + the deterministic lobby/heavy merge fold,
+    /root/reference/src/cuckoo.rs:246-273,410-553) through the grouped
+    DISTRIBUTED merge path under the same SQL oracle."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -883,7 +887,7 @@ def _q_topk_users_per_day_sketch(sf_dir: str):
         )
 
     ds = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
-    cfg = sketch_config("bucketed", k=512, width=1 << 13, depth=4, decay=0.9, seed=SEED)
+    cfg = sketch_config(variant, k=512, width=1 << 13, depth=4, decay=0.9, seed=SEED)
     out = grouped_sketch(ds, cfg, key_col="user_id", group_col="day")
     days, users, counts = [], [], []
     for row in sorted(out.take_all(), key=lambda r: r["day"]):
@@ -1338,6 +1342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": _q_knn_multi,
         "quantiles_by_event_type": _q_quantiles_by_event_type,
         "topk_users_per_day_sketch": _q_topk_users_per_day_sketch,
+        "topk_users_per_day_cuckoo": (
+            lambda sf_dir: _q_topk_users_per_day_sketch(sf_dir, variant="cuckoo")
+        ),
         "topk_tokens_per_source": _q_topk_tokens_per_source,
         "tokens_per_host_sketch": _q_tokens_per_host_sketch,
         "kmeans_embedding_clusters": _q_kmeans_embedding_clusters,
@@ -1598,6 +1605,18 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """,
         "topk_users_per_day_sketch": """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, user_id,
+         CAST(count(*) AS BIGINT) AS count
+  FROM events GROUP BY day, user_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY day ORDER BY count DESC, user_id ASC) AS rn
+  FROM c
+)
+SELECT day, user_id, count FROM r WHERE rn <= 3 ORDER BY day, rn
+""",
+        "topk_users_per_day_cuckoo": """
 WITH c AS (
   SELECT date_trunc('day', ts) AS day, user_id,
          CAST(count(*) AS BIGINT) AS count
