@@ -293,20 +293,20 @@ class BucketedTopK:
             is_tracked = np.isin(uniq, tracked)
         else:
             is_tracked = np.zeros(len(uniq), dtype=bool)
+        # tracked keys: raise-only updates (independent of order)
+        for i in np.flatnonzero(is_tracked & ok & (final > 0)):
+            pq.update_if_present(int(uniq[i]), int(final[i]))
+        # untracked: min-gated inserts in count-DESC order with early stop
+        # (the PQ min only grows, so the first gate failure ends the loop)
+        un = np.flatnonzero(~is_tracked & ok & (final > 0))
         if pq.is_full():
-            cand = ok & ((final > U64(self.min_pq_count)) | is_tracked)
-        else:
-            cand = ok & (final > 0)
-        for i in np.flatnonzero(cand):
-            fp = int(uniq[i])
+            un = un[final[un] > U64(self.min_pq_count)]
+        un = un[np.lexsort((uniq[un], ~final[un]))]  # count desc, fp asc
+        for i in un:
             count = int(final[i])
-            if fp in pq:
-                pq.update_if_present(fp, count)
-                continue
             if pq.is_full() and count <= pq.min_count():
-                continue
-            item = arr[int(first_idx[i])].as_py()
-            pq.upsert(fp, item, count)
+                break
+            pq.upsert(int(uniq[i]), arr[int(first_idx[i])].as_py(), count)
         if pq.is_full():
             self.min_pq_count = pq.min_count()
 

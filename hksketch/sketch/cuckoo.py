@@ -53,6 +53,17 @@ from .pq import TopKQueue
 U64 = np.uint64
 DEFAULT_MAX_KICKS = 8
 _ALT_XOR = U64(0x9E3779B97F4A7C15)
+# weighted lobby updates up to this weight run the vectorized multi-pass
+# roll loop; heavier weights (rare — they mostly heavy-hit) stay scalar
+_W_CAP = U64(64)
+
+
+def _dense_counts(values: np.ndarray, positions: np.ndarray, n: int) -> np.ndarray:
+    """Scatter per-candidate counts into a sel-length dense array (the
+    shape ``_promote_precheck`` indexes by candidate position)."""
+    out = np.zeros(n, dtype=np.uint64)
+    out[positions] = values
+    return out
 
 
 @register_sketch("cuckoo")
@@ -101,8 +112,26 @@ class CuckooTopK:
         return primary, alternate
 
     def _bucket_pair(self, fp: int) -> tuple[int, int]:
-        p, a = self._bucket_pair_vec(np.array([fp], dtype=np.uint64))
-        return int(p[0]), int(a[0])
+        """Scalar twin of ``_bucket_pair_vec`` in pure Python ints (round 4:
+        the 1-element-ndarray version dominated the scalar fallback paths —
+        ~15 µs/call of array allocation for 3 multiplies)."""
+        w = self.width
+        pow2 = (w & (w - 1)) == 0
+        primary = fp & (w - 1) if pow2 else fp % w
+        if w == 1:
+            return primary, primary
+        M = (1 << 64) - 1
+        # (fp ^ _ALT_XOR) - golden, then the splitmix64 finalizer — same
+        # constant schedule as hashing.splitmix64
+        x = ((fp ^ int(_ALT_XOR)) - 0x9E3779B97F4A7C15) & M
+        x = (x + 0x9E3779B97F4A7C15) & M
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+        x = x ^ (x >> 31)
+        alternate = x & (w - 1) if pow2 else x % w
+        if alternate == primary:
+            alternate = (alternate + 1) % w
+        return primary, alternate
 
     # -- add -------------------------------------------------------------
 
@@ -159,14 +188,15 @@ class CuckooTopK:
             final[fast] = new
             touched[fast] = True
 
-        # lobby path, per-primary-bucket occurrence rounds (weight-1 decay is
-        # a single roll, src/cuckoo.rs:709-731); winners attempt promotion
-        # scalar (bounded heavy scans); weighted adds stay fully scalar.
+        # lobby path, per-primary-bucket occurrence rounds; weight-1 decay
+        # is a single roll (src/cuckoo.rs:709-731) and weights ≤ _W_CAP run
+        # the same roll loop as vectorized passes (round 4); winners
+        # attempt promotion scalar (bounded heavy scans).
         slow = ~fast
         # keys whose fp IS heavy but fell out of the vectorized fast path
         # (shared-bucket conflicts) must go through the scalar heavy check,
         # never the lobby path
-        w1 = slow & (wsum == U64(1)) & ~heavy_hit
+        w1 = slow & (wsum <= _W_CAP) & ~heavy_hit
         for i in np.flatnonzero(slow & ~w1):
             c = self._add_one(int(uniq[i]), int(wsum[i]))
             if c is not None:
@@ -179,12 +209,12 @@ class CuckooTopK:
             order = np.argsort(p_all, kind="stable")
             sp = p_all[order]
             nsel = len(sel_all)
-            starts = np.where(np.r_[True, sp[1:] != sp[:-1]], np.arange(nsel), 0)
-            rank_sorted = np.arange(nsel) - np.maximum.accumulate(starts)
-            ranks = np.empty(nsel, dtype=np.int64)
-            ranks[order] = rank_sorted
-            for rnd in range(int(ranks.max()) + 1):
-                sel = sel_all[ranks == rnd]
+            run_starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+            run_sizes = np.diff(np.concatenate((run_starts, [nsel])))
+            for rnd in range(int(run_sizes.max()) if nsel else 0):
+                live = run_sizes > rnd
+                sel = sel_all[order[run_starts[live] + rnd]]
+                sel.sort()  # fingerprint-ascending processing order
                 if len(sel) == 0:
                     break
                 if len(sel) < 48:
@@ -198,75 +228,90 @@ class CuckooTopK:
                 lfp = self.lobby_fp[pb]
                 lcnt = self.lobby_cnt[pb]
                 winners = (lcnt == 0) | (lfp == uniq[sel])
-                win_counts = np.where(lcnt == 0, U64(1), lcnt + U64(1))
+                wincnt = lcnt + wsum[sel]
+                wincnt = np.where(wincnt < lcnt, U64(U64_MAX), wincnt)
                 # vectorized lobby add for winners; promotion attempt scalar
                 wi = np.flatnonzero(winners)
                 self.lobby_fp[pb[wi]] = uniq[sel[wi]]
-                self.lobby_cnt[pb[wi]] = win_counts[wi]
-                # vectorized promote PREcheck: a promote that would fail
-                # (no empty slot, count <= min victim) mutates nothing, and
-                # during adds empties never appear and victim minima never
-                # shrink — so a bulk snapshot precheck is sound; survivors
-                # re-check scalar before mutating.
-                if len(wi):
-                    ap = alternate[sel[wi]]
-                    pcnt = self.heavy_cnt[pb[wi]]
-                    acnt = self.heavy_cnt[ap]
-                    any_empty = (pcnt == 0).any(axis=1) | (acnt == 0).any(axis=1)
-                    vmin = np.minimum(pcnt.min(axis=1), acnt.min(axis=1))
-                    may_succeed = any_empty | (win_counts[wi] > vmin)
-                else:
-                    may_succeed = np.zeros(0, dtype=bool)
-                for j in wi[may_succeed]:
-                    i = int(sel[j])
-                    fp = int(uniq[i])
-                    count = int(win_counts[j])
-                    prim, alt = int(pb[j]), int(alternate[i])
-                    if self._promote(fp, count, prim, alt):
-                        if int(self.lobby_fp[prim]) == fp:
-                            self.lobby_fp[prim] = 0
-                            self.lobby_cnt[prim] = 0
-                        final[i] = count
-                        touched[i] = True
-                # losers: single-roll decay of the resident lobby occupant
+                self.lobby_cnt[pb[wi]] = wincnt[wi]
+                self._promote_precheck(
+                    wi, sel, pb, alternate, uniq, wincnt, final, touched
+                )
+                # losers: multi-pass decay of the resident lobby occupant —
+                # pass p rolls once per key with remaining weight; takeover
+                # on zero claims the lobby with the REMAINING weight and
+                # attempts promotion at that count (src/cuckoo.rs:709-731
+                # loop semantics, one weight unit consumed per roll)
                 li = np.flatnonzero(~winners)
                 if len(li):
-                    cnts = lcnt[li]
-                    small = cnts < len(self.decay_tbl)
-                    li, cnts = li[small], cnts[small]
-                if len(li):
-                    thresholds = self.decay_tbl[cnts]
-                    rolls = self.rng.integers(
-                        0, U64_MAX, size=len(li), dtype=np.uint64, endpoint=True
-                    )
-                    succ = rolls < thresholds
-                    newcnt = cnts - succ.astype(np.uint64)
-                    take = succ & (newcnt == 0)
-                    self.lobby_cnt[pb[li]] = newcnt
-                    ti = li[take]
-                    self.lobby_fp[pb[ti]] = uniq[sel[ti]]
-                    self.lobby_cnt[pb[ti]] = U64(1)
-                    # count-1 takeovers only promote into an EMPTY slot
-                    # (1 > vmin needs vmin==0); precheck in bulk
-                    if len(ti):
-                        ap = alternate[sel[ti]]
-                        has_empty = (self.heavy_cnt[pb[ti]] == 0).any(axis=1) | (
-                            self.heavy_cnt[ap] == 0
-                        ).any(axis=1)
-                    else:
-                        has_empty = np.zeros(0, dtype=bool)
-                    for j in ti[has_empty]:
-                        i = int(sel[j])
-                        fp = int(uniq[i])
-                        prim, alt = int(pb[j]), int(alternate[i])
-                        if self._promote(fp, 1, prim, alt):
-                            if int(self.lobby_fp[prim]) == fp:
-                                self.lobby_fp[prim] = 0
-                                self.lobby_cnt[prim] = 0
-                            final[i] = 1
+                    small = lcnt[li] < len(self.decay_tbl)
+                    for i in sel[li[~small]]:  # huge resident counts: scalar
+                        c = self._add_one(int(uniq[i]), int(wsum[i]))
+                        if c is not None:
+                            final[i] = c
                             touched[i] = True
+                    li = li[small]
+                if len(li):
+                    rem = wsum[sel[li]].astype(np.uint64, copy=True)
+                    act = np.ones(len(li), dtype=bool)
+                    while act.any():
+                        ai = np.flatnonzero(act)
+                        bpos = pb[li[ai]]
+                        cur = self.lobby_cnt[bpos]
+                        thresholds = self.decay_tbl[cur]
+                        rolls = self.rng.integers(
+                            0, U64_MAX, size=len(ai), dtype=np.uint64,
+                            endpoint=True,
+                        )
+                        succ = rolls < thresholds
+                        newcnt = cur - succ.astype(np.uint64)
+                        self.lobby_cnt[bpos] = newcnt
+                        zero = succ & (newcnt == 0)
+                        zi = ai[zero]
+                        if len(zi):
+                            ti = li[zi]
+                            self.lobby_fp[pb[ti]] = uniq[sel[ti]]
+                            self.lobby_cnt[pb[ti]] = rem[zi]
+                            self._promote_precheck(
+                                ti, sel, pb, alternate, uniq,
+                                _dense_counts(rem[zi], ti, len(sel)),
+                                final, touched,
+                            )
+                            act[zi] = False
+                        live = ai[~zero]
+                        rem[live] -= U64(1)
+                        act[live] = rem[live] > 0
 
         self._update_pq(uniq, final, touched, arr, first_idx)
+
+    def _promote_precheck(
+        self, wi, sel, pb, alternate, uniq, counts, final, touched
+    ) -> None:
+        """Vectorized promote PREcheck + scalar promotes for survivors: a
+        promote that would fail (no empty slot, count <= min victim)
+        mutates nothing, and during adds empties never appear and victim
+        minima never shrink — so a bulk snapshot precheck is sound;
+        survivors re-check scalar before mutating.  ``counts[j]`` is the
+        lobby count for candidate ``wi[j]`` indexed like ``sel``."""
+        if len(wi) == 0:
+            return
+        ap = alternate[sel[wi]]
+        pcnt = self.heavy_cnt[pb[wi]]
+        acnt = self.heavy_cnt[ap]
+        any_empty = (pcnt == 0).any(axis=1) | (acnt == 0).any(axis=1)
+        vmin = np.minimum(pcnt.min(axis=1), acnt.min(axis=1))
+        may_succeed = any_empty | (counts[wi] > vmin)
+        for j in wi[may_succeed]:
+            i = int(sel[j])
+            fp = int(uniq[i])
+            count = int(counts[j])
+            prim, alt = int(pb[j]), int(alternate[i])
+            if self._promote(fp, count, prim, alt):
+                if int(self.lobby_fp[prim]) == fp:
+                    self.lobby_fp[prim] = 0
+                    self.lobby_cnt[prim] = 0
+                final[i] = count
+                touched[i] = True
 
     def _add_one(self, fp: int, increment: int) -> int | None:
         primary, alternate = self._bucket_pair(fp)
@@ -380,19 +425,20 @@ class CuckooTopK:
             is_tracked = np.isin(uniq, tracked)
         else:
             is_tracked = np.zeros(len(uniq), dtype=bool)
+        # tracked keys: raise-only updates (independent of order)
+        for i in np.flatnonzero(is_tracked & touched & (final > 0)):
+            pq.update_if_present(int(uniq[i]), int(final[i]))
+        # untracked: min-gated inserts in count-DESC order with early stop
+        # (the PQ min only grows, so the first gate failure ends the loop)
+        un = np.flatnonzero(~is_tracked & touched & (final > 0))
         if pq.is_full():
-            cand = touched & ((final > U64(self.min_pq_count)) | is_tracked)
-        else:
-            cand = touched & (final > 0)
-        for i in np.flatnonzero(cand):
-            fp = int(uniq[i])
+            un = un[final[un] > U64(self.min_pq_count)]
+        un = un[np.lexsort((uniq[un], ~final[un]))]  # count desc, fp asc
+        for i in un:
             count = int(final[i])
-            if fp in pq:
-                pq.update_if_present(fp, count)
-                continue
             if pq.is_full() and count <= pq.min_count():
-                continue
-            pq.upsert(fp, arr[int(first_idx[i])].as_py(), count)
+                break
+            pq.upsert(int(uniq[i]), arr[int(first_idx[i])].as_py(), count)
         if pq.is_full():
             self.min_pq_count = pq.min_count()
 

@@ -52,6 +52,10 @@ from .base import (
 from .pq import TopKQueue
 
 U64 = np.uint64
+# weighted decays up to this weight run through the vectorized multi-pass
+# roll loop (pass count = max weight in the round); heavier weights are
+# rare (they mostly hit the match fast path) and stay scalar
+_W_CAP = U64(64)
 
 
 @register_sketch("topk")
@@ -102,16 +106,22 @@ class TopK:
         for r in range(self.depth):
             idx = bucket_indices(row_h[r], self.width)
             # per-bucket occurrence rounds (fingerprint order): each round's
-            # buckets are distinct → fully vectorized match/claim/one-roll
-            # decay; weighted decays and huge counts stay scalar.
+            # buckets are distinct → fully vectorized match/claim/multi-pass
+            # decay; only table-overflow counts (≥1024) and weights beyond
+            # the pass cap stay scalar.
             order = np.argsort(idx, kind="stable")
             si = idx[order]
-            starts = np.where(np.r_[True, si[1:] != si[:-1]], np.arange(m), 0)
-            rank_sorted = np.arange(m) - np.maximum.accumulate(starts)
-            ranks = np.empty(m, dtype=np.int64)
-            ranks[order] = rank_sorted
-            for rnd in range(int(ranks.max()) + 1 if m else 0):
-                sel = np.flatnonzero(ranks == rnd)
+            # bucket runs in the sorted layout: round r = the r-th member
+            # of every run (one extra O(m) pass instead of the old
+            # per-round `ranks == rnd` scans — O(m × rounds) on
+            # adversarial uniform batches)
+            run_starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+            run_sizes = np.diff(np.concatenate((run_starts, [m])))
+            max_rounds = int(run_sizes.max()) if m else 0
+            for rnd in range(max_rounds):
+                live = run_sizes > rnd
+                sel = order[run_starts[live] + rnd]
+                sel.sort()  # fingerprint-ascending processing order
                 if len(sel) == 0:
                     break
                 if len(sel) < 48:
@@ -137,25 +147,17 @@ class TopK:
                     self.cnt[r, rr] = new
                     max_count[sel[fast]] = np.maximum(max_count[sel[fast]], new)
                 needs_decay = ~fast
-                fi = np.flatnonzero(needs_decay & (wsum[sel] == U64(1)))
+                fi = np.flatnonzero(needs_decay & (wsum[sel] <= _W_CAP))
                 if len(fi):
-                    cnts = bcnt[fi]
-                    small = cnts < len(self.decay_tbl)
-                    fi, cnts = fi[small], cnts[small]
+                    small = bcnt[fi] < len(self.decay_tbl)
+                    fi = fi[small]
                 if len(fi):
-                    rr = rows[fi]
-                    thresholds = self.decay_tbl[cnts]
-                    rolls = self.rng.integers(
-                        0, U64_MAX, size=len(fi), dtype=np.uint64, endpoint=True
+                    taken, final_cnt = self._decay_multi_pass(
+                        (r, rows[fi]), uniq[sel[fi]], wsum[sel[fi]]
                     )
-                    succ = rolls < thresholds
-                    newcnt = cnts - succ.astype(np.uint64)
-                    take = succ & (newcnt == 0)
-                    self.cnt[r, rr] = newcnt
-                    self.fp[r, rr[take]] = uniq[sel[fi[take]]]
-                    self.cnt[r, rr[take]] = U64(1)
-                    max_count[sel[fi[take]]] = np.maximum(
-                        max_count[sel[fi[take]]], U64(1)
+                    ti = fi[taken]
+                    max_count[sel[ti]] = np.maximum(
+                        max_count[sel[ti]], final_cnt[taken]
                     )
                 handled = np.zeros(len(sel), dtype=bool)
                 handled[fi] = True
@@ -167,6 +169,49 @@ class TopK:
                         max_count[i] = c
 
         self._update_pq(uniq, max_count, arr, first_idx)
+
+    def _decay_multi_pass(
+        self, cell_rows, fps: np.ndarray, weights: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized weighted decay (src/heavykeeper.rs:309-327 /
+        src/bucketed.rs:452-476 semantics): pass p rolls once for every key
+        with remaining weight, decrementing the occupying count on success
+        and taking the cell over with the REMAINING weight on zero.  All
+        keys in one call occupy DISTINCT cells (occurrence-round
+        invariant), so passes never interact across keys.  Rolls consume
+        one weight unit each, exactly like the reference's loop.  Returns
+        (took_over mask, final count per key)."""
+        r, rows = cell_rows
+        nk = len(fps)
+        rem = weights.astype(np.uint64, copy=True)
+        active = np.ones(nk, dtype=bool)
+        took = np.zeros(nk, dtype=bool)
+        final = np.zeros(nk, dtype=np.uint64)
+        while active.any():
+            ai = np.flatnonzero(active)
+            rr = rows[ai]
+            cur = self.cnt[r, rr]
+            # counts can leave table range only via concurrent growth —
+            # impossible here (distinct cells, decay only shrinks): safe
+            thresholds = self.decay_tbl[cur]
+            rolls = self.rng.integers(
+                0, U64_MAX, size=len(ai), dtype=np.uint64, endpoint=True
+            )
+            succ = rolls < thresholds
+            newcnt = cur - succ.astype(np.uint64)
+            self.cnt[r, rr] = newcnt
+            zero = succ & (newcnt == 0)
+            zi = ai[zero]
+            if len(zi):
+                self.fp[r, rows[zi]] = fps[zi]
+                self.cnt[r, rows[zi]] = rem[zi]
+                final[zi] = rem[zi]
+                took[zi] = True
+                active[zi] = False
+            live = ai[~zero]
+            rem[live] -= U64(1)
+            active[live] = rem[live] > 0
+        return took, final
 
     def _add_one_row(self, r: int, rh: int, fp: int, increment: int) -> int | None:
         """Scalar per-row update incl. the decay loop
@@ -207,21 +252,23 @@ class TopK:
             is_tracked = np.isin(uniq, tracked)
         else:
             is_tracked = np.zeros(len(uniq), dtype=bool)
+        # tracked keys: raise-only updates (any order — independent cells)
+        for i in np.flatnonzero(is_tracked & (max_count > 0)):
+            pq.update_if_present(int(uniq[i]), int(max_count[i]))
+        # untracked: min-gated inserts in count-DESC order with early stop —
+        # the PQ min only grows, so once a candidate fails the gate every
+        # later (smaller-count) candidate fails it too (round 4: the
+        # ascending loop re-checked min_count per key, dominating
+        # adversarial uniform batches)
+        un = np.flatnonzero(~is_tracked & (max_count > 0))
         if pq.is_full():
-            cand = (max_count > U64(pq.min_count())) | is_tracked
-        else:
-            cand = max_count > 0
-        for i in np.flatnonzero(cand):
-            fp = int(uniq[i])
+            un = un[max_count[un] > U64(pq.min_count())]
+        un = un[np.lexsort((uniq[un], ~max_count[un]))]  # count desc, fp asc
+        for i in un:
             count = int(max_count[i])
-            if fp in pq:
-                pq.update_if_present(fp, count)
-                continue
-            if count == 0:
-                continue
             if pq.is_full() and count <= pq.min_count():
-                continue
-            pq.upsert(fp, arr[int(first_idx[i])].as_py(), count)
+                break
+            pq.upsert(int(uniq[i]), arr[int(first_idx[i])].as_py(), count)
 
 
     @classmethod
