@@ -4,10 +4,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "docs_per_sec": ..., "tokens_per_sec": ...}
 
-``--scaling`` runs the webpages headline pass in two fresh processes at N
-and 4N cpus (default 2 and 8; HK_SCALING_LEVELS=8,32 to override) and
-prints both throughputs + scaling efficiency (the sandbox proxy for the
-north rule's N-vs-4N-node criterion).  2→8 is the default pair because
+``--scaling`` runs the webpages headline pass at N and 4N cpus (default 2
+and 8; HK_SCALING_LEVELS=8,32 to override), HK_SCALING_REPEATS fresh
+processes per level, and emits ONE machine-readable artifact — every raw
+run's seconds/docs-per-sec/load-averages, the declared policy, the
+official best-per-level efficiency and the median-policy efficiency from
+the same runs (HK_SCALING_ARTIFACT=<path> also writes it to disk).  This
+is the sandbox proxy for the north rule's N-vs-4N-node criterion.  2→8 is the default pair because
 per-cpu throughput on this box is flat through ~8 workers and rolls off
 beyond as the single memory system saturates (BASELINE.md round-3 table) —
 the unsaturated region is where one box can faithfully emulate separate
@@ -121,23 +124,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "minhash_near_dupes" if "minhash_near_dupes" in qs else None,
         "knn_bruteforce" if "knn_bruteforce" in qs else None,
     ]
-    # every query is timed twice and keeps the faster run (same policy as
-    # the webpages pass): host load spikes on this shared box inflate
-    # single-shot walls up to 4x, and the steady-state time is the claim
+    # every query is timed twice; the headline keeps the FASTER run (host
+    # load spikes on this shared box inflate single-shot walls up to 4x) —
+    # a BEST-CASE policy, so the median run is recorded alongside and every
+    # raw time ships in the output (round-3 ADVICE: min-only reporting
+    # biases published throughput upward with no way to audit)
     times: dict[str, float] = {}
+    times_runs: dict[str, list] = {}
     for name in bench_queries:
         if name is None:
             continue
-        best = None
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             # consume lazily-built results
             if hasattr(res, "to_pandas") and not hasattr(res, "num_rows"):
                 res.to_pandas()
-            dt = round(time.perf_counter() - t0, 4)
-            best = dt if best is None else min(best, dt)
-        times[name] = best
+            runs.append(round(time.perf_counter() - t0, 4))
+        times[name] = min(runs)
+        times_runs[name] = runs
 
     # web-pages heavy pass (the BASELINE.json docs/sec metric) on the
     # deterministic Common-Crawl-style fixture.  Host-side load spikes on
@@ -154,15 +160,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     web_sec = min(web_runs)
     times["webpages_pass"] = web_sec
 
+    import statistics
+
+    times_runs["webpages_pass"] = web_runs
     total = round(sum(times.values()), 4)
+    median_total = round(
+        sum(statistics.median(r) for r in times_runs.values()), 4
+    )
     out = {
         "metric": "hksketch_headline_sec",
         "value": total,
         "unit": "sec",
+        "timing_policy": "best_of_2 (best-case; medians + raw runs below)",
+        "value_median": median_total,
         "queries": times,
+        "queries_runs": times_runs,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "docs_per_sec": round(web["n_pages"] / web_sec, 1),
+        "docs_per_sec_median": round(
+            web["n_pages"] / statistics.median(web_runs), 1
+        ),
         "tokens_per_sec": round(web["total_tokens"] / web_sec, 1),
         "web_pages": web["n_pages"],
         "doc_stats_artifact": web["doc_stats_dir"],
@@ -190,16 +208,24 @@ def main() -> None:
         # memory systems with CPUs); the saturated pairs (4→16, 8→32) are
         # measured and published in BASELINE.md every round via
         # HK_SCALING_LEVELS.
+        import statistics
+
         levels = tuple(
             int(x) for x in os.environ.get("HK_SCALING_LEVELS", "2,8").split(",")
         )
-        # run-to-run wall time on this shared box varies ±30% with
-        # background contention; each level runs HK_SCALING_REPEATS times
-        # (fresh process each) and the FASTEST run represents the level —
+        # DECLARED POLICY (round-3 VERDICT #1 — one policy, one number, and
+        # a machine-readable artifact a skeptic can re-derive it from):
+        # each level runs HK_SCALING_REPEATS times in a fresh process; the
+        # level's representative time is the FASTEST run (run-to-run wall
+        # time on this shared box swings ±30% with background contention —
         # the least-contended observation is the closest proxy for a
-        # dedicated node
-        repeats = int(os.environ.get("HK_SCALING_REPEATS", "2"))
-        results = {}
+        # dedicated node); the official efficiency is computed from the
+        # representative times, and every raw run (seconds, docs/s, host
+        # 1-min load average at start/end) is recorded in the artifact so
+        # the median-policy number can be re-derived from the same data.
+        repeats = int(os.environ.get("HK_SCALING_REPEATS", "3"))
+        n_pages_env = os.environ.get("HK_BENCH_PAGES", "400000")
+        runs: dict[int, list] = {}
         for n in levels:
             env = dict(
                 os.environ,
@@ -208,13 +234,14 @@ def main() -> None:
                 # 2x the plain-bench fixture: enough parallel work that fixed
                 # per-stage costs amortize at the high level (same input for
                 # both levels; cached after first generation)
-                HK_BENCH_PAGES=os.environ.get("HK_BENCH_PAGES", "400000"),
+                HK_BENCH_PAGES=n_pages_env,
                 HK_BENCH_PAGES_DIR=os.environ.get(
                     "HK_BENCH_PAGES_DIR", "/tmp/hkfix/webpages_scaling"
                 ),
             )
-            best = None
+            runs[n] = []
             for _ in range(repeats):
+                load_start = os.getloadavg()[0]
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env,
@@ -222,33 +249,64 @@ def main() -> None:
                     text=True,
                     check=True,
                 ).stdout
+                load_end = os.getloadavg()[0]
                 got = json.loads(out.strip().splitlines()[-1])
-                if best is None or (
-                    got["queries"]["webpages_pass"]
-                    < best["queries"]["webpages_pass"]
-                ):
-                    best = got
-            results[n] = best
+                runs[n].append(
+                    {
+                        "sec": got["queries"]["webpages_pass"],
+                        "docs_per_sec": got["docs_per_sec"],
+                        "web_pages": got["web_pages"],
+                        "load_avg_1m_start": round(load_start, 2),
+                        "load_avg_1m_end": round(load_end, 2),
+                    }
+                )
         lo, hi = levels
-        t_lo = results[lo]["queries"]["webpages_pass"]
-        t_hi = results[hi]["queries"]["webpages_pass"]
-        eff = (t_lo / t_hi) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "metric": "hksketch_scaling",
-                    "workload": "webpages_pass",
-                    "web_pages": results[hi]["web_pages"],
-                    "levels": [lo, hi],
-                    f"sec_{lo}cpu": t_lo,
-                    f"sec_{hi}cpu": t_hi,
-                    f"docs_per_sec_{lo}cpu": results[lo]["docs_per_sec"],
-                    f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
-                    "speedup": round(t_lo / t_hi, 3),
-                    "scaling_efficiency": round(eff, 3),
-                }
-            )
+
+        def _eff(rep: dict) -> dict:
+            t_lo, t_hi = rep[lo], rep[hi]
+            return {
+                f"sec_{lo}cpu": t_lo,
+                f"sec_{hi}cpu": t_hi,
+                "speedup": round(t_lo / t_hi, 3),
+                "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+            }
+
+        best = _eff({n: min(r["sec"] for r in runs[n]) for n in levels})
+        med = _eff(
+            {n: statistics.median(r["sec"] for r in runs[n]) for n in levels}
         )
+        artifact = {
+            "metric": "hksketch_scaling",
+            "workload": "webpages_pass",
+            "fixture": {
+                "n_pages": int(n_pages_env),
+                "n_hosts": 20_000,
+                "vocab_size": 50_000,
+                "seed": 42,
+                "files": 32,
+            },
+            "policy": {
+                "levels": [lo, hi],
+                "repeats_per_level": repeats,
+                "representative": "fastest run per level",
+                "why": "shared-box load spikes swing identical runs ±30%; "
+                       "the least-contended run best proxies a dedicated "
+                       "node (medians from the same raw runs reported "
+                       "alongside)",
+            },
+            "runs": {str(n): runs[n] for n in levels},
+            "official": {
+                "pair": f"{lo}->{hi}",
+                "scaling_efficiency": best["scaling_efficiency"],
+                **best,
+            },
+            "median_policy": med,
+        }
+        art_path = os.environ.get("HK_SCALING_ARTIFACT")
+        if art_path:
+            with open(art_path, "w") as f:
+                json.dump(artifact, f, indent=1)
+        print(json.dumps(artifact))
         return
 
     print(json.dumps(run_bench(sf_dir, num_cpus)))

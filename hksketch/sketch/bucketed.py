@@ -49,6 +49,9 @@ from .base import (
 from .pq import TopKQueue
 
 U64 = np.uint64
+# weighted decays up to this weight run the vectorized multi-pass roll
+# loop; heavier weights (rare — they mostly match fast-path) stay scalar
+_W_CAP = U64(64)
 
 
 @register_sketch("bucketed")
@@ -131,9 +134,9 @@ class BucketedTopK:
         fingerprint-ascending order per bucket; round r handles every
         bucket's r-th key at once, so each round's buckets are distinct and
         the whole round runs as NumPy gathers/scatters — match, claim, and
-        the single-roll weight-1 decay (the reference's decay while-loop
-        runs exactly once for increment=1, src/bucketed.rs:452-476).
-        Weighted decays and table-overflow counts stay scalar."""
+        the multi-pass weighted decay (one vectorized roll per weight unit,
+        exactly the reference's while-loop, src/bucketed.rs:452-476).
+        Table-overflow counts and weights beyond _W_CAP stay scalar."""
         m = len(uniq)
         bidx = bucket_indices(uniq, self.width)
         self._track_touched(bidx)
@@ -189,7 +192,7 @@ class BucketedTopK:
                 final[sel[ee]] = wsum[sel[ee]]
 
             needs_decay = ~has_match & ~has_empty
-            fast = needs_decay & (wsum[sel] == U64(1))
+            fast = needs_decay & (wsum[sel] <= _W_CAP)
             fi = np.flatnonzero(fast)
             if len(fi):
                 rr = rows[fi]
@@ -197,22 +200,39 @@ class BucketedTopK:
                 mincol = np.argmin(sub, axis=1)  # first minimal, scan order
                 mincnt = sub[np.arange(len(fi)), mincol]
                 small = mincnt < len(self.decay_tbl)
-                fi, rr, mincol, mincnt = fi[small], rr[small], mincol[small], mincnt[small]
+                fi, rr, mincol = fi[small], rr[small], mincol[small]
                 if len(fi):
-                    thresholds = self.decay_tbl[mincnt]
-                    rolls = self.rng.integers(
-                        0, U64_MAX, size=len(fi), dtype=np.uint64, endpoint=True
-                    )
-                    succ = rolls < thresholds
-                    newcnt = mincnt - succ.astype(np.uint64)
-                    take = succ & (newcnt == 0)
-                    self.cnt[rr, mincol] = newcnt
-                    self.fp[rr[take], mincol[take]] = uniq[sel[fi[take]]]
-                    self.cnt[rr[take], mincol[take]] = U64(1)
-                    final[sel[fi[take]]] = 1
+                    # multi-pass vectorized roll loop (pass p = one roll per
+                    # key with remaining weight; takeover on zero claims the
+                    # min cell with the REMAINING weight — exactly the
+                    # reference's while-loop, src/bucketed.rs:452-476);
+                    # distinct buckets per round ⇒ passes never interact
+                    rem = wsum[sel[fi]].astype(np.uint64, copy=True)
+                    act = np.ones(len(fi), dtype=bool)
                     ok[sel[fi]] = False
-                    ok[sel[fi[take]]] = True
-            # weighted / huge-count decays → exact scalar loop
+                    while act.any():
+                        ai = np.flatnonzero(act)
+                        cur = self.cnt[rr[ai], mincol[ai]]
+                        thresholds = self.decay_tbl[cur]
+                        rolls = self.rng.integers(
+                            0, U64_MAX, size=len(ai), dtype=np.uint64,
+                            endpoint=True,
+                        )
+                        succ = rolls < thresholds
+                        newcnt = cur - succ.astype(np.uint64)
+                        self.cnt[rr[ai], mincol[ai]] = newcnt
+                        zero = succ & (newcnt == 0)
+                        zi = ai[zero]
+                        if len(zi):
+                            self.fp[rr[zi], mincol[zi]] = uniq[sel[fi[zi]]]
+                            self.cnt[rr[zi], mincol[zi]] = rem[zi]
+                            final[sel[fi[zi]]] = rem[zi]
+                            ok[sel[fi[zi]]] = True
+                            act[zi] = False
+                        live = ai[~zero]
+                        rem[live] -= U64(1)
+                        act[live] = rem[live] > 0
+            # huge-count or beyond-cap decays → exact scalar loop
             handled = np.zeros(len(sel), dtype=bool)
             handled[fi] = True
             slow = needs_decay & ~handled

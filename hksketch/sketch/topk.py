@@ -13,8 +13,9 @@ over rows with a matching fingerprint (`src/heavykeeper.rs:220-246`).
 PQs merged by per-item count sum (`src/heavykeeper.rs:406-457`).
 
 Batch-vectorized like BucketedTopK: unique fingerprints with summed weights,
-NumPy fast paths per row, scalar fallback for decay and intra-batch
-same-bucket conflicts, fingerprint-ascending deterministic order.
+NumPy fast paths per row incl. multi-pass vectorized weighted decay;
+intra-batch same-bucket conflicts serialize via occurrence rounds;
+fingerprint-ascending deterministic order.
 """
 
 from __future__ import annotations

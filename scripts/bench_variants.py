@@ -50,15 +50,30 @@ def bench_list(cls, keys) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # host load on this shared box swings identical runs 3-5x minute to
+    # minute; every cell runs HK_VARIANTS_REPEATS times, the table keeps
+    # the fastest (best-case, least-contended) and the raw runs ship in
+    # the output so medians can be re-derived
+    repeats = int(os.environ.get("HK_VARIANTS_REPEATS", "3"))
     rng = np.random.default_rng(0xACC04ACC)
     zipf_keys = zipf_bounded(rng, 1.2, 1_000_000, n)
     uni_keys = rng.integers(0, 1_000_000, size=n).astype(np.uint64)
-    out = {"n_keys": n, "config": "K=100 width=4096 depth=4 decay=0.9"}
+    out = {
+        "n_keys": n,
+        "config": "K=100 width=4096 depth=4 decay=0.9",
+        "policy": f"fastest of {repeats} runs per cell; raw runs in *_runs",
+    }
     for cls in (TopK, BucketedTopK, CuckooTopK):
+        zr = [round(bench_add(cls, zipf_keys) / 1e6, 2) for _ in range(repeats)]
+        ur = [round(bench_add(cls, uni_keys) / 1e6, 2) for _ in range(repeats)]
+        lr = [round(bench_list(cls, zipf_keys) * 1e3, 2) for _ in range(repeats)]
         out[cls.__name__] = {
-            "zipf1.2_melem_per_s": round(bench_add(cls, zipf_keys) / 1e6, 2),
-            "uniform_melem_per_s": round(bench_add(cls, uni_keys) / 1e6, 2),
-            "list_k5000_ms": round(bench_list(cls, zipf_keys) * 1e3, 2),
+            "zipf1.2_melem_per_s": max(zr),
+            "uniform_melem_per_s": max(ur),
+            "list_k5000_ms": min(lr),
+            "zipf_runs": zr,
+            "uniform_runs": ur,
+            "list_runs_ms": lr,
         }
     print(json.dumps(out))
 
