@@ -183,6 +183,16 @@ def lsh_candidate_pairs(
     shards = int(shards)
 
     def shard(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(d) and int(d.min()) < 0:
+            # negative ids would collide with the drop-count sentinel rows
+            # (a=-1/-2) and be silently stripped — fail loudly instead
+            # (callers hashing ids should shift into non-negative range,
+            # e.g. `hash >> 1` as the fused web pass does)
+            raise ValueError(
+                "lsh_candidate_pairs requires non-negative doc ids "
+                f"(got min={int(d.min())})"
+            )
         bkey = splitmix64(
             b.column("band_hash").to_numpy(zero_copy_only=False)
             ^ (b.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -107,6 +107,116 @@ def decay_threshold(table: np.ndarray, count: int) -> int:
     return min(int(v), U64_MAX)
 
 
+def weighted_decay_rolls(
+    rng: "np.random.Generator",
+    decay_tbl: np.ndarray,
+    get_cnt,
+    set_cnt,
+    weights: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-pass weighted decay, shared by all three HeavyKeeper
+    variants (the one roll-for-roll-delicate loop in the engine; keeping a
+    single copy is what keeps the variants' decay semantics from drifting).
+
+    Reference loop semantics (src/heavykeeper.rs:309-327,
+    src/bucketed.rs:452-476, src/cuckoo.rs:709-731): each pass rolls once
+    per key with remaining weight, decrements the occupying count on
+    success, and on reaching zero the key takes the cell over with the
+    REMAINING weight; every roll consumes one weight unit.  Callers
+    guarantee all keys address DISTINCT cells (occurrence-round invariant)
+    and that starting counts are below ``len(decay_tbl)`` (counts only
+    shrink during the loop, so they stay in table range).
+
+    ``get_cnt(idx)`` / ``set_cnt(idx, values)`` read/write the occupying
+    counts for key indices ``idx``; cell takeover (fingerprint write,
+    count = returned final, any promotion) is the CALLER's job after the
+    loop — deferral is exact because no other key touches a taken cell.
+
+    Returns ``(took_over mask, final count per key)``; keys whose weight
+    ran out leave their cell decayed and get final 0.
+    """
+    nk = len(weights)
+    rem = weights.astype(np.uint64, copy=True)
+    active = np.ones(nk, dtype=bool)
+    took = np.zeros(nk, dtype=bool)
+    final = np.zeros(nk, dtype=np.uint64)
+    u64max = np.uint64(U64_MAX)
+    one = np.uint64(1)
+    while active.any():
+        ai = np.flatnonzero(active)
+        cur = get_cnt(ai)
+        thresholds = decay_tbl[cur]
+        rolls = rng.integers(0, u64max, size=len(ai), dtype=np.uint64, endpoint=True)
+        succ = rolls < thresholds
+        newcnt = cur - succ.astype(np.uint64)
+        set_cnt(ai, newcnt)
+        zero = succ & (newcnt == 0)
+        zi = ai[zero]
+        if len(zi):
+            final[zi] = rem[zi]
+            took[zi] = True
+            active[zi] = False
+        live = ai[~zero]
+        rem[live] -= one
+        active[live] = rem[live] > 0
+    return took, final
+
+
+def pq_batch_update(
+    pq,
+    uniq: np.ndarray,
+    final: np.ndarray,
+    arr,
+    first_idx: np.ndarray,
+    min_gate_start: int,
+    valid: "np.ndarray | None" = None,
+) -> None:
+    """Batched paper-Alg.-1 top-k register update, shared by the three
+    HeavyKeeper variants: raise-only for tracked keys, min-gated insert
+    otherwise (src/heavykeeper.rs:331-354, src/bucketed.rs:237-257).
+
+    Candidates are processed in (count desc, fingerprint asc) order with
+    LIVE membership checks — a key tracked at batch start but evicted by
+    an earlier (larger-count) insert re-enters through the normal gate,
+    exactly as in a sequential event replay.  The descending order allows
+    an early stop: the PQ min only grows during the loop, so once an
+    untracked candidate fails the strict > gate, every later one fails it
+    too — the loop ends as soon as no batch-start-tracked candidates
+    remain either.  The untracked prefilter against ``min_gate_start``
+    (the min when the batch began; 0 when not full) is exact for the same
+    reason.  NOTE: membership at exact count ties can differ from a
+    fingerprint-ascending replay — both are deterministic resolutions of
+    a tie the reference resolves by stream arrival order, which batch
+    collapse already abstracts away (SURVEY deviations #2/#5).
+    """
+    if len(pq._map):
+        tracked = np.fromiter(pq._map.keys(), dtype=np.uint64, count=len(pq._map))
+        is_tracked = np.isin(uniq, tracked)
+    else:
+        is_tracked = np.zeros(len(uniq), dtype=bool)
+    cand = final > 0
+    if valid is not None:
+        cand &= valid
+    idxs = np.flatnonzero(cand)
+    if min_gate_start:
+        idxs = idxs[is_tracked[idxs] | (final[idxs] > np.uint64(min_gate_start))]
+    idxs = idxs[np.lexsort((uniq[idxs], ~final[idxs]))]  # count desc, fp asc
+    tracked_left = int(is_tracked[idxs].sum())
+    for i in idxs:
+        fp = int(uniq[i])
+        count = int(final[i])
+        if is_tracked[i]:
+            tracked_left -= 1
+        if fp in pq:
+            pq.update_if_present(fp, count)
+            continue
+        if pq.is_full() and count <= pq.min_count():
+            if tracked_left == 0:
+                break
+            continue
+        pq.upsert(fp, arr[int(first_idx[i])].as_py(), count)
+
+
 # ---------------------------------------------------------------------------
 # Serialization framing
 # ---------------------------------------------------------------------------

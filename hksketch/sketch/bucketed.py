@@ -42,9 +42,11 @@ from .base import (
     register_sketch,
     unpack_sketch,
     validate_topk_params,
+    pq_batch_update,
     pq_override,
     rng_state_to_json,
     rng_state_from_json,
+    weighted_decay_rolls,
 )
 from .pq import TopKQueue
 
@@ -202,36 +204,25 @@ class BucketedTopK:
                 small = mincnt < len(self.decay_tbl)
                 fi, rr, mincol = fi[small], rr[small], mincol[small]
                 if len(fi):
-                    # multi-pass vectorized roll loop (pass p = one roll per
-                    # key with remaining weight; takeover on zero claims the
-                    # min cell with the REMAINING weight — exactly the
-                    # reference's while-loop, src/bucketed.rs:452-476);
-                    # distinct buckets per round ⇒ passes never interact
-                    rem = wsum[sel[fi]].astype(np.uint64, copy=True)
-                    act = np.ones(len(fi), dtype=bool)
+                    # shared multi-pass roll loop (base.weighted_decay_rolls,
+                    # src/bucketed.rs:452-476); distinct buckets per round ⇒
+                    # passes never interact; takeover applied after the loop
                     ok[sel[fi]] = False
-                    while act.any():
-                        ai = np.flatnonzero(act)
-                        cur = self.cnt[rr[ai], mincol[ai]]
-                        thresholds = self.decay_tbl[cur]
-                        rolls = self.rng.integers(
-                            0, U64_MAX, size=len(ai), dtype=np.uint64,
-                            endpoint=True,
-                        )
-                        succ = rolls < thresholds
-                        newcnt = cur - succ.astype(np.uint64)
-                        self.cnt[rr[ai], mincol[ai]] = newcnt
-                        zero = succ & (newcnt == 0)
-                        zi = ai[zero]
-                        if len(zi):
-                            self.fp[rr[zi], mincol[zi]] = uniq[sel[fi[zi]]]
-                            self.cnt[rr[zi], mincol[zi]] = rem[zi]
-                            final[sel[fi[zi]]] = rem[zi]
-                            ok[sel[fi[zi]]] = True
-                            act[zi] = False
-                        live = ai[~zero]
-                        rem[live] -= U64(1)
-                        act[live] = rem[live] > 0
+                    taken, final_cnt = weighted_decay_rolls(
+                        self.rng,
+                        self.decay_tbl,
+                        lambda ai, _r=rr, _c=mincol: self.cnt[_r[ai], _c[ai]],
+                        lambda ai, v, _r=rr, _c=mincol: self.cnt.__setitem__(
+                            (_r[ai], _c[ai]), v
+                        ),
+                        wsum[sel[fi]],
+                    )
+                    ti = fi[taken]
+                    if len(ti):
+                        self.fp[rr[taken], mincol[taken]] = uniq[sel[ti]]
+                        self.cnt[rr[taken], mincol[taken]] = final_cnt[taken]
+                        final[sel[ti]] = final_cnt[taken]
+                        ok[sel[ti]] = True
             # huge-count or beyond-cap decays → exact scalar loop
             handled = np.zeros(len(sel), dtype=bool)
             handled[fi] = True
@@ -307,28 +298,12 @@ class BucketedTopK:
         min-gated insert otherwise (src/bucketed.rs:237-257).  Candidate
         prefilter vs the batch-start min is exact because the PQ min only
         grows during the loop."""
-        pq = self.pq
-        if len(pq._map):
-            tracked = np.fromiter(pq._map.keys(), dtype=np.uint64, count=len(pq._map))
-            is_tracked = np.isin(uniq, tracked)
-        else:
-            is_tracked = np.zeros(len(uniq), dtype=bool)
-        # tracked keys: raise-only updates (independent of order)
-        for i in np.flatnonzero(is_tracked & ok & (final > 0)):
-            pq.update_if_present(int(uniq[i]), int(final[i]))
-        # untracked: min-gated inserts in count-DESC order with early stop
-        # (the PQ min only grows, so the first gate failure ends the loop)
-        un = np.flatnonzero(~is_tracked & ok & (final > 0))
-        if pq.is_full():
-            un = un[final[un] > U64(self.min_pq_count)]
-        un = un[np.lexsort((uniq[un], ~final[un]))]  # count desc, fp asc
-        for i in un:
-            count = int(final[i])
-            if pq.is_full() and count <= pq.min_count():
-                break
-            pq.upsert(int(uniq[i]), arr[int(first_idx[i])].as_py(), count)
-        if pq.is_full():
-            self.min_pq_count = pq.min_count()
+        pq_batch_update(
+            self.pq, uniq, final, arr, first_idx,
+            self.min_pq_count if self.pq.is_full() else 0, valid=ok,
+        )
+        if self.pq.is_full():
+            self.min_pq_count = self.pq.min_count()
 
 
     @classmethod

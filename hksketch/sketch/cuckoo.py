@@ -45,8 +45,10 @@ from .base import (
     pq_override,
     rng_state_from_json,
     rng_state_to_json,
+    pq_batch_update,
     unpack_sketch,
     validate_topk_params,
+    weighted_decay_rolls,
 )
 from .pq import TopKQueue
 
@@ -252,35 +254,29 @@ class CuckooTopK:
                             touched[i] = True
                     li = li[small]
                 if len(li):
-                    rem = wsum[sel[li]].astype(np.uint64, copy=True)
-                    act = np.ones(len(li), dtype=bool)
-                    while act.any():
-                        ai = np.flatnonzero(act)
-                        bpos = pb[li[ai]]
-                        cur = self.lobby_cnt[bpos]
-                        thresholds = self.decay_tbl[cur]
-                        rolls = self.rng.integers(
-                            0, U64_MAX, size=len(ai), dtype=np.uint64,
-                            endpoint=True,
+                    # shared multi-pass roll loop (base.weighted_decay_rolls,
+                    # src/cuckoo.rs:709-731); lobby takeover + promotion
+                    # applied after the loop (deferral exact: distinct
+                    # lobbies per round, and the loop never reads heavy)
+                    lb = pb[li]
+                    taken, final_cnt = weighted_decay_rolls(
+                        self.rng,
+                        self.decay_tbl,
+                        lambda ai, _b=lb: self.lobby_cnt[_b[ai]],
+                        lambda ai, v, _b=lb: self.lobby_cnt.__setitem__(
+                            _b[ai], v
+                        ),
+                        wsum[sel[li]],
+                    )
+                    ti = li[taken]
+                    if len(ti):
+                        self.lobby_fp[pb[ti]] = uniq[sel[ti]]
+                        self.lobby_cnt[pb[ti]] = final_cnt[taken]
+                        self._promote_precheck(
+                            ti, sel, pb, alternate, uniq,
+                            _dense_counts(final_cnt[taken], ti, len(sel)),
+                            final, touched,
                         )
-                        succ = rolls < thresholds
-                        newcnt = cur - succ.astype(np.uint64)
-                        self.lobby_cnt[bpos] = newcnt
-                        zero = succ & (newcnt == 0)
-                        zi = ai[zero]
-                        if len(zi):
-                            ti = li[zi]
-                            self.lobby_fp[pb[ti]] = uniq[sel[ti]]
-                            self.lobby_cnt[pb[ti]] = rem[zi]
-                            self._promote_precheck(
-                                ti, sel, pb, alternate, uniq,
-                                _dense_counts(rem[zi], ti, len(sel)),
-                                final, touched,
-                            )
-                            act[zi] = False
-                        live = ai[~zero]
-                        rem[live] -= U64(1)
-                        act[live] = rem[live] > 0
 
         self._update_pq(uniq, final, touched, arr, first_idx)
 
@@ -420,25 +416,10 @@ class CuckooTopK:
 
     def _update_pq(self, uniq, final, touched, arr, first_idx) -> None:
         pq = self.pq
-        if len(pq._map):
-            tracked = np.fromiter(pq._map.keys(), dtype=np.uint64, count=len(pq._map))
-            is_tracked = np.isin(uniq, tracked)
-        else:
-            is_tracked = np.zeros(len(uniq), dtype=bool)
-        # tracked keys: raise-only updates (independent of order)
-        for i in np.flatnonzero(is_tracked & touched & (final > 0)):
-            pq.update_if_present(int(uniq[i]), int(final[i]))
-        # untracked: min-gated inserts in count-DESC order with early stop
-        # (the PQ min only grows, so the first gate failure ends the loop)
-        un = np.flatnonzero(~is_tracked & touched & (final > 0))
-        if pq.is_full():
-            un = un[final[un] > U64(self.min_pq_count)]
-        un = un[np.lexsort((uniq[un], ~final[un]))]  # count desc, fp asc
-        for i in un:
-            count = int(final[i])
-            if pq.is_full() and count <= pq.min_count():
-                break
-            pq.upsert(int(uniq[i]), arr[int(first_idx[i])].as_py(), count)
+        pq_batch_update(
+            pq, uniq, final, arr, first_idx,
+            self.min_pq_count if pq.is_full() else 0, valid=touched,
+        )
         if pq.is_full():
             self.min_pq_count = pq.min_count()
 

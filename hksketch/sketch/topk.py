@@ -47,8 +47,10 @@ from .base import (
     pq_override,
     rng_state_from_json,
     rng_state_to_json,
+    pq_batch_update,
     unpack_sketch,
     validate_topk_params,
+    weighted_decay_rolls,
 )
 from .pq import TopKQueue
 
@@ -153,13 +155,23 @@ class TopK:
                     small = bcnt[fi] < len(self.decay_tbl)
                     fi = fi[small]
                 if len(fi):
-                    taken, final_cnt = self._decay_multi_pass(
-                        (r, rows[fi]), uniq[sel[fi]], wsum[sel[fi]]
+                    frows = rows[fi]
+                    taken, final_cnt = weighted_decay_rolls(
+                        self.rng,
+                        self.decay_tbl,
+                        lambda ai, _fr=frows: self.cnt[r, _fr[ai]],
+                        lambda ai, v, _fr=frows: self.cnt.__setitem__(
+                            (r, _fr[ai]), v
+                        ),
+                        wsum[sel[fi]],
                     )
                     ti = fi[taken]
-                    max_count[sel[ti]] = np.maximum(
-                        max_count[sel[ti]], final_cnt[taken]
-                    )
+                    if len(ti):
+                        self.fp[r, rows[ti]] = uniq[sel[ti]]
+                        self.cnt[r, rows[ti]] = final_cnt[taken]
+                        max_count[sel[ti]] = np.maximum(
+                            max_count[sel[ti]], final_cnt[taken]
+                        )
                 handled = np.zeros(len(sel), dtype=bool)
                 handled[fi] = True
                 for i in sel[needs_decay & ~handled]:
@@ -170,49 +182,6 @@ class TopK:
                         max_count[i] = c
 
         self._update_pq(uniq, max_count, arr, first_idx)
-
-    def _decay_multi_pass(
-        self, cell_rows, fps: np.ndarray, weights: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized weighted decay (src/heavykeeper.rs:309-327 /
-        src/bucketed.rs:452-476 semantics): pass p rolls once for every key
-        with remaining weight, decrementing the occupying count on success
-        and taking the cell over with the REMAINING weight on zero.  All
-        keys in one call occupy DISTINCT cells (occurrence-round
-        invariant), so passes never interact across keys.  Rolls consume
-        one weight unit each, exactly like the reference's loop.  Returns
-        (took_over mask, final count per key)."""
-        r, rows = cell_rows
-        nk = len(fps)
-        rem = weights.astype(np.uint64, copy=True)
-        active = np.ones(nk, dtype=bool)
-        took = np.zeros(nk, dtype=bool)
-        final = np.zeros(nk, dtype=np.uint64)
-        while active.any():
-            ai = np.flatnonzero(active)
-            rr = rows[ai]
-            cur = self.cnt[r, rr]
-            # counts can leave table range only via concurrent growth —
-            # impossible here (distinct cells, decay only shrinks): safe
-            thresholds = self.decay_tbl[cur]
-            rolls = self.rng.integers(
-                0, U64_MAX, size=len(ai), dtype=np.uint64, endpoint=True
-            )
-            succ = rolls < thresholds
-            newcnt = cur - succ.astype(np.uint64)
-            self.cnt[r, rr] = newcnt
-            zero = succ & (newcnt == 0)
-            zi = ai[zero]
-            if len(zi):
-                self.fp[r, rows[zi]] = fps[zi]
-                self.cnt[r, rows[zi]] = rem[zi]
-                final[zi] = rem[zi]
-                took[zi] = True
-                active[zi] = False
-            live = ai[~zero]
-            rem[live] -= U64(1)
-            active[live] = rem[live] > 0
-        return took, final
 
     def _add_one_row(self, r: int, rh: int, fp: int, increment: int) -> int | None:
         """Scalar per-row update incl. the decay loop
@@ -247,29 +216,10 @@ class TopK:
         arr: pa.Array,
         first_idx: np.ndarray,
     ) -> None:
-        pq = self.pq
-        if len(pq._map):
-            tracked = np.fromiter(pq._map.keys(), dtype=np.uint64, count=len(pq._map))
-            is_tracked = np.isin(uniq, tracked)
-        else:
-            is_tracked = np.zeros(len(uniq), dtype=bool)
-        # tracked keys: raise-only updates (any order — independent cells)
-        for i in np.flatnonzero(is_tracked & (max_count > 0)):
-            pq.update_if_present(int(uniq[i]), int(max_count[i]))
-        # untracked: min-gated inserts in count-DESC order with early stop —
-        # the PQ min only grows, so once a candidate fails the gate every
-        # later (smaller-count) candidate fails it too (round 4: the
-        # ascending loop re-checked min_count per key, dominating
-        # adversarial uniform batches)
-        un = np.flatnonzero(~is_tracked & (max_count > 0))
-        if pq.is_full():
-            un = un[max_count[un] > U64(pq.min_count())]
-        un = un[np.lexsort((uniq[un], ~max_count[un]))]  # count desc, fp asc
-        for i in un:
-            count = int(max_count[i])
-            if pq.is_full() and count <= pq.min_count():
-                break
-            pq.upsert(int(uniq[i]), arr[int(first_idx[i])].as_py(), count)
+        pq_batch_update(
+            self.pq, uniq, max_count, arr, first_idx,
+            self.pq.min_count() if self.pq.is_full() else 0,
+        )
 
 
     @classmethod

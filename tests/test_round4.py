@@ -333,6 +333,64 @@ def test_cuckoo_weighted_lobby_decay_forced():
         assert int(tk.lobby_cnt[b]) == c, b
 
 
+# ---------- review fix: PQ batch update keeps live-membership semantics ----
+
+
+def test_pq_batch_update_reentry_after_eviction():
+    """A key tracked at batch start but evicted by a larger-count insert
+    during the SAME batch must re-enter through the normal gate (the
+    round-4 first draft classified tracked keys once up front and lost
+    them; found by review with this exact scenario)."""
+    import pyarrow as pa
+
+    from hksketch.sketch.base import pq_batch_update
+    from hksketch.sketch.pq import TopKQueue
+
+    def fresh_pq():
+        pq = TopKQueue(3)
+        pq.upsert(100, "A", 5)
+        pq.upsert(200, "D", 7)
+        pq.upsert(300, "B", 10)
+        return pq
+
+    # case 1: untracked C (smaller fp) ties tracked A at 6 → C's insert
+    # evicts A (min=5); A re-enters the loop via the gate and fails (6<=6)
+    pq = fresh_pq()
+    pq_batch_update(
+        pq,
+        np.array([51, 100], dtype=np.uint64),
+        np.array([6, 6], dtype=np.uint64),
+        pa.array(["C", "A"]),
+        np.array([0, 1]),
+        min_gate_start=5,
+    )
+    assert {f: e[0] for f, e in pq._map.items()} == {51: 6, 200: 7, 300: 10}
+
+    # case 2: tracked A has the smaller fp → raised to 6 first; C then
+    # fails the strict gate — membership resolution is fp-order at ties
+    pq = fresh_pq()
+    pq_batch_update(
+        pq,
+        np.array([100, 151], dtype=np.uint64),
+        np.array([6, 6], dtype=np.uint64),
+        pa.array(["A", "C"]),
+        np.array([0, 1]),
+        min_gate_start=5,
+    )
+    assert {f: e[0] for f, e in pq._map.items()} == {100: 6, 200: 7, 300: 10}
+
+
+def test_lsh_rejects_negative_doc_ids(ray_session):
+    import ray.data as rd
+
+    from hksketch.dedup.minhash import lsh_candidate_pairs
+
+    bad = _band_rows_table(np.array([5, 5], dtype=np.uint64),
+                           np.array([-1, 7], dtype=np.int64))
+    with pytest.raises(Exception, match="non-negative doc ids"):
+        lsh_candidate_pairs(rd.from_arrow(bad), shards=16, rows_hint=2)
+
+
 # ---------- VERDICT #4: shared-storage root threads through ----------
 
 

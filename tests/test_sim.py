@@ -340,9 +340,17 @@ def test_distributed_kmeans_matches_local_lloyd(ray_session, tmp_path):
         Cl = newC
     a_dist = np.argmax(m @ C.T, axis=1)
     a_loc = np.argmax(m @ Cl.T, axis=1)
-    assert np.bincount(a_dist, minlength=4).tolist() == np.bincount(
-        a_loc, minlength=4
-    ).tolist()
+    bd = np.bincount(a_dist, minlength=4).tolist()
+    bl = np.bincount(a_loc, minlength=4).tolist()
+    # distributed partial sums reassociate float64 adds across blocks, so
+    # a point sitting essentially ON a cluster boundary may flip; sizes
+    # must match up to that (diagnostics kept verbose for a rare flake
+    # observed once in-suite)
+    assert bd == bl, (
+        f"cluster sizes diverged: dist={bd} local={bl}, "
+        f"flips={int((a_dist != a_loc).sum())}, "
+        f"max|C-Cl|={float(np.abs(C - Cl).max()):.3e}"
+    )
 
     sizes = kmeans_cluster_sizes(ds, n_clusters=4, seed=7, iters=8)
     assert int(sum(sizes.column("n").to_pylist())) == len(embs)
