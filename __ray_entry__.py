@@ -80,6 +80,40 @@ def _q_topk_users_exact(sf_dir: str):
     return exact_topk(read_table(sf_dir, "events", ["user_id"]), "user_id", 50)
 
 
+def _q_topk_users_mg(sf_dir: str):
+    """Misra-Gries (PODS'12 mergeable summary) top-50 users — the
+    deterministic counter-based cross-check of the HeavyKeeper path;
+    same no-shuffle partial+tree-merge plan as every global sketch.  With
+    m >> distinct users at test scales nothing truncates, so counts are
+    exact (error_bound() == 0 asserted) and the SQL oracle checks
+    hash-exact; at web scale the same query degrades gracefully to the
+    one-sided N/(m+1) underestimate bound."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    blob = global_sketch(
+        ds, sketch_config("misra_gries", m=8192, seed=SEED), key_col="user_id"
+    )
+    sk = sketch_from_bytes(blob)
+    assert sk.error_bound() == 0, "m=8192 must be exact at test scales"
+    t = sk.to_table().rename_columns(["user_id", "count"])
+    order = pc.sort_indices(
+        t, sort_keys=[("count", "descending"), ("user_id", "ascending")]
+    )
+    out = t.take(order[:50])
+    return out.set_column(
+        out.schema.get_field_index("count"),
+        "count",
+        out.column("count").cast(pa.int64()),
+    )
+
+
 def _q_topk_sources_exact(sf_dir: str):
     from hksketch.pipelines.ops import exact_topk, read_table
 
@@ -1306,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_tokens_exact": _q_topk_tokens_exact,
         "topk_users_sketch": _q_topk_users_sketch,
         "topk_users_exact": _q_topk_users_exact,
+        "topk_users_mg": _q_topk_users_mg,
         "topk_sources_exact": _q_topk_sources_exact,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "distinct_users_exact": _q_distinct_users_exact,
@@ -1391,6 +1426,11 @@ FROM events GROUP BY user_id
 ORDER BY count DESC, user_id ASC LIMIT 50
 """,
         "topk_users_exact": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS count
+FROM events GROUP BY user_id
+ORDER BY count DESC, user_id ASC LIMIT 50
+""",
+        "topk_users_mg": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS count
 FROM events GROUP BY user_id
 ORDER BY count DESC, user_id ASC LIMIT 50

@@ -4,7 +4,7 @@ HeavyKeeper family (semantics from /root/reference/src/): ``TopK`` (canonical
 depth×width), ``BucketedTopK`` (single-hash, default), ``CuckooTopK``.
 Literature sketches with the same contracts (seeded, param-checked merge,
 serializable): ``HyperLogLog``, ``CountMinSketch``, ``BloomFilter``,
-``TDigest``, ``KLL``.
+``TDigest``, ``KLL``, ``MisraGries``.
 """
 
 from .base import (
@@ -19,6 +19,7 @@ from .countmin import CountMinSketch
 from .cuckoo import CuckooTopK
 from .hll import HyperLogLog
 from .kll import KLL
+from .mg import MisraGries
 from .pq import TopKQueue
 from .reservoir import DistinctValueSample, ReservoirSample
 from .tdigest import TDigest
@@ -33,6 +34,7 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLL",
+    "MisraGries",
     "TopKQueue",
     "ReservoirSample",
     "DistinctValueSample",

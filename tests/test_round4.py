@@ -333,6 +333,108 @@ def test_cuckoo_weighted_lobby_decay_forced():
         assert int(tk.lobby_cnt[b]) == c, b
 
 
+# ---------- new sketch: Misra-Gries frequent items (mergeable) ----------
+
+
+def test_mg_exact_regime_matches_counter():
+    from collections import Counter
+
+    from hksketch.sketch import MisraGries
+
+    rng = np.random.default_rng(4)
+    keys = [f"k{z}" for z in rng.zipf(1.5, 30_000) if z < 5000]
+    mg = MisraGries(1 << 14, seed=12345)  # m >> distinct → exact
+    for s in range(0, len(keys), 7000):
+        mg.add_batch(keys[s : s + 7000])
+    truth = Counter(keys)
+    assert mg.error_bound() == 0
+    got = dict(mg.list())
+    assert got == dict(truth)
+    # count_batch agrees
+    probe = list(truth)[:100]
+    assert mg.count_batch(probe).tolist() == [truth[k] for k in probe]
+
+
+def test_mg_error_bound_under_truncation():
+    from collections import Counter
+
+    from hksketch.sketch import MisraGries
+
+    rng = np.random.default_rng(9)
+    keys = [int(z) for z in rng.zipf(1.3, 50_000)]
+    truth = Counter(keys)
+    m = 64
+    mg = MisraGries(m, seed=1)
+    for s in range(0, len(keys), 9000):
+        mg.add_batch(np.array(keys[s : s + 9000], dtype=np.int64))
+    err = mg.error_bound()
+    assert 0 < err <= (mg.n_total - int(mg.counts.sum())) // (m + 1) + 1
+    # one-sided: est <= true <= est + err, for every resident AND absent key
+    got = dict(mg.list())
+    for k, true in truth.most_common(200):
+        est = got.get(k, 0)
+        assert est <= true <= est + err, (k, est, true, err)
+
+
+def test_mg_merge_exact_regime_associative_and_guarded():
+    import pytest as _pytest
+
+    from hksketch.sketch import MisraGries, sketch_from_bytes
+    from hksketch.sketch.base import IncompatibleSketchError
+
+    rng = np.random.default_rng(2)
+    chunks = [
+        np.array([f"u{v}" for v in rng.integers(0, 500, 4000)])
+        for _ in range(3)
+    ]
+
+    def build(data):
+        mg = MisraGries(4096, seed=7)
+        mg.add_batch(data)
+        return mg
+
+    a, b, c = (build(ch) for ch in chunks)
+    left = build(chunks[0]).merge(build(chunks[1]).merge(build(chunks[2])))
+    right = build(chunks[0]).merge(build(chunks[1])).merge(build(chunks[2]))
+    assert left.state_equal(right)  # exact regime: associative
+    # roundtrip
+    blob = left.to_bytes()
+    back = sketch_from_bytes(blob)
+    assert back.state_equal(left)
+    assert back.list() == left.list()
+    with _pytest.raises(IncompatibleSketchError):
+        build(chunks[0]).merge(MisraGries(4096, seed=8))
+    with _pytest.raises(IncompatibleSketchError):
+        build(chunks[0]).merge(MisraGries(2048, seed=7))
+
+
+def test_mg_merge_bound_holds_under_truncation():
+    from collections import Counter
+
+    from hksketch.sketch import MisraGries
+
+    rng = np.random.default_rng(13)
+    parts = [
+        [int(z) for z in rng.zipf(1.3, 20_000)] for _ in range(4)
+    ]
+    m = 48
+    summaries = []
+    for p in parts:
+        mg = MisraGries(m, seed=3)
+        mg.add_batch(np.array(p, dtype=np.int64))
+        summaries.append(mg)
+    acc = summaries[0]
+    for s in summaries[1:]:
+        acc = acc.merge(s)
+    truth = Counter([k for p in parts for k in p])
+    err = acc.error_bound()
+    got = dict(acc.list())
+    for k, true in truth.most_common(100):
+        est = got.get(k, 0)
+        assert est <= true <= est + err, (k, est, true, err)
+    assert err <= (acc.n_total - int(acc.counts.sum())) // (m + 1) + 1
+
+
 # ---------- review fix: PQ batch update keeps live-membership semantics ----
 
 
