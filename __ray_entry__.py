@@ -114,6 +114,40 @@ def _q_topk_users_mg(sf_dir: str):
     )
 
 
+def _q_embedding_principal_directions(sf_dir: str):
+    """Frequent-Directions (Liberty KDD'13 / SICOMP'16 mergeable matrix
+    sketch) principal spectrum of the embedding stream — per-batch FD
+    partials, worker tree-merge, ONE tiny (2·ell, dim) sketch on the
+    driver.  Randomization-free but merge-grouping-sensitive once shrinks
+    fire, so no SQL oracle (rows-only); the spectral error bound
+    ‖AᵀA−BᵀB‖₂ ≤ err ≤ ‖A‖F²/ell is asserted here and against dense
+    AᵀA in tests/test_round4.py."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "embeddings", ["embedding"])
+    blob = global_sketch(
+        ds,
+        sketch_config("frequent_directions", ell=64, dim=64),
+        key_col="embedding",
+        batch_size=512,
+    )
+    sk = sketch_from_bytes(blob)
+    assert sk.error_bound() <= sk.frob_sq / sk.ell + 1e-9
+    s = sk.singular_values()[:8]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(s) + 1), type=pa.int64()),
+            "sigma": pa.array(s, type=pa.float64()),
+            "energy_frac": pa.array(s**2 / sk.frob_sq, type=pa.float64()),
+        }
+    )
+
+
 def _q_topk_sources_exact(sf_dir: str):
     from hksketch.pipelines.ops import exact_topk, read_table
 
@@ -1341,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_users_sketch": _q_topk_users_sketch,
         "topk_users_exact": _q_topk_users_exact,
         "topk_users_mg": _q_topk_users_mg,
+        "embedding_principal_directions": _q_embedding_principal_directions,
         "topk_sources_exact": _q_topk_sources_exact,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "distinct_users_exact": _q_distinct_users_exact,

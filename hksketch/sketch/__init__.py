@@ -4,7 +4,7 @@ HeavyKeeper family (semantics from /root/reference/src/): ``TopK`` (canonical
 depth×width), ``BucketedTopK`` (single-hash, default), ``CuckooTopK``.
 Literature sketches with the same contracts (seeded, param-checked merge,
 serializable): ``HyperLogLog``, ``CountMinSketch``, ``BloomFilter``,
-``TDigest``, ``KLL``, ``MisraGries``.
+``TDigest``, ``KLL``, ``MisraGries``, ``FrequentDirections``.
 """
 
 from .base import (
@@ -17,6 +17,7 @@ from .bloom import BloomFilter
 from .bucketed import BucketedTopK
 from .countmin import CountMinSketch
 from .cuckoo import CuckooTopK
+from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
 from .mg import MisraGries
@@ -35,6 +36,7 @@ __all__ = [
     "TDigest",
     "KLL",
     "MisraGries",
+    "FrequentDirections",
     "TopKQueue",
     "ReservoirSample",
     "DistinctValueSample",

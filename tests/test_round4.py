@@ -435,6 +435,109 @@ def test_mg_merge_bound_holds_under_truncation():
     assert err <= (acc.n_total - int(acc.counts.sum())) // (m + 1) + 1
 
 
+# ---------- new sketch: Frequent Directions (mergeable matrix sketch) ----
+
+
+def _dense_gram_gap(A, fd):
+    """Eigenvalues of AᵀA − BᵀB (ascending) for bound checks."""
+    s, Vt = np.linalg.svd(fd.B[: fd.nrows], full_matrices=False)[1:]
+    return np.linalg.eigvalsh(A.T @ A - (Vt.T * (s**2)) @ Vt)
+
+
+def test_fd_exact_regime_matches_dense_svd():
+    from hksketch.sketch import FrequentDirections
+
+    rng = np.random.default_rng(21)
+    A = rng.standard_normal((700, 32))
+    fd = FrequentDirections(512)  # cap 1024 > 700 rows → never shrinks
+    for s in range(0, 700, 150):
+        fd.add_batch(A[s : s + 150])
+    assert fd.error_bound() == 0
+    assert np.allclose(
+        fd.singular_values(), np.linalg.svd(A, compute_uv=False), rtol=1e-10
+    )
+
+
+def test_fd_spectral_bound_under_shrinking():
+    from hksketch.sketch import FrequentDirections
+
+    rng = np.random.default_rng(22)
+    U = rng.standard_normal((3000, 4))
+    V = rng.standard_normal((4, 48))
+    A = U @ V + rng.standard_normal((3000, 48)) * 0.05
+    fd = FrequentDirections(12)
+    for s in range(0, 3000, 250):
+        fd.add_batch(A[s : s + 250])
+    ev = _dense_gram_gap(A, fd)
+    assert ev.min() > -1e-6  # BᵀB ⪯ AᵀA (underestimate, like MG)
+    assert ev.max() <= fd.error_bound() + 1e-6
+    assert fd.error_bound() <= fd.frob_sq / 12 + 1e-6
+    # strong low-rank signal survives an aggressive sketch
+    s_true = np.linalg.svd(A, compute_uv=False)
+    s_fd = fd.singular_values()
+    assert np.all(s_fd[:4] ** 2 >= s_true[:4] ** 2 - fd.error_bound() - 1e-6)
+
+
+def test_fd_merge_bound_weights_and_guards():
+    import pytest as _pytest
+
+    from hksketch.sketch import FrequentDirections, MisraGries, sketch_from_bytes
+    from hksketch.sketch.base import BuilderError, IncompatibleSketchError
+
+    rng = np.random.default_rng(23)
+    A = rng.standard_normal((1600, 24))
+    parts = []
+    for j in range(4):
+        fd = FrequentDirections(10)
+        fd.add_batch(A[j * 400 : (j + 1) * 400])
+        parts.append(fd)
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.merge(p)
+    ev = _dense_gram_gap(A, acc)
+    assert ev.min() > -1e-6 and ev.max() <= acc.error_bound() + 1e-6
+    # roundtrip through the registry
+    back = sketch_from_bytes(acc.to_bytes())
+    assert back.state_equal(acc)
+    assert np.allclose(back.singular_values(), acc.singular_values())
+    # weighted rows enter as sqrt(w)·row: weight 4 == the row 4 times
+    fa = FrequentDirections(64)
+    fa.add_batch(A[:8], weights=np.full(8, 4.0))
+    fb = FrequentDirections(64)
+    fb.add_batch(np.repeat(A[:8], 4, axis=0))
+    sb = fb.singular_values()
+    assert np.allclose(fa.singular_values(), sb[:8])
+    assert np.all(sb[8:] < 1e-10)  # 4 copies of 8 rows: rank <= 8
+    # guards
+    with _pytest.raises(BuilderError):
+        FrequentDirections(1)
+    with _pytest.raises(BuilderError):
+        fd0 = FrequentDirections(8)
+        fd0.add_batch(A[:4, :10])
+        fd0.add_batch(A[:4, :12])
+    with _pytest.raises(IncompatibleSketchError):
+        FrequentDirections(8).merge(FrequentDirections(16))
+    with _pytest.raises(IncompatibleSketchError):
+        FrequentDirections(8).merge(MisraGries(8))
+
+
+def test_fd_arrow_list_column_and_driver_query(ray_session):
+    """FD ingests an Arrow list<float> column through the generic
+    global_sketch partial path, and the driver query returns the spectrum."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = e.queries()["embedding_principal_directions"]("/root/testdata/sf0.001")
+    assert out.num_rows == 8
+    assert out.column_names == ["rank", "sigma", "energy_frac"]
+    sig = out.column("sigma").to_pylist()
+    assert all(a >= b > 0 for a, b in zip(sig, sig[1:]))
+    ef = out.column("energy_frac").to_pylist()
+    assert 0 < sum(ef) <= 1.0 + 1e-9
+
+
 # ---------- review fix: PQ batch update keeps live-membership semantics ----
 
 
