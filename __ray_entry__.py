@@ -684,6 +684,49 @@ def _q_topk_parts_by_qty_sketch(sf_dir: str):
     return sketch_to_sorted_table(blob, "l_partkey", "total_qty", limit=25)
 
 
+def _q_topk_parts_by_qty_mg(sf_dir: str):
+    """Misra-Gries WEIGHTED heavy hitters (PODS'12 weighted counters:
+    each key's counter absorbs its summed weight): top parts by total
+    quantity — crosses MG's weighted add + distributed merge under the
+    same SQL oracle as the HeavyKeeper weighted query.  m=32768 >>
+    distinct partkeys at every test scale, so exact/hash-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def int_qty(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_partkey": b.column("l_partkey"),
+             "qty": pc.cast(b.column("l_quantity"), pa.uint64())}
+        )
+
+    ds = ds.map_batches(int_qty, batch_format="pyarrow", zero_copy_batch=True)
+    blob = global_sketch(
+        ds,
+        sketch_config("misra_gries", m=1 << 15, seed=SEED),
+        key_col="l_partkey",
+        weight_col="qty",
+    )
+    sk = sketch_from_bytes(blob)
+    assert sk.error_bound() == 0, "m must stay exact at test scales"
+    t = sk.to_table().rename_columns(["l_partkey", "total_qty"])
+    order = pc.sort_indices(
+        t, sort_keys=[("total_qty", "descending"), ("l_partkey", "ascending")]
+    )
+    out = t.take(order[:25])
+    return out.set_column(
+        out.schema.get_field_index("total_qty"),
+        "total_qty",
+        out.column("total_qty").cast(pa.int64()),
+    )
+
+
 def _q_tokens_per_lang_topk_sketch(sf_dir: str):
     """Per-group HeavyKeeper sketches (few large groups → per-batch partial
     pre-aggregation, shuffle carries blobs only)."""
@@ -1404,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
         "user_sessions": _q_user_sessions,
         "topk_parts_by_qty_sketch": _q_topk_parts_by_qty_sketch,
+        "topk_parts_by_qty_mg": _q_topk_parts_by_qty_mg,
         "sample_events": _q_sample_events,
         "orders_semijoin_bloom": _q_orders_semijoin_bloom,
         "last_login_before_error": _q_last_login_before_error,
@@ -1613,6 +1657,11 @@ SELECT user_id,
 FROM o GROUP BY user_id
 """,
         "topk_parts_by_qty_sketch": """
+SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY l_partkey
+ORDER BY total_qty DESC, l_partkey ASC LIMIT 25
+""",
+        "topk_parts_by_qty_mg": """
 SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
 FROM lineitem GROUP BY l_partkey
 ORDER BY total_qty DESC, l_partkey ASC LIMIT 25
