@@ -68,6 +68,17 @@ def generate_webpages(
     )
     if os.path.exists(marker):
         return out_dir
+    # A DIFFERENT param set was generated here before: writing now would
+    # only overwrite the first ``files`` part files and leave the rest
+    # stale, silently mixing two fixtures — clear every previous output
+    # (and its marker) first.
+    stale = [
+        f
+        for f in os.listdir(out_dir)
+        if f.startswith("_done_") or (f.startswith("part-") and f.endswith(".parquet"))
+    ]
+    for f in stale:
+        os.remove(os.path.join(out_dir, f))
     rng = np.random.default_rng(seed)
     vocab = np.array(make_vocab(vocab_size, seed), dtype=object)
 

@@ -538,6 +538,35 @@ def test_fd_arrow_list_column_and_driver_query(ray_session):
     assert 0 < sum(ef) <= 1.0 + 1e-9
 
 
+# ---------- fixture regeneration guard ----------
+
+
+def test_generate_webpages_clears_stale_outputs_on_param_change(tmp_path):
+    """Changing generation params must not leave part files from the old
+    generation behind (a smaller ``files`` count used to silently mix two
+    fixtures)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hksketch.pipelines.fixtures import generate_webpages
+
+    d = str(tmp_path / "pages")
+    generate_webpages(d, n_pages=800, n_hosts=40, seed=1, files=8)
+    generate_webpages(d, n_pages=400, n_hosts=20, seed=2, files=2)
+    files = glob.glob(d + "/*.parquet")
+    assert len(files) == 2
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 400
+    assert [f for f in os.listdir(d) if f.startswith("_done_")] == [
+        "_done_400_20_5000_2_2"
+    ]
+    # same params again: marker short-circuits, nothing rewritten
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    generate_webpages(d, n_pages=400, n_hosts=20, seed=2, files=2)
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+
 # ---------- review fix: PQ batch update keeps live-membership semantics ----
 
 
