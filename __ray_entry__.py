@@ -593,6 +593,49 @@ def _q_token_stats(sf_dir: str):
     )
 
 
+def _q_bpe_token_totals(sf_dir: str):
+    """BPE-ish subword token cost per source: greedy ≤4-alphanumeric
+    pieces + punctuation (``text.analysis.BPE_PIECE_RE``), counted
+    vectorized per batch and pre-aggregated per (batch, source) before
+    ONE tiny groupby — the shuffle carries one row per (batch, source),
+    never per document.  RE2-compatible pattern → hash-exact SQL oracle."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.analysis import bpe_token_counts
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        counts = bpe_token_counts(b.column("text"))
+        return pa.table(
+            pl.DataFrame(
+                {"source": b.column("source").to_numpy(zero_copy_only=False),
+                 "bpe_tokens": counts}
+            )
+            .group_by("source")
+            .sum()
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("bpe_tokens", alias_name="bpe_tokens"))
+        .sort("source")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(
+        t.schema.get_field_index("bpe_tokens"),
+        "bpe_tokens",
+        t.column("bpe_tokens").cast(pa.int64()),
+    )
+
+
 def _q_doc_fingerprints(sf_dir: str):
     import pyarrow as pa
 
@@ -1442,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality_scores,
         "token_stats": _q_token_stats,
+        "bpe_token_totals": _q_bpe_token_totals,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
@@ -1605,6 +1649,12 @@ SELECT doc_id,
        length(regexp_replace(text, '[^0-9]', '', 'g'))
          / greatest(length(text), 1) AS digit_ratio
 FROM documents
+""",
+        "bpe_token_totals": r"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))) AS BIGINT)
+         AS bpe_tokens
+FROM documents GROUP BY source ORDER BY source
 """,
         "token_stats": _TOKENS_CTE
         + """

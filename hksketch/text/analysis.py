@@ -263,3 +263,30 @@ def doc_fingerprints_batch(
             starts = np.searchsorted(didx, docs_with)
             out[docs_with] = np.add.reduceat(h * powers, starts)
     return splitmix64(out)
+
+
+BPE_PIECE_RE = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(texts: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Per-document BPE-ish subword token count: greedy runs of up to 4
+    alphanumerics plus every non-space punctuation byte (``BPE_PIECE_RE``)
+    — the standard cheap proxy for tokenizer cost when the real BPE vocab
+    isn't available.  Vectorized via polars' Rust-regex
+    ``str.count_matches``; the pattern is RE2-compatible, so the SQL
+    oracle can recompute it with DuckDB's ``regexp_extract_all`` (both
+    engines use leftmost-first greedy semantics; corpus is ASCII).  Nulls
+    count 0."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    import polars as pl
+
+    s = pl.from_arrow(texts)
+    if not isinstance(s, pl.Series):  # empty arrow array edge
+        return np.zeros(len(texts), dtype=np.int64)
+    return (
+        s.str.count_matches(BPE_PIECE_RE)
+        .fill_null(0)
+        .to_numpy()
+        .astype(np.int64)
+    )

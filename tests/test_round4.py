@@ -538,6 +538,34 @@ def test_fd_arrow_list_column_and_driver_query(ray_session):
     assert 0 < sum(ef) <= 1.0 + 1e-9
 
 
+# ---------- BPE-ish token counting ----------
+
+
+def test_bpe_token_counts_matches_reference_regex():
+    import re
+
+    import pyarrow as pa
+
+    from hksketch.text.analysis import BPE_PIECE_RE, bpe_token_counts
+
+    texts = [
+        "hello world",  # hell+o, worl+d -> 4
+        "a",
+        "",
+        None,
+        "don't stop-me now!!",
+        "x" * 23,  # ceil(23/4) = 6 pieces
+        "mixed123digits and... CAPS",
+        "  spaced   out  ",
+    ]
+    got = bpe_token_counts(pa.array(texts, type=pa.string()))
+    ref = [
+        0 if t is None else len(re.findall(BPE_PIECE_RE, t)) for t in texts
+    ]
+    assert got.tolist() == ref
+    assert got[0] == 4 and got[5] == 6
+
+
 # ---------- fixture regeneration guard ----------
 
 
