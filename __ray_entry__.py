@@ -1537,8 +1537,66 @@ LIMIT 100
 )
 
 
+def _lang_id_sql() -> str:
+    """SQL mirror of ``hksketch.text.analysis.lang_id_batch``: the same
+    tokenizer (alpha runs, ≤64 bytes, lowercased), per-language stopword
+    coverage as an IEEE-double ``int64 / int64`` division, first-max argmax
+    in ``STOPWORDS`` dict order (a tie goes to the earlier language, exactly
+    like ``np.argmax``), the ``>= 0.03`` floor and the CJK-share ``> 0.05``
+    short-circuit — so the predicted label matches the engine bit-for-bit.
+    Built from the live ``STOPWORDS`` dict so the two rules cannot drift."""
+    from hksketch.text.analysis import STOPWORDS
+
+    langs = list(STOPWORDS)
+    sums = ",\n         ".join(
+        "sum(CASE WHEN token IN ({}) THEN 1 ELSE 0 END) AS c_{}".format(
+            ", ".join("'" + w + "'" for w in sorted(sw)), lang
+        )
+        for lang, sw in STOPWORDS.items()
+    )
+    ratios = ",\n         ".join(
+        f"CAST(coalesce(c_{lang}, 0) AS DOUBLE)"
+        f" / greatest(coalesce(total, 0), 1) AS r_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = [f"r_{x}" for x in langs[i + 1 :]]
+        g = f"greatest({', '.join(rest)})" if len(rest) > 1 else rest[0]
+        cases.append(f"WHEN {f'r_{lang}'} >= {g} THEN '{lang}'")
+    case_sql = "\n    ".join(cases)
+    all_g = ", ".join(f"r_{lang}" for lang in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS token
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
+  WHERE length(tok) <= 64
+),
+counts AS (
+  SELECT doc_id, count(*) AS total,
+         {sums}
+  FROM toks GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_extract_all(d.text, '[一-鿿]')) AS DOUBLE)
+           / greatest(length(d.text), 1) AS cjk,
+         {ratios}
+  FROM documents d LEFT JOIN counts USING (doc_id)
+)
+SELECT doc_id, CASE
+    WHEN cjk > 0.05 THEN 'zh'
+    WHEN greatest({all_g}) < 0.03 THEN 'und'
+    {case_sql}
+    ELSE '{langs[-1]}' END AS lang_pred
+FROM scored
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id": _lang_id_sql(),
         "topk_tokens_sketch": _TOPK_TOKENS_SQL,
         "topk_tokens_cuckoo": _TOPK_TOKENS_SQL,
         "topk_tokens_canonical": _TOPK_TOKENS_SQL,

@@ -566,6 +566,46 @@ def test_bpe_token_counts_matches_reference_regex():
     assert got[0] == 4 and got[5] == 6
 
 
+# ---------- lang_id SQL oracle parity ----------
+
+
+def test_lang_id_sql_oracle_matches_engine_on_edge_cases():
+    """The DuckDB mirror of lang_id (built from the live STOPWORDS dict)
+    must agree with the engine on ties, the 0.03 floor, empty docs and the
+    CJK short-circuit — the cases where an off-by-one in the argmax order
+    or a `>` vs `>=` would silently diverge."""
+    import duckdb
+    import pyarrow as pa
+
+    from __ray_entry__ import _lang_id_sql
+    from hksketch.text.analysis import lang_id_batch
+
+    texts = [
+        "the cat sat on the mat and it was good",        # clearly en
+        "der hund und die katze sind nicht da",          # clearly de
+        "le chat est dans la maison pour le moment",     # fr
+        "el perro y la casa es una cosa del dia",        # es
+        "the der xxxx yyyy zzzz qqqq wwww rrrr",         # en/de tie -> en (argmax first)
+        "zzz qqq www rrr ttt uuu vvv",                   # no stopwords -> und
+        "",                                              # empty -> und
+        "the " + "x " * 200,                             # ratio < 0.03 -> und
+        "汉字汉字汉字 some ascii",                          # CJK share -> zh
+        "und und und",                                   # de-only stopword
+    ]
+    eng = lang_id_batch(pa.array(texts, type=pa.string())).to_pylist()
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())}),
+    )
+    sql = con.execute(_lang_id_sql() + " ORDER BY doc_id").df()
+    assert sql["lang_pred"].tolist() == eng
+    assert eng[4] == "en" and eng[5] == "und" and eng[6] == "und"
+    assert eng[7] == "und" and eng[8] == "zh" and eng[9] == "de"
+
+
 # ---------- fixture regeneration guard ----------
 
 
