@@ -636,6 +636,22 @@ def _q_bpe_token_totals(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard_near_dupes(sf_dir: str):
+    """Exact word-trigram Jaccard near-dup pairs over documents — the
+    exact member of the dedup family (MinHash/SimHash are its approximate
+    siblings), expressed as a distributed inverted-index self-join with
+    two bounded sharded run-scans (``dedup.ngram.ngram_jaccard_near_dupes``).
+    Deterministic and SQL-expressible, so it runs under the hash-exact
+    oracle."""
+    from hksketch.dedup.ngram import ngram_jaccard_near_dupes
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_near_dupes(
+        ds, "text", "doc_id", n=3, threshold=0.5
+    )
+
+
 def _q_doc_fingerprints(sf_dir: str):
     import pyarrow as pa
 
@@ -1486,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "token_stats": _q_token_stats,
         "bpe_token_totals": _q_bpe_token_totals,
+        "ngram_jaccard_near_dupes": _q_ngram_jaccard_near_dupes,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
@@ -1707,6 +1724,34 @@ SELECT doc_id,
        length(regexp_replace(text, '[^0-9]', '', 'g'))
          / greatest(length(text), 1) AS digit_ratio
 FROM documents
+""",
+        "ngram_jaccard_near_dupes": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM tl
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+ORDER BY id_a, id_b
 """,
         "bpe_token_totals": r"""
 SELECT source,

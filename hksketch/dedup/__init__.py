@@ -1,6 +1,6 @@
 from .exact import exact_dedup
 from .minhash import MinHasher, minhash_near_dupes
-from .ngram import ngram_jaccard
+from .ngram import ngram_jaccard, ngram_jaccard_near_dupes
 from .simhash import SimHasher, hamming_near_dupes, simhash_near_dupes
 
 __all__ = [
@@ -11,4 +11,5 @@ __all__ = [
     "simhash_near_dupes",
     "hamming_near_dupes",
     "ngram_jaccard",
+    "ngram_jaccard_near_dupes",
 ]

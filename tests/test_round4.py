@@ -606,6 +606,95 @@ def test_lang_id_sql_oracle_matches_engine_on_edge_cases():
     assert eng[7] == "und" and eng[8] == "zh" and eng[9] == "de"
 
 
+# ---------- exact n-gram Jaccard near-dup ----------
+
+
+def _ngram_corpus():
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [
+        "".join(letters[(i // 26**p) % 26] for p in range(3)) for i in range(400)
+    ]
+    import numpy as np
+
+    docs = []
+    for i in range(40):
+        rng = np.random.default_rng(i)
+        docs.append(
+            {"doc_id": i,
+             "text": " ".join(vocab[int(x)] for x in rng.integers(0, 400, 50))}
+        )
+    # planted near-dup: doc 40 = doc 0 with a few words changed
+    words = docs[0]["text"].split()
+    words[5] = "zzz"
+    docs.append({"doc_id": 40, "text": " ".join(words)})
+    # exact dup
+    docs.append({"doc_id": 41, "text": docs[1]["text"]})
+    # sub-n-token docs: no shingles, never pair (even with each other)
+    docs.append({"doc_id": 42, "text": "ab cd"})
+    docs.append({"doc_id": 43, "text": "ab cd"})
+    return docs
+
+
+def test_ngram_jaccard_near_dupes_matches_bruteforce(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.dedup.ngram import (
+        ngram_jaccard,
+        ngram_jaccard_near_dupes,
+        shingle_set,
+    )
+
+    docs = _ngram_corpus()
+    ds = rd.from_arrow(pa.Table.from_pylist(docs)).repartition(7)
+    out = ngram_jaccard_near_dupes(ds, "text", "doc_id", n=3, threshold=0.5)
+
+    expect = {}
+    for a, b in itertools.combinations(docs, 2):
+        # empty-shingle docs are excluded by construction (the SQL oracle
+        # drops them too); the pure-pair helper would call them jaccard=1
+        if not shingle_set(a["text"]) or not shingle_set(b["text"]):
+            continue
+        j = ngram_jaccard(a["text"], b["text"], n=3)
+        if j >= 0.5:
+            expect[(a["doc_id"], b["doc_id"])] = j
+    got = {
+        (ia, ib): j
+        for ia, ib, j in zip(out.column("id_a").to_pylist(),
+                             out.column("id_b").to_pylist(),
+                             out.column("jaccard").to_pylist())
+    }
+    assert got == expect
+    assert (0, 40) in got and got[(1, 41)] == 1.0
+    assert not any(42 in p or 43 in p for p in got)
+
+
+def test_ngram_jaccard_bucket_cap_drops_are_surfaced(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.dedup.ngram import ngram_jaccard_near_dupes
+
+    # every doc shares the same single shingle -> one degenerate bucket
+    docs = [{"doc_id": i, "text": "aaa bbb ccc"} for i in range(20)]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    out = ngram_jaccard_near_dupes(
+        ds, "text", "doc_id", n=3, threshold=0.5, max_bucket_size=8
+    )
+    # the bucket (size 20 > cap 8) is dropped: no pairs, but the drop is
+    # loudly surfaced in the schema metadata, never silent
+    assert out.num_rows == 0
+    assert out.schema.metadata[b"ngram_dropped_buckets"] == b"1"
+    assert out.schema.metadata[b"ngram_dropped_pairs"] == str(20 * 19 // 2).encode()
+
+    # uncapped, all 190 pairs are exact dups at jaccard 1.0
+    out2 = ngram_jaccard_near_dupes(ds, "text", "doc_id", n=3, threshold=0.5)
+    assert out2.num_rows == 190
+    assert set(out2.column("jaccard").to_pylist()) == {1.0}
+
+
 # ---------- fixture regeneration guard ----------
 
 
