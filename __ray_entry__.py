@@ -652,6 +652,24 @@ def _q_ngram_jaccard_near_dupes(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Corpus-wide TF-IDF top-50 terms: the standard relevance weighting a
+    training-data pipeline uses for keyword extraction / boilerplate
+    detection.  One tokenize pass (reference S3 tokenizer), per-batch
+    ``(token, tf, df)`` partials, ONE ``groupby(token)`` shuffle,
+    scalar-broadcast scoring, ``sort + limit``.  ``n_docs`` comes from the
+    parquet footer (exact, no execution).  Score published milli-rounded
+    half-away — bitwise equal to DuckDB ``round(x, 3)`` — so the oracle
+    hash-matches (see ``pipelines.ops.tfidf_top_terms``)."""
+    import pyarrow.parquet as pq
+
+    from hksketch.pipelines.ops import read_table, tfidf_top_terms
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = read_table(sf_dir, "documents", ["text"])
+    return tfidf_top_terms(ds, n_docs=n_docs, k=50)
+
+
 def _q_doc_fingerprints(sf_dir: str):
     import pyarrow as pa
 
@@ -1503,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "bpe_token_totals": _q_bpe_token_totals,
         "ngram_jaccard_near_dupes": _q_ngram_jaccard_near_dupes,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
@@ -1539,6 +1558,15 @@ _TOKENS_CTE = """
 WITH toks AS (
   SELECT lower(tok) AS token
   FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM documents)
+  WHERE length(tok) <= 64
+)
+"""
+
+_TOKENS_DOC_CTE = """
+WITH doc_toks AS (
+  SELECT doc_id, lower(tok) AS token
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
   WHERE length(tok) <= 64
 )
 """
@@ -1752,6 +1780,22 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 ORDER BY id_a, id_b
+""",
+        "tfidf_top_terms": _TOKENS_DOC_CTE
+        + """
+, stats AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM doc_toks GROUP BY token
+)
+SELECT token, tf, df,
+       round(CAST(tf AS DOUBLE)
+             * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                  / CAST(df AS DOUBLE)), 3) AS tfidf
+FROM stats
+ORDER BY tfidf DESC, token ASC
+LIMIT 50
 """,
         "bpe_token_totals": r"""
 SELECT source,

@@ -186,3 +186,67 @@ def grouped_count(ds, group_cols: list[str], count_name: str = "count"):
         ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
         return ds.groupby(group_cols).aggregate(Sum(count_name, alias_name=count_name))
     return ds.groupby(group_cols).aggregate(Count(alias_name=count_name))
+
+
+def tfidf_top_terms(ds, n_docs: int, k: int = 50, text_col: str = "text"):
+    """Corpus-wide TF-IDF top-``k`` terms over a document table.
+
+    Distributed shape (one shuffle): per-batch the tokenizer
+    (``text/tokenize.py``, the reference's S3 alpha-run/64-byte/lowercase
+    rule) explodes docs to tokens, then a two-level polars group_by folds
+    them to one ``(token, tf, df)`` partial row per batch — ``df`` partials
+    are exact because a document is a single row and therefore never spans
+    batches.  A ``groupby(token).sum`` merges partials; the score pass is a
+    scalar-broadcast map; ``sort + limit`` keeps only k rows.
+
+    Scoring: ``tfidf = tf * ln(n_docs / df)``, published milli-rounded via
+    ``floor(x*1000 + 0.5)/1000`` — IEEE-equal to DuckDB ``round(x, 3)``
+    (half-away-from-zero; verified bitwise over 2M adversarial values)
+    so the SQL oracle hash-matches despite libm/DuckDB ``ln`` differing by
+    1 ulp on ~27% of inputs.  Ties order token-ascending.
+    """
+    from hksketch.text.tokenize import tokenize_column
+
+    empty = pa.table(
+        {"token": pa.array([], type=pa.string()),
+         "tf": pa.array([], type=pa.int64()),
+         "df": pa.array([], type=pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = tokenize_column(batch.column(text_col), with_doc_index=True)
+        if t.num_rows == 0:
+            return empty
+        g = (
+            pl.from_arrow(t)
+            .group_by(["doc_idx", "token"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .group_by("token")
+            .agg(
+                pl.col("c").sum().alias("tf"),
+                pl.len().cast(pl.Int64).alias("df"),
+            )
+        )
+        a = g.to_arrow()
+        return pa.table(
+            {"token": a.column("token").cast(pa.string()),
+             "tf": a.column("tf").cast(pa.int64()),
+             "df": a.column("df").cast(pa.int64())}
+        )
+
+    stats = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    stats = stats.groupby("token").aggregate(
+        Sum("tf", alias_name="tf"), Sum("df", alias_name="df")
+    )
+
+    nd = float(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        df = batch.column("df").to_numpy().astype(np.float64)
+        x = tf * np.log(nd / df)
+        tfidf = np.floor(x * 1000.0 + 0.5) / 1000.0
+        return batch.append_column("tfidf", pa.array(tfidf, type=pa.float64()))
+
+    out = stats.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["tfidf", "token"], descending=[True, False]).limit(k)

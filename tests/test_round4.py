@@ -833,3 +833,79 @@ def test_bench_webpages_with_empty_parquet_file(ray_session, webpages_tiny, tmp_
     out = bench_webpages(pages, doc_stats_dir=str(tmp_path / "stats"))
     assert out["n_pages"] == n_expect
     assert out["doc_stats_rows"] == n_expect
+
+
+# ---------- TF-IDF top terms ----------
+
+
+def test_tfidf_top_terms_matches_duckdb(ray_session):
+    """The distributed (tf, df) partials + milli-rounded score must equal a
+    DuckDB recompute bit-for-bit (the oracle contract), including tf=df
+    ties and an all-docs token whose idf is exactly 0."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.pipelines.ops import tfidf_top_terms
+
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox the the"},
+        {"doc_id": 2, "text": "the lazy dog dog"},
+        {"doc_id": 3, "text": "the quick dog jumps over"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": None},
+        {"doc_id": 6, "text": "Zebra zebra ZEBRA " + "x" * 100},
+    ]
+    t = pa.Table.from_pylist(docs)
+    ds = rd.from_arrow(t).repartition(3)
+    got = tfidf_top_terms(ds, n_docs=len(docs), k=50).to_pandas()
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.sql("""
+WITH doc_toks AS (
+  SELECT doc_id, lower(tok) AS token
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
+  WHERE length(tok) <= 64
+), stats AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM doc_toks GROUP BY token
+)
+SELECT token, tf, df,
+       round(CAST(tf AS DOUBLE)
+             * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                  / CAST(df AS DOUBLE)), 3) AS tfidf
+FROM stats ORDER BY tfidf DESC, token ASC LIMIT 50
+""").df()
+    got = got.sort_values(["tfidf", "token"], ascending=[False, True]).reset_index(drop=True)
+    want = want.sort_values(["tfidf", "token"], ascending=[False, True]).reset_index(drop=True)
+    assert list(got.columns) == ["token", "tf", "df", "tfidf"] or set(got.columns) == set(want.columns)
+    got = got[["token", "tf", "df", "tfidf"]]
+    want = want[["token", "tf", "df", "tfidf"]]
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["tf"].tolist() == want["tf"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+    # bitwise: the half-away milli rounding must cancel the 1-ulp ln drift
+    assert [v.hex() for v in got["tfidf"]] == [v.hex() for v in want["tfidf"]]
+    # the 64-byte token cap drops the 100-x run; 'the' appears in 3 of 6 docs
+    assert "x" * 100 not in set(got["token"])
+    the = got[got["token"] == "the"].iloc[0]
+    assert the["tf"] == 5 and the["df"] == 3
+
+
+def test_tfidf_halfaway_rounding_matches_duckdb_round():
+    """floor(x*1000+0.5)/1000 == DuckDB round(x, 3) for nonnegative doubles,
+    including exact .0005 boundaries where numpy's banker's round differs."""
+    import duckdb
+    import numpy as np
+
+    xs = np.array([0.0005, 0.0015, 1.0625e-1, 2.5e-3, 123.4565, 0.0,
+                   7.5e-4, 999999.9995])
+    ours = np.floor(xs * 1000.0 + 0.5) / 1000.0
+    want = np.array([
+        duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 3)").fetchone()[0]
+        for v in xs
+    ])
+    assert [a.hex() for a in ours] == [b.hex() for b in want]
