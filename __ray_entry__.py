@@ -652,6 +652,24 @@ def _q_ngram_jaccard_near_dupes(sf_dir: str):
     )
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS (transitive closure of the exact n-gram-Jaccard
+    near-dup graph): ``(doc_id, cluster_id=min doc id of component)`` —
+    the labeling a clean-corpus pass needs to keep ONE canonical document
+    per duplicate group even when A~B and B~C but A~C was never emitted.
+    Distributed alternating large-star/small-star min contraction
+    (``dedup.components.connected_components``); the edge set is
+    deterministic, so the recursive-CTE oracle hash-matches."""
+    from hksketch.dedup.components import connected_components
+    from hksketch.dedup.ngram import ngram_jaccard_near_dupes
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_near_dupes(ds, "text", "doc_id", n=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.sort("doc_id")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Corpus-wide TF-IDF top-50 terms: the standard relevance weighting a
     training-data pipeline uses for keyword extraction / boilerplate
@@ -1521,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "bpe_token_totals": _q_bpe_token_totals,
         "ngram_jaccard_near_dupes": _q_ngram_jaccard_near_dupes,
+        "dup_clusters": _q_dup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
@@ -1559,6 +1578,35 @@ WITH toks AS (
   SELECT lower(tok) AS token
   FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM documents)
   WHERE length(tok) <= 64
+)
+"""
+
+_NGRAM_PAIRS_CTES = """
+tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM tl
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ngram_pairs AS (
+  SELECT id_a, id_b,
+         CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 )
 """
 
@@ -1753,33 +1801,29 @@ SELECT doc_id,
          / greatest(length(text), 1) AS digit_ratio
 FROM documents
 """,
-        "ngram_jaccard_near_dupes": """
-WITH tl AS (
-  SELECT doc_id,
-         list_filter(
-           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
-                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
-           t -> t IS NOT NULL) AS toks
-  FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
-  FROM tl
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        "ngram_jaccard_near_dupes": "WITH "
+        + _NGRAM_PAIRS_CTES
+        + """
+SELECT id_a, id_b, jaccard FROM ngram_pairs
 ORDER BY id_a, id_b
+""",
+        "dup_clusters": "WITH RECURSIVE "
+        + _NGRAM_PAIRS_CTES
+        + """
+, edges AS (
+  SELECT id_a AS u, id_b AS v FROM ngram_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM ngram_pairs
+), nodes AS (
+  SELECT DISTINCT u AS id FROM edges
+), walk AS (
+  SELECT id AS node, id AS lab FROM nodes
+  UNION
+  SELECT w.node, e.v AS lab FROM walk w JOIN edges e ON e.u = w.lab
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+ORDER BY doc_id
 """,
         "tfidf_top_terms": _TOKENS_DOC_CTE
         + """

@@ -1,9 +1,11 @@
+from .components import connected_components
 from .exact import exact_dedup
 from .minhash import MinHasher, minhash_near_dupes
 from .ngram import ngram_jaccard, ngram_jaccard_near_dupes
 from .simhash import SimHasher, hamming_near_dupes, simhash_near_dupes
 
 __all__ = [
+    "connected_components",
     "exact_dedup",
     "MinHasher",
     "minhash_near_dupes",

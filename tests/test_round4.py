@@ -909,3 +909,111 @@ def test_tfidf_halfaway_rounding_matches_duckdb_round():
         for v in xs
     ])
     assert [a.hex() for a in ours] == [b.hex() for b in want]
+
+
+# ---------- connected components (dup clusters) ----------
+
+
+def _cc_brute(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(mem) for mem in comp.values() for n in mem}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Alternating star contraction must equal union-find min-labels on
+    chains (multi-round convergence), multi-component graphs, duplicate /
+    reversed edges and self-loops."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.dedup.components import connected_components
+
+    rng = np.random.default_rng(7)
+    cases = [
+        # chain + separate triangle + self loop + reversed dup
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10), (12, 12), (11, 12)],
+        # long path: needs several star rounds
+        [(i, i + 1) for i in range(120)],
+        # random multigraph
+        [(int(rng.integers(0, 60)) * 3 + 1, int(rng.integers(0, 60)) * 3 + 1)
+         for _ in range(300)],
+    ]
+    for e in cases:
+        t = pa.table(
+            {"id_a": pa.array([a for a, _ in e], type=pa.int64()),
+             "id_b": pa.array([b for _, b in e], type=pa.int64())}
+        )
+        got = (
+            connected_components(t)
+            .to_pandas().set_index("doc_id")["cluster_id"].to_dict()
+        )
+        nodes = {a for a, b in e if a != b} | {b for a, b in e if a != b}
+        assert got == _cc_brute([p for p in e if p[0] != p[1]], nodes)
+
+
+def test_connected_components_empty_and_shard_validation(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    from hksketch.dedup.components import connected_components
+
+    t = pa.table({"id_a": pa.array([], type=pa.int64()),
+                  "id_b": pa.array([], type=pa.int64())})
+    assert connected_components(t).to_pandas().empty
+    with pytest.raises(ValueError, match="power of two"):
+        connected_components(
+            pa.table({"id_a": pa.array([1], type=pa.int64()),
+                      "id_b": pa.array([2], type=pa.int64())}),
+            shards=3,
+        )
+
+
+def test_dup_clusters_transitive_via_chain(ray_session, tmp_path):
+    """A~B and B~C near-dups (but A!~C) must share one cluster labeled by
+    the minimum doc id — the exact property pair listing lacks."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from hksketch.dedup.components import connected_components
+    from hksketch.dedup.ngram import ngram_jaccard_near_dupes
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    # B overlaps A on the left half and C on the right half; A and C share
+    # too little for jaccard >= 0.5
+    # trigram overlaps: A∩B = 11/13 = 0.846, B∩C = 9/17 = 0.529 (both
+    # >= 0.5); A∩C = 8/18 = 0.444 (below)
+    a_text = " ".join(words[:14])
+    b_text = " ".join(words[1:15])
+    c_text = " ".join(words[4:20])
+    docs = pa.Table.from_pylist(
+        [{"doc_id": 5, "text": a_text},
+         {"doc_id": 3, "text": b_text},
+         {"doc_id": 9, "text": c_text},
+         {"doc_id": 7, "text": "完全 другое content entirely unrelated words here now"}]
+    )
+    ds = rd.from_arrow(docs).repartition(2)
+    pairs = ngram_jaccard_near_dupes(ds, "text", "doc_id", n=3, threshold=0.5)
+    got_pairs = set(zip(pairs.column("id_a").to_pylist(),
+                        pairs.column("id_b").to_pylist()))
+    assert (3, 5) in got_pairs and (3, 9) in got_pairs
+    assert (5, 9) not in got_pairs  # transitivity is CC's job, not the pairs'
+    labels = connected_components(pairs, "id_a", "id_b").to_pandas()
+    lab = labels.set_index("doc_id")["cluster_id"].to_dict()
+    assert lab == {3: 3, 5: 3, 9: 3}
