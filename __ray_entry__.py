@@ -652,6 +652,56 @@ def _q_ngram_jaccard_near_dupes(sf_dir: str):
     )
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Top-50 word bigrams (adjacent token pairs within a document) —
+    the co-occurrence statistic collocation/boilerplate analysis needs.
+    Same shape as token top-k: tokenize once, vectorized shift-pairing
+    (no Python loop), per-batch polars pre-agg, ONE groupby shuffle,
+    sort + limit.  Counts are exact ints — hash-exact oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = tokenize_column(b.column("text"), with_doc_index=True)
+        empty = pa.table({"bigram": pa.array([], type=pa.string()),
+                          "count": pa.array([], type=pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        tok = t.column("token").combine_chunks()
+        didx = t.column("doc_idx").to_numpy()
+        same = didx[1:] == didx[:-1]
+        if not same.any():
+            return empty
+        idx = np.flatnonzero(same)
+        first = tok.take(pa.array(idx, type=pa.int64()))
+        second = tok.take(pa.array(idx + 1, type=pa.int64()))
+        big = pc.binary_join_element_wise(first, second, " ")
+        g = (
+            pl.from_arrow(pa.table({"bigram": big}))
+            .group_by("bigram")
+            .agg(pl.len().cast(pl.Int64).alias("count"))
+        )
+        a = g.to_arrow()
+        return pa.table({"bigram": a.column("bigram").cast(pa.string()),
+                         "count": a.column("count").cast(pa.int64())})
+
+    counts = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("count", alias_name="count"))
+    )
+    return counts.sort(["count", "bigram"], descending=[True, False]).limit(50)
+
+
 def _q_dup_clusters(sf_dir: str):
     """Duplicate CLUSTERS (transitive closure of the exact n-gram-Jaccard
     near-dup graph): ``(doc_id, cluster_id=min doc id of component)`` —
@@ -1540,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_totals": _q_bpe_token_totals,
         "ngram_jaccard_near_dupes": _q_ngram_jaccard_near_dupes,
         "dup_clusters": _q_dup_clusters,
+        "top_bigrams": _q_top_bigrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
@@ -1824,6 +1875,23 @@ ORDER BY id_a, id_b
 SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
 ORDER BY doc_id
+""",
+        "top_bigrams": """
+WITH tl AS (
+  SELECT list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM tl
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS count
+FROM bg GROUP BY bigram
+ORDER BY count DESC, bigram ASC
+LIMIT 50
 """,
         "tfidf_top_terms": _TOKENS_DOC_CTE
         + """

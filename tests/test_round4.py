@@ -1017,3 +1017,29 @@ def test_dup_clusters_transitive_via_chain(ray_session, tmp_path):
     labels = connected_components(pairs, "id_a", "id_b").to_pandas()
     lab = labels.set_index("doc_id")["cluster_id"].to_dict()
     assert lab == {3: 3, 5: 3, 9: 3}
+
+
+# ---------- top bigrams ----------
+
+
+def test_top_bigrams_pairs_within_doc_only(ray_session, tmp_path):
+    """Bigrams must never bridge two documents; nulls/empty docs and
+    sub-2-token batches are safe."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import __ray_entry__ as e
+
+    docs = pa.Table.from_pylist(
+        [{"doc_id": 1, "text": "red fox red fox"},
+         {"doc_id": 2, "text": "fox red"},          # crosses rows only if buggy
+         {"doc_id": 3, "text": ""},
+         {"doc_id": 4, "text": None},
+         {"doc_id": 5, "text": "solo"}]
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    got = e.queries()["top_bigrams"](str(d)).to_pandas()
+    m = dict(zip(got["bigram"], got["count"]))
+    assert m == {"red fox": 2, "fox red": 2}
