@@ -652,6 +652,19 @@ def _q_ngram_jaccard_near_dupes(sf_dir: str):
     )
 
 
+def _q_duplicated_spans(sf_dir: str):
+    """Per-document duplicated-passage stats (Lee et al. ACL'22 style,
+    fixed 8-token windows): what fraction of each doc's windows occur ≥ 2
+    times corpus-wide.  One window-sharded shuffle with per-shard run-scan
+    counting; `dup_frac` is one IEEE division, so the oracle hash-matches
+    (``dedup.spans.duplicated_span_stats``)."""
+    from hksketch.dedup.spans import duplicated_span_stats
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_span_stats(ds, "text", "doc_id", w=8).sort("doc_id")
+
+
 def _q_top_bigrams(sf_dir: str):
     """Top-50 word bigrams (adjacent token pairs within a document) —
     the co-occurrence statistic collocation/boilerplate analysis needs.
@@ -1590,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_totals": _q_bpe_token_totals,
         "ngram_jaccard_near_dupes": _q_ngram_jaccard_near_dupes,
         "dup_clusters": _q_dup_clusters,
+        "duplicated_spans": _q_duplicated_spans,
         "top_bigrams": _q_top_bigrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1874,6 +1888,33 @@ ORDER BY id_a, id_b
 )
 SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
+ORDER BY doc_id
+""",
+        "duplicated_spans": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                     toks[i+6] || ' ' || toks[i+7])) AS w
+  FROM tl
+), tot AS (
+  SELECT w, count(*) AS c FROM win GROUP BY w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_frac
+FROM win JOIN tot USING (w)
+GROUP BY doc_id
 ORDER BY doc_id
 """,
         "top_bigrams": """

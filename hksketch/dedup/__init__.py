@@ -3,6 +3,7 @@ from .exact import exact_dedup
 from .minhash import MinHasher, minhash_near_dupes
 from .ngram import ngram_jaccard, ngram_jaccard_near_dupes
 from .simhash import SimHasher, hamming_near_dupes, simhash_near_dupes
+from .spans import duplicated_span_stats
 
 __all__ = [
     "connected_components",
@@ -14,4 +15,5 @@ __all__ = [
     "hamming_near_dupes",
     "ngram_jaccard",
     "ngram_jaccard_near_dupes",
+    "duplicated_span_stats",
 ]

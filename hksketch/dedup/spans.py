@@ -1,0 +1,145 @@
+"""Duplicated-passage statistics: how much of each document is made of
+token windows that occur elsewhere in the corpus.
+
+The span-level member of the dedup family (exact n-gram Jaccard compares
+whole documents; this scores WITHIN-document duplication), the practical
+core of "train-data passage dedup" (Lee et al., "Deduplicating Training
+Data Makes Language Models Better", ACL'22 — their exact-substring pass,
+here at fixed window size instead of suffix-array maximal matches, which
+keeps the operator one-shuffle and SQL-expressible).
+
+Shape (identical discipline to ``dedup/ngram.py``): one tokenize pass
+emits one row per w-token window (hash-sharded on the window, string
+carried so a hash collision cannot merge two windows), ONE shuffle, then
+per-shard vectorized run-scans count global window multiplicity and fold
+per-(doc, shard) partials; a final small ``groupby(doc_id).sum`` merges
+shards.  The driver never sees a window row.  Shuffle volume is one row
+per token (≈ the corpus token count) — the same inverted-index cost as
+the exact Jaccard operator, with the same mitigation (the MinHash family
+is the approximate fallback at extreme scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+U64 = np.uint64
+
+_PARTIAL_EMPTY = pa.table(
+    {"shard": pa.array([], type=pa.int32()),
+     "key": pa.array([], type=pa.uint64()),
+     "g": pa.array([], type=pa.large_string()),
+     "doc_id": pa.array([], type=pa.int64())}
+)
+
+
+def duplicated_span_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    shards: int | str = "auto",
+):
+    """Per-document duplicated-window stats at window size ``w`` tokens.
+
+    Returns a Dataset of ``(doc_id, n_windows, n_dup_windows, dup_frac)``
+    for every document with at least one window (≥ ``w`` tokens after the
+    reference tokenizer).  A window is *duplicated* when its exact
+    ``w``-token string occurs ≥ 2 times corpus-wide, counting multiplicity
+    — including repeats inside the same document.  ``dup_frac`` is the
+    single IEEE division ``n_dup_windows / n_windows`` (bit-exact vs the
+    SQL oracle, like the Jaccard operators).
+    """
+    import polars as pl
+
+    from ..ray_glue.partitioning import auto_shards, estimate_rows
+    from ..text.tokenize import tokenize_column
+
+    if shards == "auto":
+        est = estimate_rows(ds)
+        shards = auto_shards(
+            ds,
+            target_rows_per_shard=2_000_000,
+            min_shards=64,
+            rows_hint=None if est is None else est * 64,
+        )
+    shards = int(shards)
+    if shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two (got {shards})")
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks_t = tokenize_column(
+            batch.column(text_col).combine_chunks(), with_doc_index=True
+        )
+        toks = toks_t.column("token").to_numpy(zero_copy_only=False)
+        didx = toks_t.column("doc_idx").to_numpy(zero_copy_only=False)
+        if len(toks) >= w:
+            valid = didx[: len(didx) - w + 1] == didx[w - 1 :]
+            idx = np.flatnonzero(valid)
+        else:
+            idx = np.empty(0, dtype=np.int64)
+        if len(idx) == 0:
+            return _PARTIAL_EMPTY
+        g = toks[idx]
+        for j in range(1, w):
+            g = g + " "
+            g = g + toks[idx + j]
+        s = pl.Series(g, dtype=pl.String)
+        key = s.hash(seed=1).to_numpy().astype(np.uint64)
+        return pa.table(
+            {"shard": pa.array((key & U64(shards - 1)).astype(np.int32)),
+             "key": pa.array(key, type=pa.uint64()),
+             "g": pa.array(s.to_arrow().cast(pa.large_string())),
+             "doc_id": pa.array(ids[didx[idx]], type=pa.int64())}
+        )
+
+    rows = ds.map_batches(window_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_stats(grp) -> pa.Table:
+        out_empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "n_part": pa.array([], type=pa.int64()),
+             "dup_part": pa.array([], type=pa.int64())}
+        )
+        if not len(grp):
+            return out_empty
+        df = pl.from_pandas(grp[["key", "g", "doc_id"]]).sort(["key", "g"])
+        key = df["key"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        # window-identity runs: hash AND string must match (a collision
+        # cannot merge two windows); string compare vectorized in polars
+        g_new = (df["g"] != df["g"].shift(1)).fill_null(True).to_numpy()
+        new = np.concatenate(([True], key[1:] != key[:-1])) | g_new
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        dup = run_len[run_id] >= 2
+        # per-doc fold inside this shard
+        order2 = np.argsort(doc, kind="stable")
+        doc, dup = doc[order2], dup[order2]
+        starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        n_part = np.diff(np.concatenate((starts, [len(doc)])))
+        dup_part = np.add.reduceat(dup.astype(np.int64), starts)
+        return pa.table(
+            {"doc_id": pa.array(doc[starts], type=pa.int64()),
+             "n_part": pa.array(n_part, type=pa.int64()),
+             "dup_part": pa.array(dup_part, type=pa.int64())}
+        )
+
+    partials = rows.groupby("shard").map_groups(shard_stats, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    per_doc = partials.groupby("doc_id").aggregate(
+        Sum("n_part", alias_name="n_windows"),
+        Sum("dup_part", alias_name="n_dup_windows"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_windows").to_numpy()
+        d = batch.column("n_dup_windows").to_numpy()
+        frac = d.astype(np.float64) / n.astype(np.float64)
+        return batch.append_column("dup_frac", pa.array(frac, type=pa.float64()))
+
+    return per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1043,3 +1043,64 @@ def test_top_bigrams_pairs_within_doc_only(ray_session, tmp_path):
     got = e.queries()["top_bigrams"](str(d)).to_pandas()
     m = dict(zip(got["bigram"], got["count"]))
     assert m == {"red fox": 2, "fox red": 2}
+
+
+# ---------- duplicated spans ----------
+
+
+def test_duplicated_span_stats_matches_bruteforce(ray_session):
+    """Window-multiplicity stats must equal a Counter recompute, including
+    a window repeated WITHIN one document and docs shorter than w."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.dedup.spans import duplicated_span_stats
+    from hksketch.text.tokenize import tokenize_text
+
+    W = 3
+    docs = [
+        {"doc_id": 1, "text": "a b c d e f"},           # windows: abc bcd cde def
+        {"doc_id": 2, "text": "x y a b c d q"},          # shares abc, bcd
+        {"doc_id": 3, "text": "r s r s r s r s"},        # self-repeating windows
+        {"doc_id": 4, "text": "too short"},              # < w tokens: no row
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": None},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs)).repartition(3)
+    got = (
+        duplicated_span_stats(ds, "text", "doc_id", w=W, shards=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+
+    wins = {}
+    for d in docs:
+        toks = tokenize_text(d["text"]) if d["text"] else []
+        wins[d["doc_id"]] = [
+            " ".join(toks[i:i + W]) for i in range(len(toks) - W + 1)
+        ]
+    tot = Counter(w for ws in wins.values() for w in ws)
+    for did, ws in wins.items():
+        if not ws:
+            assert did not in got.index
+            continue
+        nd = sum(1 for w in ws if tot[w] >= 2)
+        row = got.loc[did]
+        assert row["n_windows"] == len(ws)
+        assert row["n_dup_windows"] == nd
+        assert row["dup_frac"] == nd / len(ws)
+    # doc 3's self-repeats count as duplicated
+    assert got.loc[3, "n_dup_windows"] == got.loc[3, "n_windows"]
+
+
+def test_duplicated_span_stats_shard_validation(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from hksketch.dedup.spans import duplicated_span_stats
+
+    ds = rd.from_arrow(pa.Table.from_pylist([{"doc_id": 1, "text": "a b c"}]))
+    with pytest.raises(ValueError, match="power of two"):
+        duplicated_span_stats(ds, shards=12)
