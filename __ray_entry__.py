@@ -1049,6 +1049,29 @@ def _q_sample_events(sf_dir: str):
     return pa.table({"event_id": pa.array(ids, type=pa.int64())})
 
 
+def _q_sample_docs_weighted(sf_dir: str):
+    """Length-weighted doc sample (Efraimidis–Spirakis A-ES with
+    deterministic keyed-hash draws): the importance-sampling primitive for
+    data-mixing — P(doc) ∝ n_chars.  Mergeable UDAF, partition-invariant
+    and exactly merge-associative; rows-only check (seeded-random, not
+    SQL-reproducible) with recompute-equality + associativity tests in
+    ``tests/test_round4.py``."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    blob = global_sketch(
+        ds, sketch_config("wsample", k=100, seed=SEED),
+        key_col="doc_id", weight_col="n_chars",
+    )
+    ids = sorted(sketch_from_bytes(blob).sample())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 def _q_clean_corpus_ids(sf_dir: str):
     """Composite LLM-data cleaning pipeline ⊕oracle: quality gates
     (alpha_ratio ≥ 0.82, digit_ratio ≤ 0.2, n_tokens ≥ 40) then exact dedup
@@ -1613,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_parts_by_qty_sketch": _q_topk_parts_by_qty_sketch,
         "topk_parts_by_qty_mg": _q_topk_parts_by_qty_mg,
         "sample_events": _q_sample_events,
+        "sample_docs_weighted": _q_sample_docs_weighted,
         "orders_semijoin_bloom": _q_orders_semijoin_bloom,
         "last_login_before_error": _q_last_login_before_error,
         "nation_orders_join": _q_nation_orders_join,

@@ -35,6 +35,7 @@ from ..sketch import (
     HyperLogLog,
     ReservoirSample,
     TDigest,
+    WeightedSample,
     TopK,
     sketch_from_bytes,
 )
@@ -59,6 +60,7 @@ _KINDS = {
     "tdigest": TDigest,
     "kll": KLL,
     "reservoir": ReservoirSample,
+    "wsample": WeightedSample,
 }
 
 

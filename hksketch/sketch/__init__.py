@@ -22,7 +22,7 @@ from .hll import HyperLogLog
 from .kll import KLL
 from .mg import MisraGries
 from .pq import TopKQueue
-from .reservoir import DistinctValueSample, ReservoirSample
+from .reservoir import DistinctValueSample, ReservoirSample, WeightedSample
 from .tdigest import TDigest
 from .topk import TopK
 
@@ -40,6 +40,7 @@ __all__ = [
     "TopKQueue",
     "ReservoirSample",
     "DistinctValueSample",
+    "WeightedSample",
     "SketchError",
     "BuilderError",
     "IncompatibleSketchError",

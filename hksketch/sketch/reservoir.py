@@ -157,3 +157,140 @@ class ReservoirSample:
 # the semantically honest name: this class samples distinct VALUES (KMV),
 # not rows — see the class docstring warning
 DistinctValueSample = ReservoirSample
+
+
+@register_sketch("wsample")
+class WeightedSample:
+    """Mergeable weighted sample without replacement (Efraimidis–Spirakis
+    A-ES, Inf. Process. Lett. 97(5), 2006) with DETERMINISTIC keys.
+
+    Each distinct value draws an Exp(weight)-distributed key
+    ``-ln(u) / w`` where ``u ∈ (0, 1]`` comes from the keyed value hash —
+    not a positional RNG — and the sample is the k SMALLEST keys.  P(value
+    is rank-1) = w / Σw, the weighted-sampling analogue of the KMV design
+    above, with the same properties: partition-invariant, reproducible,
+    and exactly merge-associative (union → per-tag min-key dedup → min-k).
+
+    Rows with null, zero, or negative weights are skipped (an Exp(w) draw
+    needs w > 0; a zero-weight row can never be sampled anyway).  A value
+    recurring with DIFFERENT weights keeps its smallest key — the
+    deterministic equivalent of "best draw wins", so merge order cannot
+    change the result.
+    """
+
+    def __init__(self, k: int, seed: int = DEFAULT_SEED):
+        if not isinstance(k, (int, np.integer)) or k < 1:
+            raise BuilderError(f"k must be >= 1, got {k!r}")
+        self.k = int(k)
+        self.seed = int(seed)
+        self.tags = np.empty(0, dtype=np.uint64)
+        self.keys = np.empty(0, dtype=np.float64)
+        self.items: list[Any] = []
+        self.n_seen = 0
+
+    @staticmethod
+    def _draw_keys(tags: np.ndarray, w: np.ndarray) -> np.ndarray:
+        # u ∈ (0, 1]: top 53 hash bits + 1, scaled — never 0, so the log is
+        # finite; u = 1 gives key exactly 0.0 (the best possible draw)
+        u = ((tags >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+        return -np.log(u) / w
+
+    def add_batch(self, values: Any, weights: Any = None) -> None:
+        if weights is None:
+            raise BuilderError("WeightedSample.add_batch requires weights")
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        arr = values if isinstance(values, pa.Array) else pa.array(list(values))
+        w = np.asarray(weights, dtype=np.float64)
+        if len(w) != len(arr):
+            raise BuilderError(
+                f"weights length {len(w)} != values length {len(arr)}"
+            )
+        self.n_seen += len(arr)
+        ok = np.isfinite(w) & (w > 0)
+        if arr.null_count:
+            ok &= np.asarray(pa.compute.is_valid(arr))
+        if not ok.any():
+            return
+        idx = np.flatnonzero(ok)
+        arr = arr.take(pa.array(idx))
+        tags = hash_array(arr, self.seed)
+        keys = self._draw_keys(tags, w[idx])
+        self._fold(tags, keys, arr.to_pylist())
+
+    def _fold(self, tags: np.ndarray, keys: np.ndarray, vals: list) -> None:
+        all_tags = np.concatenate([self.tags, tags])
+        all_keys = np.concatenate([self.keys, keys])
+        all_vals = self.items + list(vals)
+        # per-tag MIN-key dedup (associative), then min-k by (key, tag) —
+        # the tag tie-break keeps ordering total and deterministic
+        order = np.lexsort((all_keys, all_tags))
+        t, k_, = all_tags[order], all_keys[order]
+        first = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
+        t, k_ = t[first], k_[first]
+        vi = order[first]
+        pick = np.lexsort((t, k_))[: self.k]
+        self.tags = t[pick]
+        self.keys = k_[pick]
+        self.items = [all_vals[vi[i]] for i in pick]
+
+    def sample(self) -> list:
+        order = np.lexsort((self.tags, self.keys))
+        return [self.items[i] for i in order]
+
+    def _check_compatible(self, other: "WeightedSample") -> None:
+        if type(self) is not type(other):
+            raise IncompatibleSketchError("cannot merge different sketch kinds")
+        if self.k != other.k:
+            raise IncompatibleSketchError(f"incompatible k: {self.k} vs {other.k}")
+        if hash_scalar(MERGE_PROBE, self.seed) != hash_scalar(MERGE_PROBE, other.seed):
+            raise IncompatibleSketchError(
+                "incompatible seeds: deterministic-key samples require one "
+                "shared seed so keys live in the same hash space"
+            )
+
+    def merge(self, other: "WeightedSample") -> "WeightedSample":
+        self._check_compatible(other)
+        self._fold(other.tags, other.keys, other.items)
+        self.n_seen += other.n_seen
+        return self
+
+    def mem_bytes(self) -> int:
+        import sys
+
+        return (self.tags.nbytes + self.keys.nbytes
+                + sum(sys.getsizeof(v) for v in self.items))
+
+    def to_bytes(self) -> bytes:
+        t = pa.table({"tag": pa.array(self.tags, type=pa.uint64()),
+                      "key": pa.array(self.keys, type=pa.float64()),
+                      "item": pa.array(self.items)})
+        return pack_sketch(
+            {"kind": self.KIND, "k": self.k, "seed": self.seed,
+             "n_seen": self.n_seen},
+            {},
+            {"sample": t},
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "WeightedSample":
+        meta, arrays, tables = unpack_sketch(blob)
+        return cls._from_parts(meta, arrays, tables)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays, tables) -> "WeightedSample":
+        self = cls(meta["k"], meta["seed"])
+        t = tables["sample"]
+        self.tags = t.column("tag").to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.keys = t.column("key").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.items = t.column("item").to_pylist()
+        self.n_seen = meta["n_seen"]
+        return self
+
+    def state_equal(self, other: "WeightedSample") -> bool:
+        return (
+            np.array_equal(self.tags, other.tags)
+            and np.array_equal(self.keys, other.keys)
+            and self.items == other.items
+            and self.n_seen == other.n_seen
+        )

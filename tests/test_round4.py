@@ -1104,3 +1104,118 @@ def test_duplicated_span_stats_shard_validation(ray_session):
     ds = rd.from_arrow(pa.Table.from_pylist([{"doc_id": 1, "text": "a b c"}]))
     with pytest.raises(ValueError, match="power of two"):
         duplicated_span_stats(ds, shards=12)
+
+
+# ---------- weighted sample (A-ES) ----------
+
+
+def test_weighted_sample_recompute_and_partition_invariance(ray_session):
+    """The distributed UDAF result must equal a single-pass driver
+    recompute of the A-ES keys over the full table, for ANY batch split."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.hashing import hash_array
+    from hksketch.sketch.reservoir import WeightedSample
+
+    rng = np.random.default_rng(5)
+    ids = np.arange(1000, dtype=np.int64)
+    w = rng.integers(1, 5000, 1000).astype(np.float64)
+    w[::97] = 0.0  # zero weights must be skipped
+
+    def run(splits):
+        s = WeightedSample(50, seed=99)
+        for lo, hi in splits:
+            s.add_batch(pa.array(ids[lo:hi]), w[lo:hi])
+        return s.sample()
+
+    one = run([(0, 1000)])
+    many = run([(0, 137), (137, 138), (138, 700), (700, 1000)])
+    assert one == many
+
+    # driver recompute: same key formula over all w>0 rows
+    ok = w > 0
+    tags = hash_array(pa.array(ids[ok]), 99)
+    u = ((tags >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+    keys = -np.log(u) / w[ok]
+    order = np.lexsort((tags, keys))[:50]
+    assert one == [int(i) for i in ids[ok][order]]
+
+
+def test_weighted_sample_merge_associative_and_guards():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from hksketch.sketch.base import BuilderError, IncompatibleSketchError
+    from hksketch.sketch.reservoir import WeightedSample
+
+    rng = np.random.default_rng(11)
+    parts = []
+    for i in range(3):
+        s = WeightedSample(20, seed=4)
+        ids = rng.integers(0, 10_000, 300)
+        s.add_batch(pa.array(ids), rng.random(300) * 10 + 0.1)
+        parts.append(s)
+
+    def m(a, b):
+        from hksketch.sketch import sketch_from_bytes
+
+        x = sketch_from_bytes(a.to_bytes())
+        return x.merge(sketch_from_bytes(b.to_bytes()))
+
+    left = m(m(parts[0], parts[1]), parts[2])
+    right = m(parts[0], m(parts[1], parts[2]))
+    assert left.state_equal(right)
+
+    with pytest.raises(BuilderError):
+        WeightedSample(0)
+    with pytest.raises(BuilderError):
+        WeightedSample(5).add_batch(pa.array([1, 2]))  # no weights
+    with pytest.raises(BuilderError):
+        WeightedSample(5).add_batch(pa.array([1, 2]), np.array([1.0]))
+    with pytest.raises(IncompatibleSketchError):
+        a, b = WeightedSample(5, seed=1), WeightedSample(5, seed=2)
+        a.add_batch(pa.array([1]), np.array([1.0]))
+        b.add_batch(pa.array([1]), np.array([1.0]))
+        a.merge(b)
+
+
+def test_weighted_sample_bias_toward_heavy_rows():
+    """A single dominant weight must appear in every seed's sample; the
+    rank-1 frequency of heavy rows must exceed light rows across seeds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.sketch.reservoir import WeightedSample
+
+    ids = pa.array(np.arange(200, dtype=np.int64))
+    w = np.ones(200)
+    w[7] = 1e9
+    heavy_rank1 = 0
+    for seed in range(40):
+        s = WeightedSample(10, seed=seed)
+        s.add_batch(ids, w)
+        got = s.sample()
+        assert 7 in got
+        heavy_rank1 += got[0] == 7
+    assert heavy_rank1 >= 35  # P(rank-1) ≈ w7/Σw ≈ 0.9999
+
+
+def test_sample_docs_weighted_udaf_equals_single_sketch(ray_session):
+    """The distributed global_sketch merge path must reproduce one driver
+    WeightedSample pass over the full table exactly."""
+    import pyarrow.parquet as _pq
+
+    import __ray_entry__ as e
+    from hksketch.sketch.reservoir import WeightedSample
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["sample_docs_weighted"](sf).column("doc_id").to_pylist()
+    t = _pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    s = WeightedSample(100, seed=e.SEED)
+    s.add_batch(
+        t.column("doc_id").combine_chunks(),
+        t.column("n_chars").to_numpy(zero_copy_only=False).astype(float),
+    )
+    assert got == sorted(s.sample())
