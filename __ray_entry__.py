@@ -715,6 +715,76 @@ def _q_top_bigrams(sf_dir: str):
     return counts.sort(["count", "bigram"], descending=[True, False]).limit(50)
 
 
+def _q_source_distinctive_terms(sf_dir: str):
+    """Top-5 distinctive terms PER SOURCE by group-wise TF-IDF: tf(source,
+    token) × ln(n_sources / sources_with(token)) — "what vocabulary
+    characterizes each feed", the per-group variant of ``tfidf_top_terms``.
+    Two shuffles: one ``groupby(token)`` cogroup that sees every source's
+    tf for a token and attaches the source-df (no broadcast of the token
+    vocabulary, which is unbounded at web scale), then one
+    ``groupby(source)`` top-5.  Same milli-rounded half-away score as the
+    corpus operator, so the oracle hash-matches."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+    n_sources = ds.select_columns(["source"]).unique("source")
+    n_src = float(len(n_sources))
+
+    def tok(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = tokenize_column(b.column("text"), with_doc_index=True)
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "token": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        src = b.column("source").take(t.column("doc_idx"))
+        g = (
+            pl.from_arrow(pa.table({"source": src, "token": t.column("token")}))
+            .group_by(["source", "token"])
+            .agg(pl.len().cast(pl.Int64).alias("tf"))
+        )
+        a = g.to_arrow()
+        return pa.table({"source": a.column("source").cast(pa.string()),
+                         "token": a.column("token").cast(pa.string()),
+                         "tf": a.column("tf").cast(pa.int64())})
+
+    tf = (
+        ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+    def score_token_group(grp) -> pa.Table:
+        # one group = one token across ALL sources: df is just the group
+        # height, so no second dataset or join is needed
+        tfv = grp["tf"].to_numpy().astype(np.float64)
+        df = float(len(grp))
+        x = tfv * np.log(n_src / df)
+        tfidf = np.floor(x * 1000.0 + 0.5) / 1000.0
+        return pa.table({"source": pa.array(grp["source"], type=pa.string()),
+                         "token": pa.array(grp["token"], type=pa.string()),
+                         "tf": pa.array(grp["tf"], type=pa.int64()),
+                         "tfidf": pa.array(tfidf, type=pa.float64())})
+
+    scored = tf.groupby("token").map_groups(score_token_group, batch_format="pandas")
+
+    def top5(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        order = np.lexsort(
+            (np.asarray(g.column("token")), -g.column("tfidf").to_numpy())
+        )[:5]
+        return g.select(["source", "token", "tf", "tfidf"]).take(pa.array(order))
+
+    return scored.groupby("source").map_groups(top5, batch_format="pyarrow")
+
+
 def _q_dup_clusters(sf_dir: str):
     """Duplicate CLUSTERS (transitive closure of the exact n-gram-Jaccard
     near-dup graph): ``(doc_id, cluster_id=min doc id of component)`` —
@@ -1627,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dupes": _q_ngram_jaccard_near_dupes,
         "dup_clusters": _q_dup_clusters,
         "duplicated_spans": _q_duplicated_spans,
+        "source_distinctive_terms": _q_source_distinctive_terms,
         "top_bigrams": _q_top_bigrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1913,6 +1984,29 @@ ORDER BY id_a, id_b
 SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
 ORDER BY doc_id
+""",
+        "source_distinctive_terms": """
+WITH st AS (
+  SELECT source, lower(tok) AS token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT source, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
+  WHERE length(tok) <= 64
+  GROUP BY source, lower(tok)
+), d AS (
+  SELECT token, count(*) AS df FROM st GROUP BY token
+), scored AS (
+  SELECT st.source, st.token, st.tf,
+         round(CAST(st.tf AS DOUBLE)
+               * ln(CAST((SELECT count(DISTINCT source) FROM documents) AS DOUBLE)
+                    / CAST(d.df AS DOUBLE)), 3) AS tfidf
+  FROM st JOIN d USING (token)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored
+)
+SELECT source, token, tf, tfidf FROM ranked WHERE rn <= 5
+ORDER BY source, tfidf DESC, token
 """,
         "duplicated_spans": """
 WITH tl AS (

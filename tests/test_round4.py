@@ -1219,3 +1219,43 @@ def test_sample_docs_weighted_udaf_equals_single_sketch(ray_session):
         t.column("n_chars").to_numpy(zero_copy_only=False).astype(float),
     )
     assert got == sorted(s.sample())
+
+
+# ---------- per-source distinctive terms ----------
+
+
+def test_source_distinctive_terms_matches_duckdb(ray_session, tmp_path):
+    """Group-wise TF-IDF (cogroup df attach, per-source top-5) must equal
+    the SQL recompute on a corpus with a token unique to one source, a
+    token shared by all, and a tfidf tie broken by token order."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import __ray_entry__ as e
+
+    docs = pa.Table.from_pylist(
+        [{"doc_id": 1, "source": "feedA", "text": "shared rare rare zeta"},
+         {"doc_id": 2, "source": "feedA", "text": "shared alpha beta"},
+         {"doc_id": 3, "source": "feedB", "text": "shared gamma gamma gamma"},
+         {"doc_id": 4, "source": "feedB", "text": "shared zeta"},
+         {"doc_id": 5, "source": "feedC", "text": "shared only here once"}]
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    got = (
+        e.queries()["source_distinctive_terms"](str(d)).to_pandas()
+        .sort_values(["source", "tfidf", "token"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(e.oracle_sql()["source_distinctive_terms"]).df().reset_index(drop=True)
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["tf"].tolist() == want["tf"].tolist()
+    assert [v.hex() for v in got["tfidf"]] == [v.hex() for v in want["tfidf"]]
+    # 'shared' occurs in every source: idf = ln(1) = 0 exactly
+    sh = got[got["token"] == "shared"]
+    assert (sh["tfidf"] == 0.0).all()
