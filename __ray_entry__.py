@@ -1119,6 +1119,50 @@ def _q_sample_events(sf_dir: str):
     return pa.table({"event_id": pa.array(ids, type=pa.int64())})
 
 
+def _q_quality_gated_counts(sf_dir: str):
+    """Docs-above-the-median-quality per source: a data-driven (not fixed)
+    threshold composition — distributed exact median of ``alpha_ratio``
+    (``quantile_disc`` semantics) broadcast as a scalar into a streamed
+    filter + per-source count.  The ratio math is the bitwise-SQL-identical
+    quality kernel and the median is discrete (an actual data value), so
+    the float threshold compare agrees with DuckDB exactly.  The narrow
+    (source, alpha_ratio) projection is materialized once so the quantile
+    pass and the filter pass share one scan of the text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import exact_quantiles, read_table
+    from hksketch.text.analysis import quality_scores_batch
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def alpha(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b.column("text"))
+        b = b.filter(mask)
+        q = quality_scores_batch(b, "text", "doc_id")
+        return pa.table({"source": b.column("source"),
+                         "alpha_ratio": q.column("alpha_ratio")})
+
+    proj = ds.map_batches(
+        alpha, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    med = exact_quantiles(proj, "alpha_ratio", [0.5])[0]
+
+    def gate(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("alpha_ratio"), pa.scalar(med))
+        t = b.filter(keep)
+        return pa.table({"source": t.column("source"),
+                         "n_docs": pa.array([1] * t.num_rows, type=pa.int64())})
+
+    out = (
+        proj.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return out.sort("source")
+
+
 def _q_sample_docs_weighted(sf_dir: str):
     """Length-weighted doc sample (Efraimidis–Spirakis A-ES with
     deterministic keyed-hash draws): the importance-sampling primitive for
@@ -1708,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_parts_by_qty_mg": _q_topk_parts_by_qty_mg,
         "sample_events": _q_sample_events,
         "sample_docs_weighted": _q_sample_docs_weighted,
+        "quality_gated_counts": _q_quality_gated_counts,
         "orders_semijoin_bloom": _q_orders_semijoin_bloom,
         "last_login_before_error": _q_last_login_before_error,
         "nation_orders_join": _q_nation_orders_join,
@@ -1984,6 +2029,21 @@ ORDER BY id_a, id_b
 SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
 ORDER BY doc_id
+""",
+        "quality_gated_counts": """
+WITH q AS (
+  SELECT source,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT quantile_disc(alpha_ratio, 0.5) AS med FROM q
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM q, m
+WHERE alpha_ratio >= med
+GROUP BY source
+ORDER BY source
 """,
         "source_distinctive_terms": """
 WITH st AS (

@@ -1259,3 +1259,35 @@ def test_source_distinctive_terms_matches_duckdb(ray_session, tmp_path):
     # 'shared' occurs in every source: idf = ln(1) = 0 exactly
     sh = got[got["token"] == "shared"]
     assert (sh["tfidf"] == 0.0).all()
+
+
+# ---------- percentile-gated quality filter ----------
+
+
+def test_quality_gated_counts_matches_duckdb(ray_session, tmp_path):
+    """Median-threshold composition: exact quantile_disc median broadcast
+    into the filter; null texts excluded on both sides; counts must match
+    the SQL recompute exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import __ray_entry__ as e
+
+    docs = pa.Table.from_pylist(
+        [{"doc_id": 1, "source": "a", "text": "all alpha words here"},
+         {"doc_id": 2, "source": "a", "text": "1234 5678 90"},
+         {"doc_id": 3, "source": "b", "text": "half 1234 half abcd"},
+         {"doc_id": 4, "source": "b", "text": None},
+         {"doc_id": 5, "source": "b", "text": ""},
+         {"doc_id": 6, "source": "c", "text": "mostly alpha 1"}]
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    got = e.queries()["quality_gated_counts"](str(d)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(e.oracle_sql()["quality_gated_counts"]).df()
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
