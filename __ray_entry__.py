@@ -1119,6 +1119,45 @@ def _q_sample_events(sf_dir: str):
     return pa.table({"event_id": pa.array(ids, type=pa.int64())})
 
 
+def _q_docs_embeddings_join(sf_dir: str):
+    """Big-big equi-join (documents ⋈ embeddings on doc_id = vec_id) —
+    the fact↔fact shape the broadcast/Bloom joins can't cover: BOTH sides
+    hash-shard on the key in ONE shuffle, then a polars (Rust) hash join
+    runs inside each shard (``ray_glue.joins.hash_join``).  Aggregated per
+    embedding label: row count, total chars, total embedding dims — the
+    last proves the right-side list payload crossed the join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    embs = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    j = hash_join(docs, embs, on="doc_id", right_on="vec_id", how="inner")
+
+    def pre(b: pa.Table) -> pa.Table:
+        dims = pc.list_value_length(b.column("embedding")).cast(pa.int64())
+        return pa.table(
+            {"label": b.column("label").cast(pa.int64()),
+             "n_docs": pa.array([1] * b.num_rows, type=pa.int64()),
+             "total_chars": b.column("n_chars"),
+             "total_dims": dims}
+        )
+
+    out = (
+        j.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("total_dims", alias_name="total_dims"),
+        )
+    )
+    return out.sort("label")
+
+
 def _q_quality_gated_counts(sf_dir: str):
     """Docs-above-the-median-quality per source: a data-driven (not fixed)
     threshold composition — distributed exact median of ``alpha_ratio``
@@ -1753,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events": _q_sample_events,
         "sample_docs_weighted": _q_sample_docs_weighted,
         "quality_gated_counts": _q_quality_gated_counts,
+        "docs_embeddings_join": _q_docs_embeddings_join,
         "orders_semijoin_bloom": _q_orders_semijoin_bloom,
         "last_login_before_error": _q_last_login_before_error,
         "nation_orders_join": _q_nation_orders_join,
@@ -2029,6 +2069,15 @@ ORDER BY id_a, id_b
 SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
 ORDER BY doc_id
+""",
+        "docs_embeddings_join": """
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(e.embedding)) AS BIGINT) AS total_dims
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+ORDER BY label
 """,
         "quality_gated_counts": """
 WITH q AS (

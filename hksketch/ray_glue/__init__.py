@@ -8,6 +8,7 @@ from .. import _install_log_filters
 
 _install_log_filters()
 
+from .joins import hash_join
 from .aggregate import (
     BloomAggregate,
     CountMinAggregate,
@@ -28,4 +29,5 @@ __all__ = [
     "TDigestQuantileAggregate",
     "KLLQuantileAggregate",
     "sketch_config",
+    "hash_join",
 ]

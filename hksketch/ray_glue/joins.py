@@ -1,0 +1,176 @@
+"""Distributed big-big equi-join.
+
+The broadcast / Bloom-semi joins in ``__ray_entry__`` cover the
+small-side cases (dimension tables, filters); this operator covers the
+remaining shape — BOTH sides too large to broadcast (fact ↔ fact, e.g.
+documents ↔ embeddings at corpus scale).  Ray Data 2.49 has no native
+join, so it is expressed with the primitives it does have:
+
+- each side is normalized onto one shared wide schema (its own columns
+  plus nulls for the other side's — validity bitmaps make the padding
+  ~free) and tagged with ``__side``;
+- ONE hash-sharded shuffle co-locates both sides' rows for a key range
+  (``groupby(shard)``, shard = splitmix64(key) & mask — NOT a groupby on
+  the raw key, which would make one Python-level group per key);
+- inside each shard the actual match is a single polars (Rust) hash
+  join — vectorized, never a per-key Python loop.
+
+Per-task memory is bounded by (rows of both sides) / shards; size
+``shards`` from parquet footers (``auto_shards``).  Skewed hot keys
+concentrate in one shard — the standard mitigations (salt the hot keys,
+or pre-aggregate one side) apply and are the caller's choice, as in any
+shuffle-join engine.  Null join keys never match (SQL semantics) and are
+dropped at the shard stage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import splitmix64
+
+U64 = np.uint64
+
+
+def hash_join(
+    left,
+    right,
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    shards: int | str = "auto",
+    suffix: str = "_r",
+):
+    """Equi-join two Datasets on an int64 key; returns a Dataset.
+
+    ``how``: ``"inner"`` or ``"left"``.  Right-side columns whose names
+    clash with left-side ones get ``suffix``.  The key appears once, named
+    ``on``.
+    """
+    import ray.data as rd
+
+    from .partitioning import auto_shards, estimate_rows
+
+    right_on = right_on or on
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = [n for n in lschema.names]
+    rcols = [n for n in rschema.names if n != right_on]
+    rename = {
+        c: (c + suffix if c in lcols else c) for c in rcols
+    }
+    out_lcols = [c for c in lcols if c != on]
+    out_rcols = [rename[c] for c in rcols]
+
+    if shards == "auto":
+        est = (estimate_rows(left) or 0) + (estimate_rows(right) or 0)
+        shards = auto_shards(
+            left, target_rows_per_shard=2_000_000, min_shards=32,
+            rows_hint=est or None,
+        )
+    shards = int(shards)
+    if shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two (got {shards})")
+
+    # one wide schema: __key, __side, __shard, left cols (sans key),
+    # right cols (renamed, sans key)
+    lfields = [(c, ltypes[c]) for c in out_lcols]
+    rfields = [(rename[c], rtypes[c]) for c in rcols]
+
+    # source column on each side for every wide-schema column (None → the
+    # other side owns it, pad with nulls)
+    unrenamed = {v: k for k, v in rename.items()}
+
+    def norm(side: int, key_col: str):
+        # SQL semantics: null keys never match.  Inner (and the right side
+        # of a left join) drops them at the map stage; the LEFT side of a
+        # left join keeps them — they ride to shard 0 and surface unmatched.
+        keep_nulls = how == "left" and side == 0
+
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(key_col)
+            if not keep_nulls:
+                batch = batch.filter(pa.compute.is_valid(key))
+                key = batch.column(key_col)
+            key = key.combine_chunks().cast(pa.int64())
+            kf = (
+                pa.compute.fill_null(key, 0)
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            shard = (splitmix64(kf.view(U64)) & U64(shards - 1)).astype(np.int32)
+            n = len(kf)
+            cols: dict = {
+                "__key": key,
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                "__shard": pa.array(shard, type=pa.int32()),
+            }
+            k = kf  # length source for the null pads below
+            for name, typ in lfields:
+                cols[name] = (
+                    batch.column(name).cast(typ) if side == 0
+                    else pa.nulls(len(k), type=typ)
+                )
+            for name, typ in rfields:
+                cols[name] = (
+                    batch.column(unrenamed[name]).cast(typ) if side == 1
+                    else pa.nulls(len(k), type=typ)
+                )
+            return pa.table(cols)
+
+        return fn
+
+    lnorm = left.map_batches(
+        norm(0, on), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rnorm = right.map_batches(
+        norm(1, right_on), batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = lnorm.union(rnorm)
+
+    out_schema = pa.schema(
+        [("__key", pa.int64())]
+        + [(n, t) for n, t in lfields]
+        + [(n, t) for n, t in rfields]
+    )
+
+    def join_shard(grp: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if grp.num_rows == 0:
+            return out_schema.empty_table()
+        side = grp.column("__side").to_numpy(zero_copy_only=False)
+        lt = pl.from_arrow(
+            grp.select(["__key"] + [n for n, _ in lfields])
+            .filter(pa.array(side == 0))
+        )
+        rt = pl.from_arrow(
+            grp.select(["__key"] + [n for n, _ in rfields])
+            .filter(pa.array(side == 1))
+        )
+        j = lt.join(rt, on="__key", how=how, maintain_order="left")
+        t = j.to_arrow()
+        cols = {}
+        for f in out_schema:
+            c = t.column(f.name)
+            cols[f.name] = c.cast(f.type) if c.type != f.type else c
+        return pa.table(cols)
+
+    out = both.groupby("__shard").map_groups(join_shard, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {on: batch.column("__key")}
+        for c in out_lcols:
+            cols[c] = batch.column(c)
+        for c in out_rcols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1291,3 +1291,80 @@ def test_quality_gated_counts_matches_duckdb(ray_session, tmp_path):
     want = con.sql(e.oracle_sql()["quality_gated_counts"]).df()
     assert got["source"].tolist() == want["source"].tolist()
     assert got["n_docs"].tolist() == want["n_docs"].tolist()
+
+
+# ---------- distributed hash join ----------
+
+
+def test_hash_join_matches_duckdb_semantics(ray_session):
+    """Inner/left equi-join vs DuckDB on the same inputs: duplicate keys
+    on both sides (cartesian within key), null keys (never match; left
+    keeps the row), clash suffixing, list payloads."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join
+
+    lt = pa.table({
+        "k": pa.array([1, 2, 2, 3, None, 9], type=pa.int64()),
+        "a": pa.array(["p", "q", "r", "s", "t", "u"]),
+        "n": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array([2, 2, 3, None, 7], type=pa.int64()),
+        "emb": pa.array([[1.0], [2.0, 3.0], [4.0], [5.0], [6.0]],
+                        type=pa.list_(pa.float32())),
+        "n": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+    })
+    left = rd.from_arrow(lt).repartition(3)
+    right = rd.from_arrow(rt).repartition(2)
+
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+
+    for how, sql in [
+        ("inner", "SELECT lt.k, a, lt.n, emb, rt.n AS n_r FROM lt JOIN rt ON lt.k = rt.k"),
+        ("left", "SELECT lt.k, a, lt.n, emb, rt.n AS n_r FROM lt LEFT JOIN rt ON lt.k = rt.k"),
+    ]:
+        got = (
+            hash_join(left, right, on="k", how=how, shards=8)
+            .to_pandas()
+            .sort_values(["k", "a", "n_r"], na_position="last")
+            .reset_index(drop=True)
+        )
+        want = (
+            con.sql(sql).df()
+            .sort_values(["k", "a", "n_r"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), how
+        for c in ("k", "a", "n", "n_r"):
+            pd.testing.assert_series_equal(
+                got[c], want[c], check_dtype=False, check_names=False
+            ), (how, c)
+        # list payload: compare as tuples (None/NaN-safe — DuckDB returns
+        # NaN for an unmatched list cell, Ray returns None)
+        def _norm(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return tuple(v)
+
+        assert [_norm(v) for v in got["emb"]] == [_norm(v) for v in want["emb"]], how
+
+
+def test_hash_join_validation(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()),
+                                 "v": pa.array([2], type=pa.int64())}))
+    with pytest.raises(ValueError, match="how"):
+        hash_join(ds, ds, on="k", how="outer")
+    with pytest.raises(ValueError, match="power of two"):
+        hash_join(ds, ds, on="k", shards=6)
