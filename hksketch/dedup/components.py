@@ -149,6 +149,7 @@ def connected_components(
     id_b: str = "id_b",
     shards: int = 64,
     max_iters: int = 64,
+    small_graph_edges: int = 250_000,
 ):
     """Label every node of an undirected edge list with its component's
     minimum node id.
@@ -181,6 +182,48 @@ def connected_components(
     prev = _signature(ds)
     if prev[0] == 0:
         return rd.from_arrow(_LABELS_EMPTY)
+
+    # Size-adaptive: a small edge set (the common case for near-dup graphs
+    # at modest corpus sizes — pair output is threshold-bounded) does not
+    # pay O(log n) rounds of shuffle fixed costs; ONE remote task runs
+    # path-compressed union-find and returns the labels.  The signature's
+    # edge count is already computed, so the choice costs nothing, and the
+    # star-contraction path stays the 100-TB answer.
+    if prev[0] <= small_graph_edges:
+        import ray as _ray
+
+        @_ray.remote
+        def _uf(*blocks: pa.Table) -> pa.Table:
+            # refs must be top-level args (variadic) so Ray resolves them;
+            # refs nested inside a list arrive unresolved.
+            t = pa.concat_tables(blocks)
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            nodes = np.unique(np.concatenate((u, v)))
+            idx = {int(n): i for i, n in enumerate(nodes)}
+            parent = np.arange(len(nodes), dtype=np.int64)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(u, v):
+                ra, rb = find(idx[int(a)]), find(idx[int(b)])
+                if ra != rb:
+                    # union toward the smaller NODE id so labels match the
+                    # min-label contract directly
+                    lo, hi = (ra, rb) if nodes[ra] <= nodes[rb] else (rb, ra)
+                    parent[hi] = lo
+            roots = np.array([find(i) for i in range(len(nodes))])
+            return pa.table(
+                {"doc_id": pa.array(nodes, type=pa.int64()),
+                 "cluster_id": pa.array(nodes[roots], type=pa.int64())}
+            )
+
+        labels_t = _ray.get(_uf.remote(*ds.to_arrow_refs()))
+        return rd.from_arrow(labels_t)
 
     for _ in range(max_iters):
         # ---- large-star: group by EVERY endpoint (symmetric adjacency)

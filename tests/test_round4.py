@@ -957,12 +957,17 @@ def test_connected_components_matches_union_find(ray_session):
             {"id_a": pa.array([a for a, _ in e], type=pa.int64()),
              "id_b": pa.array([b for _, b in e], type=pa.int64())}
         )
-        got = (
-            connected_components(t)
-            .to_pandas().set_index("doc_id")["cluster_id"].to_dict()
-        )
         nodes = {a for a, b in e if a != b} | {b for a, b in e if a != b}
-        assert got == _cc_brute([p for p in e if p[0] != p[1]], nodes)
+        want = _cc_brute([p for p in e if p[0] != p[1]], nodes)
+        # both execution paths must agree with union-find: the small-graph
+        # single-task path (default) and the distributed star contraction
+        # (forced with small_graph_edges=0)
+        for kw in ({}, {"small_graph_edges": 0}):
+            got = (
+                connected_components(t, **kw)
+                .to_pandas().set_index("doc_id")["cluster_id"].to_dict()
+            )
+            assert got == want, kw
 
 
 def test_connected_components_empty_and_shard_validation(ray_session):
