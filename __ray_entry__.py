@@ -955,6 +955,57 @@ def _q_topk_parts_by_qty_mg(sf_dir: str):
     )
 
 
+def _q_superspreader_suppliers(sf_dir: str):
+    """Heavy DISTINCT-hitters ("superspreaders", Venkataraman et al.
+    NDSS'05): top suppliers by exact COUNT(DISTINCT part) — the
+    distinct-cardinality analogue of the reference's per-flow packet counts
+    (`/root/reference/src/bin/flows.rs:120-141`).  Exact two-shuffle shape
+    (pair dedup → per-key count), both shuffles pre-combined; see
+    ``pipelines.ops.distinct_count_topk``."""
+    from hksketch.pipelines.ops import distinct_count_topk, read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return distinct_count_topk(
+        ds, "l_suppkey", "l_partkey", k=10, count_name="distinct_parts"
+    )
+
+
+def _q_superspreader_suppliers_kmv(sf_dir: str):
+    """The SKETCH path for the same superspreader question: one mergeable
+    KMV bottom-k sketch of partkeys PER supplier through ``grouped_sketch``
+    (sub-linear state per key vs the exact pair-dedup shuffle), estimates
+    via the Beyer et al. SIGMOD'07 unbiased (k-1)/U_(k) estimator, top 10
+    by estimate.  Deterministic (value-keyed hash tags) but approximate —
+    rows-only at the gate; the relative-error bound and the
+    merge-vs-single-pass estimate equality are asserted in
+    tests/test_round4.py."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    cfg = sketch_config("reservoir", k=256, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="l_partkey", group_col="l_suppkey")
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        ests = [
+            round(sketch_from_bytes(b.as_py()).estimate(), 2)
+            for b in batch.column("sketch")
+        ]
+        return pa.table(
+            {"l_suppkey": batch.column("l_suppkey"),
+             "est_distinct": pa.array(ests, type=pa.float64())}
+        )
+
+    est = out.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
+    return est.sort(
+        ["est_distinct", "l_suppkey"], descending=[True, False]
+    ).limit(10)
+
+
 def _q_tokens_per_lang_topk_sketch(sf_dir: str):
     """Per-group HeavyKeeper sketches (few large groups → per-batch partial
     pre-aggregation, shuffle carries blobs only)."""
@@ -1789,6 +1840,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "topk_parts_by_qty_sketch": _q_topk_parts_by_qty_sketch,
         "topk_parts_by_qty_mg": _q_topk_parts_by_qty_mg,
+        "superspreader_suppliers": _q_superspreader_suppliers,
+        "superspreader_suppliers_kmv": _q_superspreader_suppliers_kmv,
         "sample_events": _q_sample_events,
         "sample_docs_weighted": _q_sample_docs_weighted,
         "quality_gated_counts": _q_quality_gated_counts,
@@ -2242,6 +2295,11 @@ ORDER BY total_qty DESC, l_partkey ASC LIMIT 25
 SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
 FROM lineitem GROUP BY l_partkey
 ORDER BY total_qty DESC, l_partkey ASC LIMIT 25
+""",
+        "superspreader_suppliers": """
+SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+FROM lineitem GROUP BY l_suppkey
+ORDER BY distinct_parts DESC, l_suppkey ASC LIMIT 10
 """,
         "orders_semijoin_bloom": """
 SELECT CAST(count(*) AS BIGINT) AS n_orders,

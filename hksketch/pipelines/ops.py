@@ -188,6 +188,66 @@ def grouped_count(ds, group_cols: list[str], count_name: str = "count"):
     return ds.groupby(group_cols).aggregate(Count(alias_name=count_name))
 
 
+def distinct_counts(ds, key_col: str, value_col: str, count_name: str = "distinct_values"):
+    """Exact COUNT(DISTINCT value) per key — the ground truth for
+    "superspreader" detection (keys touching many distinct values, the
+    heavy-DISTINCT-hitter problem of Venkataraman et al. NDSS'05; the
+    reference's flow analysis counts weighted packets per flow
+    (`/root/reference/src/bin/flows.rs`), this is its distinct-cardinality
+    analogue).
+
+    Distributed shape (two shuffles, both pre-combined):
+
+    1. per-batch ``unique(key, value)`` — a combiner that collapses repeat
+       pairs before anything moves;
+    2. ``groupby([key, value])`` — the pair-dedup exchange; its output
+       blocks hold each distinct pair once;
+    3. per-block counts per key (one row per key per block);
+    4. a tiny ``groupby(key).sum`` folds cross-block key spans.
+
+    Neither shuffle carries more than the distinct-pair set, and the second
+    carries ≤ #keys × #blocks rows.
+    """
+    from ray.data.aggregate import Count
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([key_col, value_col])
+        return (
+            pl.from_arrow(batch.select([key_col, value_col]))
+            .unique()
+            .to_arrow()
+            .cast(pa.schema([batch.schema.field(key_col),
+                             batch.schema.field(value_col)]))
+        )
+
+    pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = pairs.groupby([key_col, value_col]).aggregate(Count(alias_name="_n"))
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(batch.select([key_col]))
+            .group_by(key_col)
+            .agg(pl.len().cast(pl.Int64).alias(count_name))
+        ).to_arrow()
+        return pa.table(
+            {key_col: g.column(key_col).cast(batch.schema.field(key_col).type),
+             count_name: g.column(count_name).cast(pa.int64())}
+        )
+
+    partial = deduped.map_batches(per_key, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby(key_col).aggregate(Sum(count_name, alias_name=count_name))
+
+
+def distinct_count_topk(
+    ds, key_col: str, value_col: str, k: int, count_name: str = "distinct_values"
+):
+    """Top-``k`` keys by exact distinct-value count; ties key-ascending
+    (same tie rule as ``exact_topk`` / SQL ``ORDER BY n DESC, key ASC``)."""
+    counts = distinct_counts(ds, key_col, value_col, count_name)
+    return counts.sort([count_name, key_col], descending=[True, False]).limit(k)
+
+
 def tfidf_top_terms(ds, n_docs: int, k: int = 50, text_col: str = "text"):
     """Corpus-wide TF-IDF top-``k`` terms over a document table.
 

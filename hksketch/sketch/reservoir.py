@@ -95,6 +95,20 @@ class ReservoirSample:
     def sample(self) -> list:
         return list(self.items)
 
+    def estimate(self) -> float:
+        """KMV distinct-count estimate (Bar-Yossef et al. RANDOM'02;
+        Beyer et al. SIGMOD'07 unbiased form).  With fewer than ``k``
+        distinct tags retained the sketch has seen every distinct value and
+        the answer is exact; otherwise ``(k-1) / U_(k)`` where ``U_(k)`` is
+        the k-th smallest tag normalized to (0, 1].  Deterministic (tags are
+        keyed hashes) and merge-consistent: merged sketches give the same
+        estimate as a single pass, which the grouped-UDAF path relies on."""
+        if len(self.tags) < self.k:
+            return float(len(self.tags))
+        # +1 so a (theoretically possible) zero tag cannot divide by zero
+        u_k = (float(self.tags[-1]) + 1.0) / 2.0 ** 64
+        return (self.k - 1) / u_k
+
     def _check_compatible(self, other: "ReservoirSample") -> None:
         if type(self) is not type(other):
             raise IncompatibleSketchError("cannot merge different sketch kinds")

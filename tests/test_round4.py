@@ -1373,3 +1373,74 @@ def test_hash_join_validation(ray_session):
         hash_join(ds, ds, on="k", how="outer")
     with pytest.raises(ValueError, match="power of two"):
         hash_join(ds, ds, on="k", shards=6)
+
+
+# ---------- superspreaders: exact distinct-count top-k + KMV estimate ----------
+
+
+def test_kmv_estimate_exact_below_k_and_merge_consistent():
+    from hksketch.sketch.reservoir import DistinctValueSample
+
+    # fewer distinct values than k: estimate is exact
+    s = DistinctValueSample(k=64, seed=7)
+    s.add_batch(pa.array([i % 40 for i in range(1000)], type=pa.int64()))
+    assert s.estimate() == 40.0
+
+    # above k: merged estimate == single-pass estimate (same min-k tag set)
+    vals = np.arange(10_000, dtype=np.int64)
+    one = DistinctValueSample(k=128, seed=7)
+    one.add_batch(pa.array(vals))
+    parts = []
+    for lo in range(0, len(vals), 1337):
+        p = DistinctValueSample(k=128, seed=7)
+        p.add_batch(pa.array(vals[lo:lo + 1337]))
+        parts.append(p)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.estimate() == one.estimate()
+    # KMV error bound: rel err ~ 1/sqrt(k); allow 4 sigma
+    assert abs(one.estimate() - 10_000) / 10_000 < 4 / np.sqrt(128)
+
+
+def test_distinct_count_topk_matches_duckdb(ray_session):
+    import duckdb
+
+    from hksketch.pipelines.ops import distinct_count_topk, read_table
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "lineitem", ["l_suppkey", "l_partkey"])
+    got = (
+        distinct_count_topk(ds, "l_suppkey", "l_partkey", k=10,
+                            count_name="distinct_parts")
+        .to_pandas()
+    )
+    want = duckdb.sql(
+        f"SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts "
+        f"FROM '{sf}/lineitem.parquet' GROUP BY l_suppkey "
+        f"ORDER BY distinct_parts DESC, l_suppkey LIMIT 10"
+    ).df()
+    assert got["l_suppkey"].tolist() == want["l_suppkey"].tolist()
+    assert got["distinct_parts"].tolist() == want["distinct_parts"].tolist()
+
+
+def test_superspreader_kmv_bounded_error_and_deterministic(ray_session):
+    import duckdb
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    a = e.queries()["superspreader_suppliers_kmv"](sf).to_pandas()
+    b = e.queries()["superspreader_suppliers_kmv"](sf).to_pandas()
+    # deterministic under re-execution (value-keyed hash tags)
+    assert a.equals(b)
+    truth = (
+        duckdb.sql(
+            f"SELECT l_suppkey, count(DISTINCT l_partkey) d "
+            f"FROM '{sf}/lineitem.parquet' GROUP BY l_suppkey"
+        )
+        .df()
+        .set_index("l_suppkey")["d"]
+    )
+    for r in a.itertuples():
+        rel = abs(r.est_distinct - truth[r.l_suppkey]) / truth[r.l_suppkey]
+        assert rel < 4 / np.sqrt(256), (r.l_suppkey, rel)
