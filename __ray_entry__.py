@@ -1006,6 +1006,94 @@ def _q_superspreader_suppliers_kmv(sf_dir: str):
     ).limit(10)
 
 
+def _q_distinct_users_per_day(sf_dir: str):
+    """Exact DISTINCT-cardinality per tumbling day window ⊕oracle — the
+    windowed companion of the superspreader query (same
+    ``ops.distinct_counts`` two-shuffle pair-dedup shape, keyed on the
+    derived day column)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import distinct_counts, read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(b.column("ts"), unit="day"),
+             "user_id": b.column("user_id")}
+        )
+
+    ds = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    out = distinct_counts(ds, "day", "user_id", count_name="distinct_users")
+    return out.sort("day")
+
+
+# decayed weight table shared verbatim between the Ray kernel and the SQL
+# oracle (the lang_id generated-oracle trick): integer micro-units make the
+# per-user sums order-independent and therefore bit-exact under any
+# partitioning — float decay sums would drift with summation order.
+# 0.9^d rounds to 0 micro-units from d=138 on, so stopping the table at 150
+# loses nothing: both sides treat older events as exactly weight 0.
+_DECAY_W_MICRO = [int(round(0.9 ** d * 1_000_000)) for d in range(151)]
+_US_PER_DAY = 86_400_000_000
+
+
+def _q_decayed_topk_users(sf_dir: str):
+    """TIME-DECAYED heavy hitters ⊕oracle: each event counts
+    0.9^age_days (age = floor-days before the stream's max ts) — the
+    batch analogue of the reference's exponential-decay philosophy (decay
+    against COUNT there, against TIME here; both discount stale mass).
+    Exact in integer micro-units; top 15 users by decayed count."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+    # max ts as exact integer microseconds (ds.max returns datetime)
+    mx_us = pa.scalar(ds.max("ts"), type=pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    w = np.asarray(_DECAY_W_MICRO, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        age = (mx_us - ts) // _US_PER_DAY
+        wm = np.where(age < len(w), w[np.minimum(age, len(w) - 1)], 0)
+        g = (
+            pl.DataFrame(
+                {"user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                 "wm": wm}
+            )
+            .group_by("user_id")
+            .agg(pl.col("wm").sum())
+        ).to_arrow()
+        return pa.table(
+            {"user_id": g.column("user_id").cast(pa.int64()),
+             "wm": g.column("wm").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("wm", alias_name="wm"))
+    )
+
+    def publish(b: pa.Table) -> pa.Table:
+        sm = b.column("wm").to_numpy()
+        return pa.table(
+            {"user_id": b.column("user_id"),
+             "decayed_count": pa.array(sm / 1e6, type=pa.float64())}
+        )
+
+    out = sums.map_batches(publish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["decayed_count", "user_id"], descending=[True, False]).limit(15)
+
+
 def _q_tokens_per_lang_topk_sketch(sf_dir: str):
     """Per-group HeavyKeeper sketches (few large groups → per-batch partial
     pre-aggregation, shuffle carries blobs only)."""
@@ -1842,6 +1930,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_parts_by_qty_mg": _q_topk_parts_by_qty_mg,
         "superspreader_suppliers": _q_superspreader_suppliers,
         "superspreader_suppliers_kmv": _q_superspreader_suppliers_kmv,
+        "distinct_users_per_day": _q_distinct_users_per_day,
+        "decayed_topk_users": _q_decayed_topk_users,
         "sample_events": _q_sample_events,
         "sample_docs_weighted": _q_sample_docs_weighted,
         "quality_gated_counts": _q_quality_gated_counts,
@@ -2301,6 +2391,31 @@ SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
 FROM lineitem GROUP BY l_suppkey
 ORDER BY distinct_parts DESC, l_suppkey ASC LIMIT 10
 """,
+        "distinct_users_per_day": """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY 1 ORDER BY day
+""",
+        # oracle constants generated from the SAME _DECAY_W_MICRO table the
+        # Ray kernel uses — integer micro-unit sums are order-independent,
+        # so Ray and DuckDB agree bit-for-bit (the lang_id generated-oracle
+        # pattern)
+        "decayed_topk_users": (
+            "WITH mx AS (SELECT max(ts) AS m FROM events),\n"
+            "w(age, wm) AS (VALUES "
+            + ", ".join(
+                f"({d}, {wm})" for d, wm in enumerate(_DECAY_W_MICRO)
+            )
+            + "),\n"
+            "ages AS (SELECT user_id,\n"
+            "  (epoch_us((SELECT m FROM mx)) - epoch_us(ts)) // "
+            f"{_US_PER_DAY} AS age FROM events),\n"
+            "scored AS (SELECT user_id, CAST(sum(COALESCE(w.wm, 0)) AS BIGINT)"
+            " AS sm\n"
+            "  FROM ages LEFT JOIN w USING (age) GROUP BY user_id)\n"
+            "SELECT user_id, sm / 1000000.0 AS decayed_count FROM scored\n"
+            "ORDER BY decayed_count DESC, user_id ASC LIMIT 15"
+        ),
         "orders_semijoin_bloom": """
 SELECT CAST(count(*) AS BIGINT) AS n_orders,
        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue

@@ -1444,3 +1444,25 @@ def test_superspreader_kmv_bounded_error_and_deterministic(ray_session):
     for r in a.itertuples():
         rel = abs(r.est_distinct - truth[r.l_suppkey]) / truth[r.l_suppkey]
         assert rel < 4 / np.sqrt(256), (r.l_suppkey, rel)
+
+
+def test_decayed_weights_zero_beyond_table():
+    from __ray_entry__ import _DECAY_W_MICRO
+
+    # the table's own tail is already 0, so truncating at 150 days loses
+    # nothing — ages beyond the table and ages in its zero tail agree
+    assert _DECAY_W_MICRO[0] == 1_000_000
+    assert _DECAY_W_MICRO[-1] == 0
+    assert int(round(0.9 ** 151 * 1e6)) == 0
+
+
+def test_decayed_topk_users_partition_invariant(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    a = e.queries()["decayed_topk_users"](sf).to_pandas()
+    b = e.queries()["decayed_topk_users"](sf).to_pandas()
+    # integer micro-unit sums are order-independent → bitwise-identical
+    # results under re-execution with different block orders
+    assert a.equals(b)
+    assert (a["decayed_count"] > 0).all()
