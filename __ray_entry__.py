@@ -652,6 +652,21 @@ def _q_ngram_jaccard_near_dupes(sf_dir: str):
     )
 
 
+def _q_containment_near_dupes(sf_dir: str):
+    """Exact word-trigram CONTAINMENT pairs (Broder '97: |A∩B|/min(|A|,|B|))
+    — one-sided near-duplication, catching short documents quoted inside
+    long ones that symmetric Jaccard misses.  Same distributed
+    inverted-index machinery as ``ngram_jaccard_near_dupes`` (only the
+    final score expression differs), same hash-exact oracle discipline."""
+    from hksketch.dedup.ngram import ngram_jaccard_near_dupes
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_near_dupes(
+        ds, "text", "doc_id", n=3, threshold=0.8, metric="containment"
+    )
+
+
 def _q_duplicated_spans(sf_dir: str):
     """Per-document duplicated-passage stats (Lee et al. ACL'22 style,
     fixed 8-token windows): what fraction of each doc's windows occur ≥ 2
@@ -1917,6 +1932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "bpe_token_totals": _q_bpe_token_totals,
         "ngram_jaccard_near_dupes": _q_ngram_jaccard_near_dupes,
+        "containment_near_dupes": _q_containment_near_dupes,
         "dup_clusters": _q_dup_clusters,
         "duplicated_spans": _q_duplicated_spans,
         "source_distinctive_terms": _q_source_distinctive_terms,
@@ -1969,7 +1985,9 @@ WITH toks AS (
 )
 """
 
-_NGRAM_PAIRS_CTES = """
+# shared trigram prefix (tokenize → distinct shingles → set sizes →
+# pair intersections); metric-specific tails append to it
+_NGRAM_BASE_CTES = """
 tl AS (
   SELECT doc_id,
          list_filter(
@@ -1988,13 +2006,28 @@ tl AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-), ngram_pairs AS (
+)
+"""
+
+_NGRAM_PAIRS_CTES = _NGRAM_BASE_CTES + """
+, ngram_pairs AS (
   SELECT id_a, id_b,
          CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+)
+"""
+
+_CONTAINMENT_PAIRS_CTES = _NGRAM_BASE_CTES + """
+, containment_pairs AS (
+  SELECT id_a, id_b,
+         CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.8
 )
 """
 
@@ -2193,6 +2226,12 @@ FROM documents
         + _NGRAM_PAIRS_CTES
         + """
 SELECT id_a, id_b, jaccard FROM ngram_pairs
+ORDER BY id_a, id_b
+""",
+        "containment_near_dupes": "WITH "
+        + _CONTAINMENT_PAIRS_CTES
+        + """
+SELECT id_a, id_b, containment FROM containment_pairs
 ORDER BY id_a, id_b
 """,
         "dup_clusters": "WITH RECURSIVE "

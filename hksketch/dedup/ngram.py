@@ -58,13 +58,17 @@ _EMPTY_PAIRS = pa.table(
     }
 )
 
-_EMPTY_OUT = pa.table(
-    {
-        "id_a": pa.array([], type=pa.int64()),
-        "id_b": pa.array([], type=pa.int64()),
-        "jaccard": pa.array([], type=pa.float64()),
-    }
-)
+def _empty_out(score_col: str = "jaccard") -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            score_col: pa.array([], type=pa.float64()),
+        }
+    )
+
+
+_EMPTY_OUT = _empty_out()
 
 
 def ngram_jaccard_near_dupes(
@@ -75,8 +79,16 @@ def ngram_jaccard_near_dupes(
     threshold: float = 0.5,
     shards: int | str = "auto",
     max_bucket_size: int = 4096,
+    metric: str = "jaccard",
 ) -> pa.Table:
-    """All document pairs with exact word-``n``-gram Jaccard ≥ ``threshold``.
+    """All document pairs with exact word-``n``-gram similarity ≥ ``threshold``.
+
+    ``metric`` picks the score: ``"jaccard"`` = |A∩B| / |A∪B| (symmetric
+    near-duplication) or ``"containment"`` = |A∩B| / min(|A|, |B|)
+    (one-sided: a short document quoted inside a long one scores 1.0 even
+    though its Jaccard is tiny — the Broder '97 resemblance/containment
+    split, the right notion for quote/excerpt detection in a training
+    corpus).  Everything below the final score expression is shared.
 
     Scale shape (100-TB honest): this is an inverted-index self-join — the
     only exact formulation — so the candidate set is every pair sharing at
@@ -108,6 +120,10 @@ def ngram_jaccard_near_dupes(
     import polars as pl
 
     from ..ray_glue.partitioning import auto_shards, estimate_rows
+
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric must be 'jaccard' or 'containment', got {metric!r}")
+    score_col = metric
     from ..text.tokenize import tokenize_column
 
     if shards == "auto":
@@ -294,7 +310,7 @@ def ngram_jaccard_near_dupes(
         c = grp["c"].to_numpy()
         na = grp["na"].to_numpy()
         nb = grp["nb"].to_numpy()
-        out = _EMPTY_OUT
+        out = _empty_out(score_col)
         if len(a):
             order = np.lexsort((b, a))
             a, b, c, na, nb = a[order], b[order], c[order], na[order], nb[order]
@@ -303,14 +319,17 @@ def ngram_jaccard_near_dupes(
             # segments are non-empty by construction (pstart indexes rows)
             csum = np.add.reduceat(c, pstart)
             a, b, na, nb = a[pstart], b[pstart], na[pstart], nb[pstart]
-            jac = csum / (na + nb - csum)
+            if metric == "jaccard":
+                jac = csum / (na + nb - csum)
+            else:
+                jac = csum / np.minimum(na, nb)
             keep = jac >= threshold
             if keep.any():
                 out = pa.table(
                     {
                         "id_a": pa.array(a[keep], type=pa.int64()),
                         "id_b": pa.array(b[keep], type=pa.int64()),
-                        "jaccard": pa.array(jac[keep], type=pa.float64()),
+                        score_col: pa.array(jac[keep], type=pa.float64()),
                     }
                 )
         if drop_pairs or drop_buckets:
@@ -318,7 +337,7 @@ def ngram_jaccard_near_dupes(
                 [out,
                  pa.table({"id_a": pa.array([-1, -2], type=pa.int64()),
                            "id_b": pa.array([0, 0], type=pa.int64()),
-                           "jaccard": pa.array(
+                           score_col: pa.array(
                                [float(drop_pairs), float(drop_buckets)],
                                type=pa.float64())})]
             )
@@ -331,10 +350,10 @@ def ngram_jaccard_near_dupes(
     )
     meta = {b"ngram_dropped_buckets": b"0", b"ngram_dropped_pairs": b"0"}
     if len(got) == 0 or "id_a" not in got.columns:
-        return _EMPTY_OUT.replace_schema_metadata(meta)
+        return _empty_out(score_col).replace_schema_metadata(meta)
     sent = got["id_a"] < 0
-    n_drop_pairs = int(got.loc[got["id_a"] == -1, "jaccard"].sum())
-    n_drop_buckets = int(got.loc[got["id_a"] == -2, "jaccard"].sum())
+    n_drop_pairs = int(got.loc[got["id_a"] == -1, score_col].sum())
+    n_drop_buckets = int(got.loc[got["id_a"] == -2, score_col].sum())
     if n_drop_pairs or n_drop_buckets:
         import logging
 

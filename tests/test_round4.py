@@ -1466,3 +1466,56 @@ def test_decayed_topk_users_partition_invariant(ray_session):
     # results under re-execution with different block orders
     assert a.equals(b)
     assert (a["decayed_count"] > 0).all()
+
+
+# ---------- containment (one-sided Jaccard) near-dup ----------
+
+
+def test_containment_catches_quotes_jaccard_misses(ray_session):
+    import ray.data as rd
+
+    from hksketch.dedup.ngram import ngram_jaccard_near_dupes, shingle_set
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    # tokenizer keeps alpha runs only, so filler words must be distinct
+    # WITHOUT digits
+    filler = " ".join(
+        f"{chr(97 + i // 26)}{chr(97 + i % 26)}filler" for i in range(120)
+    )
+    long_doc = filler + " " + quote
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+         "text": pa.array([quote, long_doc, "completely unrelated text here"])}
+    )
+    ds = rd.from_arrow(t)
+    # sanity on the brute-force metric itself
+    a, b = shingle_set(quote), shingle_set(long_doc)
+    inter = len(a & b)
+    assert inter == len(a)  # fully contained
+    assert inter / len(a | b) < 0.5  # jaccard misses it
+
+    got_c = ngram_jaccard_near_dupes(
+        ds, "text", "doc_id", n=3, threshold=0.8, metric="containment",
+        shards=8,
+    )
+    assert got_c.column("id_a").to_pylist() == [1]
+    assert got_c.column("id_b").to_pylist() == [2]
+    assert got_c.column("containment").to_pylist() == [1.0]
+
+    got_j = ngram_jaccard_near_dupes(
+        ds, "text", "doc_id", n=3, threshold=0.5, metric="jaccard", shards=8
+    )
+    assert got_j.num_rows == 0  # symmetric jaccard does NOT flag the quote
+
+
+def test_containment_metric_validation(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from hksketch.dedup.ngram import ngram_jaccard_near_dupes
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": pa.array(["x"])})
+    )
+    with pytest.raises(ValueError, match="metric"):
+        ngram_jaccard_near_dupes(ds, metric="dice", shards=8)
