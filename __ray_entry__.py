@@ -1044,6 +1044,141 @@ def _q_distinct_users_per_day(sf_dir: str):
     return out.sort("day")
 
 
+def _q_user_retention_daily(sf_dir: str):
+    """D1 retention ⊕oracle: per day, active users and how many return the
+    next day — ONE key-sharded shuffle + vectorized (user, day) dedup and
+    consecutive-day scan (``pipelines.sessions.daily_retention``; the SQL
+    mirror needs a distinct-pair self-join)."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.sessions import daily_retention
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    return daily_retention(ds, "user_id", "ts")
+
+
+def _q_rolling_distinct_users(sf_dir: str):
+    """Rolling 7-day EXACT distinct users per observed day ⊕oracle: each
+    distinct (user, day) pair is exploded to the ≤7 observed window-ends it
+    falls in (a bounded ×7 fan-out — the standard trick that turns a
+    sliding window into a partitionable group key), then the same
+    pair-dedup → per-key count shape as ``distinct_counts``.  Window ends
+    are the OBSERVED days (broadcast as a ~calendar-bounded sorted array),
+    matching the SQL mirror's day self-join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import distinct_counts, read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // _US_PER_DAY
+        return (
+            pl.DataFrame(
+                {"day": day,
+                 "user_id": b.column("user_id").to_numpy(zero_copy_only=False)}
+            )
+            .unique()
+            .to_arrow()
+            .cast(pa.schema([("day", pa.int64()), ("user_id", pa.int64())]))
+        )
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    # observed days: per-batch unique partials (≤ #days rows per block) →
+    # tiny driver unique; bounded by the calendar, never the data
+    def day_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({"day": _pc.unique(b.column("day").combine_chunks())})
+
+    obs = np.unique(
+        pairs.map_batches(
+            day_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()["day"].to_numpy()
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        day = b.column("day").to_numpy()
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        wend = (day[:, None] + np.arange(7)[None, :]).ravel()
+        uids = np.repeat(uid, 7)
+        keep = np.isin(wend, obs)
+        return pa.table(
+            {"window_end": pa.array(wend[keep], type=pa.int64()),
+             "user_id": pa.array(uids[keep], type=pa.int64())}
+        )
+
+    exploded = pairs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = distinct_counts(exploded, "window_end", "user_id",
+                          count_name="distinct_users")
+
+    def publish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"window_end": pc.multiply(b.column("window_end"),
+                                       pa.scalar(_US_PER_DAY, type=pa.int64()))
+             .cast(pa.timestamp("us")),
+             "distinct_users": b.column("distinct_users")}
+        )
+
+    return out.map_batches(
+        publish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("window_end")
+
+
+def _q_rolling_distinct_users_hll(sf_dir: str):
+    """The SKETCH-ALGEBRA answer to the same rolling question: ONE HLL per
+    day through ``grouped_sketch`` (one pass over the data), then each
+    7-day window is a MERGE of its days' sketches — 90 day-sketches serve
+    every overlapping window, the reuse that makes mergeable sketches the
+    right primitive for sliding windows at scale.  Driver holds one sketch
+    per calendar day (time-bounded, not data-bounded).  Approximate →
+    rows-only gate; the per-window error vs the exact query is bound-tested
+    in tests/test_round4.py."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"day": pc.floor_temporal(b.column("ts"), unit="day"),
+             "user_id": b.column("user_id")}
+        )
+
+    ds = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = sketch_config("hll", p=14, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="user_id", group_col="day")
+    from datetime import timedelta
+
+    rows = sorted(out.take_all(), key=lambda r: r["day"])
+    days = [r["day"] for r in rows]
+    day_idx = {d: i for i, d in enumerate(days)}
+    ests = []
+    for d in days:
+        merged = None
+        for back in range(7):
+            j = day_idx.get(d - timedelta(days=back))
+            if j is None:
+                continue
+            s = sketch_from_bytes(rows[j]["sketch"])
+            merged = s if merged is None else merged.merge(s)
+        ests.append(float(merged.estimate()))
+    return pa.table(
+        {"window_end": pa.array(days, type=pa.timestamp("us")),
+         "est_distinct_users": pa.array(ests, type=pa.float64())}
+    )
+
+
 # decayed weight table shared verbatim between the Ray kernel and the SQL
 # oracle (the lang_id generated-oracle trick): integer micro-units make the
 # per-user sums order-independent and therefore bit-exact under any
@@ -1948,6 +2083,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "superspreader_suppliers_kmv": _q_superspreader_suppliers_kmv,
         "distinct_users_per_day": _q_distinct_users_per_day,
         "decayed_topk_users": _q_decayed_topk_users,
+        "user_retention_daily": _q_user_retention_daily,
+        "rolling_distinct_users": _q_rolling_distinct_users,
+        "rolling_distinct_users_hll": _q_rolling_distinct_users_hll,
         "sample_events": _q_sample_events,
         "sample_docs_weighted": _q_sample_docs_weighted,
         "quality_gated_counts": _q_quality_gated_counts,
@@ -2434,6 +2572,27 @@ ORDER BY distinct_parts DESC, l_suppkey ASC LIMIT 10
 SELECT date_trunc('day', ts) AS day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
 FROM events GROUP BY 1 ORDER BY day
+""",
+        "user_retention_daily": """
+WITH dd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+act AS (SELECT day, count(*) AS a FROM dd GROUP BY day),
+ret AS (
+  SELECT d.day, count(*) AS r
+  FROM dd d JOIN dd n
+    ON n.user_id = d.user_id AND n.day = d.day + INTERVAL 1 DAY
+  GROUP BY 1)
+SELECT a.day, CAST(a.a AS BIGINT) AS active_users,
+       CAST(COALESCE(r.r, 0) AS BIGINT) AS retained_users
+FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
+""",
+        "rolling_distinct_users": """
+WITH dd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+days AS (SELECT DISTINCT day FROM dd)
+SELECT w.day AS window_end,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS distinct_users
+FROM days w JOIN dd d
+  ON d.day >= w.day - INTERVAL 6 DAY AND d.day <= w.day
+GROUP BY 1 ORDER BY 1
 """,
         # oracle constants generated from the SAME _DECAY_W_MICRO table the
         # Ray kernel uses — integer micro-unit sums are order-independent,

@@ -182,3 +182,69 @@ def last_event_before(
         )
 
     return sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def daily_retention(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    shards: Union[int, str] = "auto",
+):
+    """Per-day active keys and next-day retention: for each calendar day,
+    how many keys were active that day, and how many of those were ALSO
+    active the following day (classic D1-retention).
+
+    Same scale shape as :func:`sessionize`: ONE key-sharded shuffle, one
+    lexsort per shard, then a vectorized (key, day) dedup + consecutive-day
+    scan; the second exchange carries one (day, counts) partial row per
+    shard-day, bounded by the calendar, not the data.
+
+    Returns a Dataset[(day:timestamp, active_users:int64,
+    retained_users:int64)] sorted by day.
+    """
+    from ray.data.aggregate import Sum
+
+    shards = _resolve_shards(ds, shards)
+    sharded = ds.map_batches(
+        _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"day": pa.array([], type=pa.timestamp("us")),
+             "active_users": pa.array([], type=pa.int64()),
+             "retained_users": pa.array([], type=pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        keys, ts, _ = _sorted_arrays(g, key_col, ts_col)
+        day = ts // _US_PER_DAY  # floor division matches date_trunc('day')
+        keep = np.concatenate(
+            ([True], (keys[1:] != keys[:-1]) | (day[1:] != day[:-1]))
+        )
+        k2, d2 = keys[keep], day[keep]
+        act_days, act_counts = np.unique(d2, return_counts=True)
+        # a retained (key, day) pair: the SAME key appears on day+1; rows
+        # are (key, day)-sorted so consecutive-row comparison suffices
+        ret = (k2[1:] == k2[:-1]) & (d2[1:] - d2[:-1] == 1)
+        rdays, rcounts = np.unique(d2[:-1][ret], return_counts=True)
+        retained = np.zeros(len(act_days), dtype=np.int64)
+        retained[np.searchsorted(act_days, rdays)] = rcounts
+        return pa.table(
+            {"day": pa.array(act_days * _US_PER_DAY).cast(pa.timestamp("us")),
+             "active_users": pa.array(act_counts, type=pa.int64()),
+             "retained_users": pa.array(retained, type=pa.int64())}
+        )
+
+    partial = sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
+    return (
+        partial.groupby("day")
+        .aggregate(
+            Sum("active_users", alias_name="active_users"),
+            Sum("retained_users", alias_name="retained_users"),
+        )
+        .sort("day")
+    )

@@ -1519,3 +1519,48 @@ def test_containment_metric_validation(ray_session):
     )
     with pytest.raises(ValueError, match="metric"):
         ngram_jaccard_near_dupes(ds, metric="dice", shards=8)
+
+
+# ---------- retention / rolling windows ----------
+
+
+def test_daily_retention_matches_duckdb(ray_session):
+    import duckdb
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.sessions import daily_retention
+
+    sf = "/root/testdata/sf0.001"
+    got = daily_retention(
+        read_table(sf, "events", ["user_id", "ts"]), shards=8
+    ).to_pandas()
+    want = duckdb.sql(f"""
+        WITH dd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                    FROM '{sf}/events.parquet'),
+        act AS (SELECT day, count(*) AS a FROM dd GROUP BY day),
+        ret AS (SELECT d.day, count(*) AS r FROM dd d JOIN dd n
+                  ON n.user_id = d.user_id AND n.day = d.day + INTERVAL 1 DAY
+                GROUP BY 1)
+        SELECT a.day, a.a AS active_users, COALESCE(r.r, 0) AS retained_users
+        FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
+    """).df()
+    assert got["day"].tolist() == want["day"].tolist()
+    assert got["active_users"].tolist() == want["active_users"].tolist()
+    assert got["retained_users"].tolist() == want["retained_users"].tolist()
+
+
+def test_rolling_hll_tracks_exact_within_bound(ray_session):
+    import numpy as np
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    exact = e.queries()["rolling_distinct_users"](sf).to_pandas()
+    est = e.queries()["rolling_distinct_users_hll"](sf).to_pandas()
+    assert est["window_end"].tolist() == exact["window_end"].tolist()
+    rel = (
+        np.abs(est["est_distinct_users"].to_numpy()
+               - exact["distinct_users"].to_numpy())
+        / np.maximum(exact["distinct_users"].to_numpy(), 1)
+    )
+    # HLL p=14 → ~1.04/sqrt(2^14) ≈ 0.8% typical; allow 5%
+    assert rel.max() < 0.05, rel.max()
