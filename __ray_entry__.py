@@ -1056,6 +1056,22 @@ def _q_user_retention_daily(sf_dir: str):
     return daily_retention(ds, "user_id", "ts")
 
 
+def _q_funnel_view_purchase(sf_dir: str):
+    """Daily view→purchase funnel ⊕oracle: purchases attributed to a view
+    by the same user strictly before and within 1 hour — as-of semantics
+    in ONE key-sharded shuffle with a numpy running-max scan
+    (``pipelines.sessions.conversion_funnel_daily``); the SQL mirror needs
+    a correlated EXISTS."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.sessions import conversion_funnel_daily
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return conversion_funnel_daily(
+        ds, "user_id", "ts", "event_type",
+        from_type="view", to_type="purchase", window_seconds=3600.0,
+    )
+
+
 def _q_rolling_distinct_users(sf_dir: str):
     """Rolling 7-day EXACT distinct users per observed day ⊕oracle: each
     distinct (user, day) pair is exploded to the ≤7 observed window-ends it
@@ -2084,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_day": _q_distinct_users_per_day,
         "decayed_topk_users": _q_decayed_topk_users,
         "user_retention_daily": _q_user_retention_daily,
+        "funnel_view_purchase": _q_funnel_view_purchase,
         "rolling_distinct_users": _q_rolling_distinct_users,
         "rolling_distinct_users_hll": _q_rolling_distinct_users_hll,
         "sample_events": _q_sample_events,
@@ -2584,6 +2601,19 @@ ret AS (
 SELECT a.day, CAST(a.a AS BIGINT) AS active_users,
        CAST(COALESCE(r.r, 0) AS BIGINT) AS retained_users
 FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
+""",
+        "funnel_view_purchase": """
+WITH t AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+f AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+conv AS (
+  SELECT t.ts,
+         EXISTS (SELECT 1 FROM f WHERE f.user_id = t.user_id
+                 AND f.ts < t.ts AND f.ts >= t.ts - INTERVAL 1 HOUR) AS ok
+  FROM t)
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_target,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM conv GROUP BY 1 ORDER BY 1
 """,
         "rolling_distinct_users": """
 WITH dd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -248,3 +248,88 @@ def daily_retention(
         )
         .sort("day")
     )
+
+
+def conversion_funnel_daily(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    window_seconds: float = 3600.0,
+    shards: Union[int, str] = "auto",
+):
+    """Daily funnel conversion: per day, how many ``to_type`` events had a
+    ``from_type`` event by the same key strictly before them and within
+    ``window_seconds`` (the view→purchase attribution question).
+
+    Same ONE-shuffle shape as :func:`sessionize`; inside each sorted shard
+    the "latest preceding from-event" is a pure-numpy running maximum of
+    from-event positions (``np.maximum.accumulate``), guarded against
+    leaking across key boundaries — no per-key Python loop.
+
+    Returns a Dataset[(day:timestamp, n_target:int64, n_converted:int64)]
+    sorted by day; days with no ``to_type`` events are absent (the SQL
+    mirror drops them the same way).
+    """
+    from ray.data.aggregate import Sum
+
+    window_us = int(window_seconds * 1_000_000)
+    shards = _resolve_shards(ds, shards)
+    sharded = ds.map_batches(
+        _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"day": pa.array([], type=pa.timestamp("us")),
+             "n_target": pa.array([], type=pa.int64()),
+             "n_converted": pa.array([], type=pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        keys, ts, order = _sorted_arrays(g, key_col, ts_col)
+        typ = g.column(type_col).to_numpy(zero_copy_only=False)[order]
+        is_to = typ == to_type
+        if not is_to.any():
+            return empty
+        n = len(keys)
+        # latest from-event position at-or-before each row (running max of
+        # from positions; -1 = none yet)
+        last_from = np.maximum.accumulate(
+            np.where(typ == from_type, np.arange(n), -1)
+        )
+        # key-boundary guard: a position inherited from the previous key's
+        # segment is invalid
+        uniq, seg_starts = np.unique(keys, return_index=True)
+        row_seg_start = seg_starts[np.searchsorted(uniq, keys)]
+        tpos = np.flatnonzero(is_to)
+        lf = last_from[tpos]
+        valid = lf >= row_seg_start[tpos]
+        # strict before + window (equal timestamps never attribute: the
+        # running max may include the to-row's own position only if it were
+        # a from-row, which it is not)
+        vts = np.where(valid, ts[np.maximum(lf, 0)], np.int64(-(1 << 62)))
+        tts = ts[tpos]
+        conv = valid & (vts < tts) & (vts >= tts - window_us)
+        day = tts // _US_PER_DAY
+        days, tcounts = np.unique(day, return_counts=True)
+        cdays, ccounts = np.unique(day[conv], return_counts=True)
+        converted = np.zeros(len(days), dtype=np.int64)
+        converted[np.searchsorted(days, cdays)] = ccounts
+        return pa.table(
+            {"day": pa.array(days * _US_PER_DAY).cast(pa.timestamp("us")),
+             "n_target": pa.array(tcounts, type=pa.int64()),
+             "n_converted": pa.array(converted, type=pa.int64())}
+        )
+
+    partial = sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
+    return (
+        partial.groupby("day")
+        .aggregate(
+            Sum("n_target", alias_name="n_target"),
+            Sum("n_converted", alias_name="n_converted"),
+        )
+        .sort("day")
+    )

@@ -1564,3 +1564,52 @@ def test_rolling_hll_tracks_exact_within_bound(ray_session):
     )
     # HLL p=14 → ~1.04/sqrt(2^14) ≈ 0.8% typical; allow 5%
     assert rel.max() < 0.05, rel.max()
+
+
+def test_funnel_edge_cases_match_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from hksketch.pipelines.sessions import conversion_funnel_daily
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    H = pd.Timedelta(hours=1)
+    rows = [
+        # converted: view 30 min before purchase
+        (1, base, "view"), (1, base + H / 2, "purchase"),
+        # converted: view exactly 1h before (>= boundary is INCLUSIVE)
+        (2, base, "view"), (2, base + H, "purchase"),
+        # NOT converted: equal timestamps (strict before)
+        (3, base, "view"), (3, base, "purchase"),
+        # NOT converted: view after purchase
+        (4, base + H, "view"), (4, base, "purchase"),
+        # NOT converted: other user's view
+        (5, base, "view"), (6, base + H / 2, "purchase"),
+        # converted twice from one view (both purchases inside window)
+        (7, base, "view"), (7, base + H / 4, "purchase"),
+        (7, base + H / 2, "purchase"),
+        # view slightly too old (61 min)
+        (8, base, "view"), (8, base + H + pd.Timedelta(minutes=1), "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    got = conversion_funnel_daily(
+        rd.from_pandas(df), shards=4
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        WITH t AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+        f AS (SELECT user_id, ts FROM events WHERE event_type='view'),
+        conv AS (SELECT t.ts, EXISTS (
+            SELECT 1 FROM f WHERE f.user_id = t.user_id
+            AND f.ts < t.ts AND f.ts >= t.ts - INTERVAL 1 HOUR) AS ok FROM t)
+        SELECT date_trunc('day', ts) AS day, count(*) AS n_target,
+               sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_converted
+        FROM conv GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got["n_target"].tolist() == want["n_target"].tolist()
+    assert got["n_converted"].tolist() == want["n_converted"].tolist()
+    # the boundary semantics the test constructs: 1h-exact converts,
+    # equal-ts / reversed / cross-user / 61-min do not; user 7 counts twice
+    assert got["n_converted"].sum() == 4
