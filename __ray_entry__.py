@@ -1056,6 +1056,37 @@ def _q_user_retention_daily(sf_dir: str):
     return daily_retention(ds, "user_id", "ts")
 
 
+def _q_quantiles_by_event_type_tdigest(sf_dir: str):
+    """Per-GROUP t-digest quantiles: one mergeable t-digest per event type
+    through ``grouped_sketch`` — the sketch path for grouped quantiles
+    (``quantiles_by_event_type`` is its exact ⊕oracle twin; at web scale
+    the exact per-group sort is the expensive one and this is the answer).
+    Approximate → rows-only gate; per-group error vs the exact query is
+    bound-tested in tests/test_round4.py."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    cfg = sketch_config("tdigest", compression=200)
+    out = grouped_sketch(ds, cfg, key_col="value", group_col="event_type")
+    types, qs, vals = [], [], []
+    for row in sorted(out.take_all(), key=lambda r: r["event_type"]):
+        sk = sketch_from_bytes(row["sketch"])
+        for q in (0.25, 0.5, 0.75):
+            types.append(row["event_type"])
+            qs.append(q)
+            vals.append(round(float(sk.quantile(q)), 6))
+    return pa.table(
+        {"event_type": pa.array(types, type=pa.string()),
+         "q": pa.array(qs, type=pa.float64()),
+         "value": pa.array(vals, type=pa.float64())}
+    )
+
+
 def _q_funnel_view_purchase(sf_dir: str):
     """Daily view→purchase funnel ⊕oracle: purchases attributed to a view
     by the same user strictly before and within 1 hour — as-of semantics
@@ -2101,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_topk_users": _q_decayed_topk_users,
         "user_retention_daily": _q_user_retention_daily,
         "funnel_view_purchase": _q_funnel_view_purchase,
+        "quantiles_by_event_type_tdigest": _q_quantiles_by_event_type_tdigest,
         "rolling_distinct_users": _q_rolling_distinct_users,
         "rolling_distinct_users_hll": _q_rolling_distinct_users_hll,
         "sample_events": _q_sample_events,

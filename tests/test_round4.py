@@ -1613,3 +1613,25 @@ def test_funnel_edge_cases_match_duckdb(ray_session):
     # the boundary semantics the test constructs: 1h-exact converts,
     # equal-ts / reversed / cross-user / 61-min do not; user 7 counts twice
     assert got["n_converted"].sum() == 4
+
+
+def test_grouped_tdigest_tracks_exact_quantiles(ray_session):
+    import numpy as np
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    exact = e.queries()["quantiles_by_event_type"](sf).to_pandas()
+    est = e.queries()["quantiles_by_event_type_tdigest"](sf).to_pandas()
+    # exact twin publishes one row per type with q50/q95/q99 columns
+    exact = exact.set_index("event_type")
+    for r in est.itertuples():
+        col = {0.25: "q25", 0.5: "q50", 0.75: "q75"}[r.q]
+        true = float(exact.loc[r.event_type, col])
+        spread = float(exact.loc[r.event_type, "q75"]) - float(
+            exact.loc[r.event_type, "q25"]
+        )
+        # t-digest at compression=200: 5% of the IQR is a loose,
+        # stable bound
+        assert abs(r.value - true) <= 0.05 * max(spread, 1e-9), (
+            r.event_type, r.q, r.value, true
+        )
