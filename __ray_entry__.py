@@ -1538,6 +1538,59 @@ def _q_quality_gated_counts(sf_dir: str):
     return out.sort("source")
 
 
+def _q_mad_anomalies(sf_dir: str):
+    """Robust outlier detection ⊕oracle: events whose |value − median|
+    exceeds 5× the Median Absolute Deviation — both statistics computed as
+    DISTRIBUTED exact discrete quantiles (``ops.exact_quantiles``) over
+    integer cents, broadcast as scalars into a streamed filter.  Integer
+    domain end-to-end (the q1 integer-cents trick), so the thresholds and
+    comparisons agree with DuckDB bit-for-bit; top 20 by deviation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import exact_quantiles, read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.round(
+            pc.multiply(b.column("value"), pa.scalar(100.0)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({"event_id": b.column("event_id"), "cents": c})
+
+    proj = ds.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    med = int(exact_quantiles(proj, "cents", [0.5])[0])
+
+    def adev(b: pa.Table) -> pa.Table:
+        a = pc.abs(pc.subtract(b.column("cents"), pa.scalar(med, type=pa.int64())))
+        return pa.table(
+            {"event_id": b.column("event_id"), "cents": b.column("cents"),
+             "adev": a}
+        )
+
+    devs = proj.map_batches(
+        adev, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    mad = int(exact_quantiles(devs, "adev", [0.5])[0])
+    thresh = 5 * mad
+
+    def gate(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("adev"), pa.scalar(thresh, type=pa.int64())))
+        return pa.table(
+            {"event_id": t.column("event_id"),
+             "value": pc.divide(t.column("cents").cast(pa.float64()),
+                                pa.scalar(100.0)),
+             "abs_dev_cents": t.column("adev")}
+        )
+
+    out = devs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["abs_dev_cents", "event_id"], descending=[True, False]).limit(20)
+
+
 def _q_sample_docs_weighted(sf_dir: str):
     """Length-weighted doc sample (Efraimidis–Spirakis A-ES with
     deterministic keyed-hash draws): the importance-sampling primitive for
@@ -2133,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_daily": _q_user_retention_daily,
         "funnel_view_purchase": _q_funnel_view_purchase,
         "quantiles_by_event_type_tdigest": _q_quantiles_by_event_type_tdigest,
+        "mad_anomalies": _q_mad_anomalies,
         "rolling_distinct_users": _q_rolling_distinct_users,
         "rolling_distinct_users_hll": _q_rolling_distinct_users_hll,
         "sample_events": _q_sample_events,
@@ -2633,6 +2687,17 @@ ret AS (
 SELECT a.day, CAST(a.a AS BIGINT) AS active_users,
        CAST(COALESCE(r.r, 0) AS BIGINT) AS retained_users
 FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
+""",
+        "mad_anomalies": """
+WITH c AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT quantile_disc(cents, 0.5) AS med FROM c),
+d AS (SELECT event_id, cents,
+             abs(cents - (SELECT med FROM m)) AS adev FROM c),
+md AS (SELECT quantile_disc(adev, 0.5) AS mad FROM d)
+SELECT event_id, cents / 100.0 AS value, CAST(adev AS BIGINT) AS abs_dev_cents
+FROM d WHERE adev > 5 * (SELECT mad FROM md)
+ORDER BY abs_dev_cents DESC, event_id ASC LIMIT 20
 """,
         "funnel_view_purchase": """
 WITH t AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
