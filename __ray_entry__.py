@@ -2055,6 +2055,38 @@ def _q_hll_user_overlap(sf_dir: str):
     )
 
 
+def _q_user_overlap_kmv(sf_dir: str):
+    """θ-sketch-style overlap: ONE ``grouped_sketch`` pass builds a KMV
+    per event type; click∩error users are estimated from the union's
+    bottom-k membership (``sketch.reservoir.estimate_overlap``) — error
+    scales with the UNION, unlike HLL inclusion-exclusion
+    (`hll_user_overlap`, this query's sibling) whose intersection error
+    scales with the set sizes.  Estimates → rows-only gate; bound-tested
+    vs exact in tests/test_round4.py."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+    from hksketch.sketch.reservoir import estimate_overlap
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    cfg = sketch_config("reservoir", k=2048, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="user_id", group_col="event_type")
+    blobs = {r["event_type"]: r["sketch"] for r in out.take_all()}
+    est = estimate_overlap(
+        sketch_from_bytes(blobs["click"]), sketch_from_bytes(blobs["error"])
+    )
+    return pa.table(
+        {"n_click": pa.array([int(round(est["est_a"]))], type=pa.int64()),
+         "n_error": pa.array([int(round(est["est_b"]))], type=pa.int64()),
+         "n_union": pa.array([int(round(est["est_union"]))], type=pa.int64()),
+         "n_intersection": pa.array(
+             [int(round(est["est_inter"]))], type=pa.int64())}
+    )
+
+
 def _q_cms_heavy_change_users(sf_dir: str):
     """Heavy-CHANGE detection (Cormode & Muthukrishnan's change-detection
     application): one Count-Min per time half, built distributed and
@@ -2210,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_per_source": _q_sample_docs_per_source,
         "image_near_dupes": _q_image_near_dupes,
         "hll_user_overlap": _q_hll_user_overlap,
+        "user_overlap_kmv": _q_user_overlap_kmv,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }
 

@@ -308,3 +308,36 @@ class WeightedSample:
             and self.items == other.items
             and self.n_seen == other.n_seen
         )
+
+
+def estimate_overlap(a: "ReservoirSample", b: "ReservoirSample") -> dict:
+    """θ-sketch-style set-overlap estimation from two compatible KMV
+    sketches (Dasgupta et al., "Theta sketch framework", PODS'16 lineage):
+    the union's bottom-k defines the sampling threshold θ; the fraction of
+    those tags present in BOTH sketches estimates the Jaccard, and
+    intersection = jaccard × union.  Unlike HLL inclusion-exclusion the
+    error scales with the UNION (not the sum of set sizes), which is what
+    makes it usable for small intersections of large sets.
+
+    Exact when both sketches are below their k (every tag retained).
+    Returns dict(est_a, est_b, est_union, est_inter, est_jaccard).
+    """
+    a._check_compatible(b)
+    union_tags = np.unique(np.concatenate([a.tags, b.tags]))
+    k = a.k
+    if len(union_tags) >= k:
+        union_tags = union_tags[:k]
+        u_k = (float(union_tags[-1]) + 1.0) / 2.0 ** 64
+        est_union = (k - 1) / u_k
+    else:
+        est_union = float(len(union_tags))
+    both = np.intersect1d(a.tags, b.tags, assume_unique=True)
+    m = int(np.isin(union_tags, both, assume_unique=True).sum())
+    jac = m / max(len(union_tags), 1)
+    return {
+        "est_a": a.estimate(),
+        "est_b": b.estimate(),
+        "est_union": est_union,
+        "est_inter": jac * est_union,
+        "est_jaccard": jac,
+    }

@@ -1635,3 +1635,62 @@ def test_grouped_tdigest_tracks_exact_quantiles(ray_session):
         assert abs(r.value - true) <= 0.05 * max(spread, 1e-9), (
             r.event_type, r.q, r.value, true
         )
+
+
+# ---------- KMV theta-style overlap ----------
+
+
+def test_kmv_overlap_exact_regime_and_bound():
+    import numpy as np
+
+    from hksketch.sketch.reservoir import DistinctValueSample, estimate_overlap
+
+    # exact regime: both sets below k → every number exact
+    a = DistinctValueSample(k=512, seed=3)
+    b = DistinctValueSample(k=512, seed=3)
+    a.add_batch(pa.array(np.arange(0, 300, dtype=np.int64)))
+    b.add_batch(pa.array(np.arange(200, 500, dtype=np.int64)))
+    est = estimate_overlap(a, b)
+    assert est["est_a"] == 300.0 and est["est_b"] == 300.0
+    assert est["est_union"] == 500.0
+    assert est["est_inter"] == 100.0
+
+    # sampling regime: 20k ∪ 20k with 5k overlap at k=1024 → ~3% rel err,
+    # allow 4 sigma ≈ 12.5%
+    a = DistinctValueSample(k=1024, seed=3)
+    b = DistinctValueSample(k=1024, seed=3)
+    a.add_batch(pa.array(np.arange(0, 20_000, dtype=np.int64)))
+    b.add_batch(pa.array(np.arange(15_000, 35_000, dtype=np.int64)))
+    est = estimate_overlap(a, b)
+    assert abs(est["est_union"] - 35_000) / 35_000 < 4 / np.sqrt(1024)
+    assert abs(est["est_inter"] - 5_000) / 5_000 < 0.2
+
+    # incompatible seeds refuse
+    import pytest
+
+    from hksketch.sketch.base import IncompatibleSketchError
+
+    c = DistinctValueSample(k=1024, seed=99)
+    with pytest.raises(IncompatibleSketchError):
+        estimate_overlap(a, c)
+
+
+def test_user_overlap_kmv_query_tracks_exact(ray_session):
+    import duckdb
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    got = e.queries()["user_overlap_kmv"](sf).to_pandas().iloc[0]
+    want = duckdb.sql(f"""
+        SELECT count(DISTINCT CASE WHEN event_type='click' THEN user_id END) c,
+               count(DISTINCT CASE WHEN event_type='error' THEN user_id END) er,
+               count(DISTINCT CASE WHEN event_type IN ('click','error')
+                              THEN user_id END) u
+        FROM '{sf}/events.parquet'
+    """).fetchone()
+    inter = want[0] + want[1] - want[2]
+    # 150 users at sf0.01 → exact regime at k=2048: all four numbers exact
+    assert got["n_click"] == want[0]
+    assert got["n_error"] == want[1]
+    assert got["n_union"] == want[2]
+    assert got["n_intersection"] == inter
