@@ -1538,6 +1538,79 @@ def _q_quality_gated_counts(sf_dir: str):
     return out.sort("source")
 
 
+def _q_value_histogram(sf_dir: str):
+    """Equi-width histogram ⊕oracle: event values bucketed at $10 width in
+    the integer-cents domain (floor division — bit-exact vs SQL), counts
+    via the pre-aggregated ``exact_counts`` combiner shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import exact_counts, read_table
+
+    ds = read_table(sf_dir, "events", ["value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(b.column("value"), pa.scalar(100.0)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        # arrow integer divide truncates toward zero; values are
+        # non-negative here but mirror SQL's floor explicitly anyway
+        bkt = pc.floor(pc.divide(cents.cast(pa.float64()), 1000.0)).cast(pa.int64())
+        return pa.table({"bucket": bkt})
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_counts(ds, "bucket", count_name="n_events").sort("bucket")
+
+
+def _q_cumulative_users_daily(sf_dir: str):
+    """User growth curve ⊕oracle: per day, the cumulative count of
+    DISTINCT users seen so far.  Distributed shape: per-user FIRST day is
+    a per-batch min partial + ``groupby(user).min`` (never a distinct-pair
+    blow-up), then first-day counts cumsum over the calendar-bounded day
+    axis on the driver."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def day_min(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        g = (
+            pl.DataFrame(
+                {"user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                 "day": ts // _US_PER_DAY}
+            )
+            .group_by("user_id")
+            .agg(pl.col("day").min())
+        ).to_arrow()
+        return pa.table(
+            {"user_id": g.column("user_id").cast(pa.int64()),
+             "day": g.column("day").cast(pa.int64())}
+        )
+
+    first = (
+        ds.map_batches(day_min, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+    )
+    per_day = (
+        first.groupby("day").count().to_pandas().sort_values("day")
+    )
+    days = per_day["day"].to_numpy()
+    cum = np.cumsum(per_day["count()"].to_numpy())
+    return pa.table(
+        {"day": pa.array(days * _US_PER_DAY).cast(pa.timestamp("us")),
+         "cumulative_users": pa.array(cum, type=pa.int64())}
+    )
+
+
 def _q_mad_anomalies(sf_dir: str):
     """Robust outlier detection ⊕oracle: events whose |value − median|
     exceeds 5× the Median Absolute Deviation — both statistics computed as
@@ -2219,6 +2292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_purchase": _q_funnel_view_purchase,
         "quantiles_by_event_type_tdigest": _q_quantiles_by_event_type_tdigest,
         "mad_anomalies": _q_mad_anomalies,
+        "value_histogram": _q_value_histogram,
+        "cumulative_users_daily": _q_cumulative_users_daily,
         "rolling_distinct_users": _q_rolling_distinct_users,
         "rolling_distinct_users_hll": _q_rolling_distinct_users_hll,
         "sample_events": _q_sample_events,
@@ -2720,6 +2795,19 @@ ret AS (
 SELECT a.day, CAST(a.a AS BIGINT) AS active_users,
        CAST(COALESCE(r.r, 0) AS BIGINT) AS retained_users
 FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
+""",
+        "value_histogram": """
+SELECT CAST(floor(CAST(round(value*100) AS BIGINT) / 1000.0) AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY bucket
+""",
+        "cumulative_users_daily": """
+WITH dd AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+            FROM events GROUP BY user_id),
+per AS (SELECT day, count(*) AS n FROM dd GROUP BY day)
+SELECT day, CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+FROM per ORDER BY day
 """,
         "mad_anomalies": """
 WITH c AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents
