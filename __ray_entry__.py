@@ -730,6 +730,177 @@ def _q_top_bigrams(sf_dir: str):
     return counts.sort(["count", "bigram"], descending=[True, False]).limit(50)
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """Top-25 collocations by pointwise mutual information ⊕oracle:
+    PMI(a,b) = ln(P(ab) / (P(a)·P(b))) over adjacent in-document token
+    pairs with count ≥ 5 — the statistic that separates true collocations
+    from merely frequent pairs.  Distributed shape: bigram counts and
+    unigram counts (both pre-aggregated), then the unigram counts attach
+    to bigram rows through TWO ``groupby(token)`` cogroups (first word,
+    then second) — string-exact, no vocabulary broadcast, the same
+    df-attach shape as ``source_distinctive_terms``.  The score arithmetic
+    mirrors the SQL expression operation-for-operation and is published
+    milli-rounded (the tfidf float-parity discipline)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = tokenize_column(b.column("text"), with_doc_index=True)
+        empty = pa.table({"first": pa.array([], type=pa.string()),
+                          "second": pa.array([], type=pa.string()),
+                          "cab": pa.array([], type=pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        tok = t.column("token").combine_chunks()
+        didx = t.column("doc_idx").to_numpy()
+        same = didx[1:] == didx[:-1]
+        if not same.any():
+            return empty
+        idx = np.flatnonzero(same)
+        g = (
+            pl.from_arrow(pa.table(
+                {"first": tok.take(pa.array(idx, type=pa.int64())),
+                 "second": tok.take(pa.array(idx + 1, type=pa.int64()))}
+            ))
+            .group_by(["first", "second"])
+            .agg(pl.len().cast(pl.Int64).alias("cab"))
+        ).to_arrow()
+        return pa.table({"first": g.column("first").cast(pa.string()),
+                         "second": g.column("second").cast(pa.string()),
+                         "cab": g.column("cab").cast(pa.int64())})
+
+    bc = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["first", "second"])
+        .aggregate(Sum("cab", alias_name="cab"))
+    ).materialize()
+
+    def uni(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = tokenize_column(b.column("text"))  # Table with column 'token'
+        g = (
+            pl.from_arrow(t)
+            .group_by("token")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        ).to_arrow()
+        return pa.table({"token": g.column("token").cast(pa.string()),
+                         "c": g.column("c").cast(pa.int64())})
+
+    uc = (
+        ds.map_batches(uni, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    ).materialize()
+
+    n_bi = float(bc.sum("cab"))
+    n_uni = float(uc.sum("c"))
+
+    def attach(which: str):
+        # union (bigram rows keyed by one of their words) with (unigram
+        # count rows); a token-group sees both and attaches the count
+        out_col = "ca" if which == "first" else "cb"
+
+        def fold(g: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(g)
+            cval = df.filter(pl.col("cab").is_null())["c"]
+            big = df.filter(pl.col("cab").is_not_null())
+            schema = {**{f.name: f.type for f in g.schema}, out_col: pa.int64()}
+            schema.pop("c")
+            schema.pop("token")
+            if big.height == 0:
+                return pa.table({n: pa.array([], type=t) for n, t in schema.items()})
+            assert cval.len() == 1, "every bigram word must have a unigram row"
+            out = big.with_columns(pl.lit(int(cval[0])).cast(pl.Int64).alias(out_col))
+            a = out.drop("c", "token").to_arrow()
+            return pa.table({n: a.column(n).cast(t) for n, t in schema.items()})
+
+        return fold
+
+    side_b = bc.map_batches(
+        lambda b: b.append_column("token", b.column("first")).append_column(
+            "c", pa.nulls(b.num_rows, type=pa.int64())
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    side_u = uc.map_batches(
+        lambda b: pa.table(
+            {"token": b.column("token"),
+             "first": pa.nulls(b.num_rows, type=pa.string()),
+             "second": pa.nulls(b.num_rows, type=pa.string()),
+             "cab": pa.nulls(b.num_rows, type=pa.int64()),
+             "c": b.column("c")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined1 = (
+        side_b.select_columns(["token", "first", "second", "cab", "c"])
+        .union(side_u)
+        .groupby("token")
+        .map_groups(attach("first"), batch_format="pyarrow")
+    )
+
+    side_b2 = joined1.map_batches(
+        lambda b: b.append_column("token", b.column("second")).append_column(
+            "c", pa.nulls(b.num_rows, type=pa.int64())
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    side_u2 = uc.map_batches(
+        lambda b: pa.table(
+            {"token": b.column("token"),
+             "first": pa.nulls(b.num_rows, type=pa.string()),
+             "second": pa.nulls(b.num_rows, type=pa.string()),
+             "cab": pa.nulls(b.num_rows, type=pa.int64()),
+             "ca": pa.nulls(b.num_rows, type=pa.int64()),
+             "c": b.column("c")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined2 = (
+        side_b2.select_columns(["token", "first", "second", "cab", "ca", "c"])
+        .union(side_u2)
+        .groupby("token")
+        .map_groups(attach("second"), batch_format="pyarrow")
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("cab"), pa.scalar(5, type=pa.int64()))
+        t = b.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "cab": pa.array([], type=pa.int64()),
+                             "pmi": pa.array([], type=pa.float64())})
+        cab = t.column("cab").to_numpy().astype(np.float64)
+        ca = t.column("ca").to_numpy().astype(np.float64)
+        cb = t.column("cb").to_numpy().astype(np.float64)
+        # operation order mirrors the SQL text exactly:
+        # ln((cab * nu / nb) * (nu / (ca * cb)))
+        x = np.log((cab * n_uni / n_bi) * (n_uni / (ca * cb)))
+        pmi = np.floor(x * 1000.0 + 0.5) / 1000.0
+        bigram = pc.binary_join_element_wise(
+            t.column("first").cast(pa.string()),
+            t.column("second").cast(pa.string()), " "
+        )
+        return pa.table({"bigram": bigram,
+                         "cab": t.column("cab"),
+                         "pmi": pa.array(pmi, type=pa.float64())})
+
+    out = joined2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["pmi", "bigram"], descending=[True, False]).limit(25)
+
+
 def _q_source_distinctive_terms(sf_dir: str):
     """Top-5 distinctive terms PER SOURCE by group-wise TF-IDF: tf(source,
     token) × ln(n_sources / sources_with(token)) — "what vocabulary
@@ -2277,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_spans": _q_duplicated_spans,
         "source_distinctive_terms": _q_source_distinctive_terms,
         "top_bigrams": _q_top_bigrams,
+        "pmi_bigrams": _q_pmi_bigrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
@@ -2691,6 +2863,34 @@ SELECT bigram, CAST(count(*) AS BIGINT) AS count
 FROM bg GROUP BY bigram
 ORDER BY count DESC, bigram ASC
 LIMIT 50
+""",
+        "pmi_bigrams": """
+WITH tl AS (
+  SELECT list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM tl
+), uni AS (
+  SELECT unnest(toks) AS token FROM tl
+), bc AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+         count(*) AS cab
+  FROM bg GROUP BY 1, 2
+), uc AS (SELECT token, count(*) AS c FROM uni GROUP BY token),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM bg),
+nu AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni)
+SELECT b.w1 || ' ' || b.w2 AS bigram, CAST(b.cab AS BIGINT) AS cab,
+       round(ln((CAST(b.cab AS DOUBLE) * (SELECT v FROM nu)
+                 / (SELECT v FROM nb))
+                * ((SELECT v FROM nu) / (ua.c * ub.c))), 3) AS pmi
+FROM bc b JOIN uc ua ON ua.token = b.w1 JOIN uc ub ON ub.token = b.w2
+WHERE b.cab >= 5
+ORDER BY pmi DESC, bigram ASC LIMIT 25
 """,
         "tfidf_top_terms": _TOKENS_DOC_CTE
         + """
