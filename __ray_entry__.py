@@ -2299,6 +2299,54 @@ def _q_hll_user_overlap(sf_dir: str):
     )
 
 
+def _q_second_moment_users_exact(sf_dir: str):
+    """Exact F2 (the AMS "surprise number", Σ per-user count²) ⊕oracle —
+    the skew statistic that tells a pipeline whether a key distribution
+    is hot-key-heavy before it commits to a shuffle strategy.  Distributed:
+    the ``exact_counts`` combiner shuffle, then count² summed as a
+    streamed aggregate (int64-exact at every test scale; a 10^12-row run
+    would move this into float or int128 partials, documented)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import exact_counts, read_table
+
+    counts = exact_counts(
+        read_table(sf_dir, "events", ["user_id"]), "user_id", count_name="c"
+    )
+
+    def sq(b: pa.Table) -> pa.Table:
+        c = b.column("c")
+        return pa.table({"sq": pc.multiply(c, c)})
+
+    f2 = counts.map_batches(
+        sq, batch_format="pyarrow", zero_copy_batch=True
+    ).sum("sq")
+    return pa.table({"f2": pa.array([int(f2)], type=pa.int64())})
+
+
+def _q_second_moment_users_ams(sf_dir: str):
+    """The AMS sketch path for the same F2: tug-of-war ±1 projections,
+    width 4096 × depth 7, distributed via ``global_sketch`` (linear sketch
+    → the tree merge is EXACTLY the single-pass state).  Estimate →
+    rows-only gate; the relative-error bound vs the exact query is
+    asserted in tests/test_round4.py."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    blob = global_sketch(
+        ds, sketch_config("ams", width=4096, depth=7, seed=SEED),
+        key_col="user_id",
+    )
+    est = sketch_from_bytes(blob).estimate()
+    return pa.table({"f2_est": pa.array([round(est, 2)], type=pa.float64())})
+
+
 def _q_user_overlap_kmv(sf_dir: str):
     """θ-sketch-style overlap: ONE ``grouped_sketch`` pass builds a KMV
     per event type; click∩error users are estimated from the union's
@@ -2490,6 +2538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dupes": _q_image_near_dupes,
         "hll_user_overlap": _q_hll_user_overlap,
         "user_overlap_kmv": _q_user_overlap_kmv,
+        "second_moment_users_exact": _q_second_moment_users_exact,
+        "second_moment_users_ams": _q_second_moment_users_ams,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }
 
@@ -2995,6 +3045,10 @@ ret AS (
 SELECT a.day, CAST(a.a AS BIGINT) AS active_users,
        CAST(COALESCE(r.r, 0) AS BIGINT) AS retained_users
 FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
+""",
+        "second_moment_users_exact": """
+SELECT CAST(sum(c * c) AS BIGINT) AS f2
+FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
 """,
         "value_histogram": """
 SELECT CAST(floor(CAST(round(value*100) AS BIGINT) / 1000.0) AS BIGINT)

@@ -17,6 +17,7 @@ from .bloom import BloomFilter
 from .bucketed import BucketedTopK
 from .countmin import CountMinSketch
 from .cuckoo import CuckooTopK
+from .ams import AMSSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
@@ -45,4 +46,5 @@ __all__ = [
     "BuilderError",
     "IncompatibleSketchError",
     "sketch_from_bytes",
+    "AMSSketch",
 ]

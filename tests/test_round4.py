@@ -1694,3 +1694,64 @@ def test_user_overlap_kmv_query_tracks_exact(ray_session):
     assert got["n_error"] == want[1]
     assert got["n_union"] == want[2]
     assert got["n_intersection"] == inter
+
+
+# ---------- AMS F2 sketch ----------
+
+
+def test_ams_contracts_and_bounds():
+    import numpy as np
+    import pytest
+    from collections import Counter
+
+    from hksketch.sketch import AMSSketch, sketch_from_bytes
+    from hksketch.sketch.base import BuilderError, IncompatibleSketchError
+
+    with pytest.raises(BuilderError):
+        AMSSketch(width=0)
+    with pytest.raises(BuilderError):
+        AMSSketch(width=16, depth=0)
+
+    rng = np.random.default_rng(1)
+    keys = rng.zipf(1.5, 100_000).astype(np.int64)
+    truth = float(sum(c * c for c in Counter(keys.tolist()).values()))
+    one = AMSSketch(width=2048, depth=7, seed=9)
+    one.add_batch(pa.array(keys))
+    assert abs(one.estimate() - truth) / truth < 4 / np.sqrt(2048)
+
+    # linear sketch: 3-way merge is STATE-identical to the single pass,
+    # in any association order
+    parts = []
+    for lo in (0, 40_000, 70_000):
+        p = AMSSketch(width=2048, depth=7, seed=9)
+        p.add_batch(pa.array(keys[lo:lo + 30_000 if lo else 40_000]))
+        parts.append(p)
+    ab_c = AMSSketch(width=2048, depth=7, seed=9)
+    ab_c.add_batch(pa.array(keys[:40_000]))
+    ab_c.add_batch(pa.array(keys[40_000:70_000]))
+    ab_c.add_batch(pa.array(keys[70_000:]))
+    m1 = parts[0].merge(parts[1]).merge(parts[2])
+    assert m1.state_equal(ab_c)
+
+    # weighted adds: F2 of summed weights
+    w = AMSSketch(width=2048, depth=5, seed=9)
+    w.add_batch(pa.array([1, 1, 2], type=pa.int64()), [3, 4, 5])
+    wt = float(7 ** 2 + 5 ** 2)
+    assert abs(w.estimate() - wt) / wt < 0.5
+
+    # serde + incompatible guards
+    rt = sketch_from_bytes(one.to_bytes())
+    assert rt.state_equal(one)
+    with pytest.raises(IncompatibleSketchError):
+        one.merge(AMSSketch(width=1024, depth=7, seed=9))
+    with pytest.raises(IncompatibleSketchError):
+        one.merge(AMSSketch(width=2048, depth=7, seed=10))
+
+
+def test_ams_query_tracks_exact_f2(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    exact = e.queries()["second_moment_users_exact"](sf).to_pandas()["f2"][0]
+    est = e.queries()["second_moment_users_ams"](sf).to_pandas()["f2_est"][0]
+    assert abs(est - exact) / exact < 0.1, (est, exact)
