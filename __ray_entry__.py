@@ -2347,6 +2347,132 @@ def _q_second_moment_users_ams(sf_dir: str):
     return pa.table({"f2_est": pa.array([round(est, 2)], type=pa.float64())})
 
 
+def _day_pair_streams(sf_dir: str):
+    """events filtered to the two EARLIEST observed days, with per-batch
+    (day, user, c) count partials — shared by the exact and AMS join-size
+    queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(b.column("ts"), unit="day"),
+             "user_id": b.column("user_id")}
+        )
+
+    byday = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.unique(b.column("day").combine_chunks())})
+
+    obs = sorted(
+        byday.map_batches(
+            day_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()["day"].unique()
+    )
+    d1, d2 = obs[0], obs[1]
+    filt = byday.map_batches(
+        lambda b: b.filter(
+            pc.or_(pc.equal(b.column("day"), pa.scalar(d1)),
+                   pc.equal(b.column("day"), pa.scalar(d2)))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return filt, d1, d2
+
+
+def _q_join_size_users_daypair(sf_dir: str):
+    """Exact self-join size between the two earliest days' user streams
+    ⊕oracle: Σ_u f_day1(u)·f_day2(u) — the number the AMS inner-product
+    sketch estimates for shuffle planning.  Distributed: per-batch count
+    partials, ONE user-sharded shuffle, vectorized in-shard (user, day)
+    fold + per-user product, one scalar per shard back."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.sessions import _shard_fn
+
+    filt, d1, d2 = _day_pair_streams(sf_dir)
+
+    def pre(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts = b.column("day").cast(pa.int64()).to_numpy()
+        g = (
+            pl.DataFrame(
+                {"user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                 "day": ts}
+            )
+            .group_by(["user_id", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        ).to_arrow()
+        return pa.table(
+            {"user_id": g.column("user_id").cast(pa.int64()),
+             "day": g.column("day").cast(pa.int64()),
+             "c": g.column("c").cast(pa.int64())}
+        )
+
+    partials = filt.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    sharded = partials.map_batches(
+        _shard_fn("user_id", 32), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def prod(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        dy = g.column("day").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dy, u))
+        u, dy, c = u[order], dy[order], c[order]
+        # fold duplicate (user, day) partials, then multiply day1×day2
+        # totals per user
+        new = np.concatenate(([True], (u[1:] != u[:-1]) | (dy[1:] != dy[:-1])))
+        starts = np.flatnonzero(new)
+        cs = np.add.reduceat(c, starts)
+        uu = u[starts]
+        # after the fold a user appears at most twice (one row per day);
+        # adjacent same-user rows are that user's two day totals → c1·c2
+        both = uu[1:] == uu[:-1]
+        tot = int((cs[:-1][both] * cs[1:][both]).sum()) if len(uu) > 1 else 0
+        return pa.table({"join_size": pa.array([tot], type=pa.int64())})
+
+    out = sharded.groupby("shard").map_groups(prod, batch_format="pyarrow")
+    total = int(out.sum("join_size") or 0)
+    return pa.table({"join_size": pa.array([total], type=pa.int64())})
+
+
+def _q_join_size_users_daypair_ams(sf_dir: str):
+    """AMS inner-product estimate of the same join size
+    (`sketch.ams.estimate_inner`, AGMS PODS'99): one linear sketch per day
+    stream via ``global_sketch``, then a driver-side median-of-dots —
+    what a planner would consult before committing to the shuffle.
+    Estimate → rows-only gate; bound vs the exact query tested."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+    from hksketch.sketch.ams import estimate_inner
+
+    filt, d1, d2 = _day_pair_streams(sf_dir)
+    cfg = sketch_config("ams", width=4096, depth=7, seed=SEED)
+    blobs = []
+    for d in (d1, d2):
+        side = filt.map_batches(
+            lambda b, _d=d: b.filter(pc.equal(b.column("day"), pa.scalar(_d))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        blobs.append(global_sketch(side, cfg, key_col="user_id"))
+    est = estimate_inner(
+        sketch_from_bytes(blobs[0]), sketch_from_bytes(blobs[1])
+    )
+    return pa.table({"join_size_est": pa.array([round(est, 1)], type=pa.float64())})
+
+
 def _q_user_overlap_kmv(sf_dir: str):
     """θ-sketch-style overlap: ONE ``grouped_sketch`` pass builds a KMV
     per event type; click∩error users are estimated from the union's
@@ -2540,6 +2666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_kmv": _q_user_overlap_kmv,
         "second_moment_users_exact": _q_second_moment_users_exact,
         "second_moment_users_ams": _q_second_moment_users_ams,
+        "join_size_users_daypair": _q_join_size_users_daypair,
+        "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }
 
@@ -3049,6 +3177,16 @@ FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
         "second_moment_users_exact": """
 SELECT CAST(sum(c * c) AS BIGINT) AS f2
 FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+""",
+        "join_size_users_daypair": """
+WITH d AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
+two AS (SELECT DISTINCT day FROM d ORDER BY day LIMIT 2),
+a AS (SELECT user_id, count(*) AS c FROM d
+      WHERE day = (SELECT min(day) FROM two) GROUP BY 1),
+b AS (SELECT user_id, count(*) AS c FROM d
+      WHERE day = (SELECT max(day) FROM two) GROUP BY 1)
+SELECT CAST(COALESCE(sum(a.c * b.c), 0) AS BIGINT) AS join_size
+FROM a JOIN b USING (user_id)
 """,
         "value_histogram": """
 SELECT CAST(floor(CAST(round(value*100) AS BIGINT) / 1000.0) AS BIGINT)

@@ -133,3 +133,15 @@ class AMSSketch:
         return (
             np.array_equal(self.cnt, other.cnt) and self.total == other.total
         )
+
+
+def estimate_inner(a: "AMSSketch", b: "AMSSketch") -> float:
+    """Inner-product (equi-join size) estimate from two compatible AMS
+    sketches: Σ_k f_a(k)·f_b(k) ≈ median over rows of Σ_i cnt_a[r,i]·cnt_b[r,i]
+    (Alon-Gibbons-Matias-Szegedy PODS'99 — the join-size estimation that
+    lets a planner size a shuffle BEFORE paying for it).  Additive error
+    ~ sqrt(F2(a)·F2(b)/width) per row, median over depth rows.
+    """
+    a._check_compatible(b)
+    dots = (a.cnt.astype(np.float64) * b.cnt.astype(np.float64)).sum(axis=1)
+    return float(np.median(dots))

@@ -1755,3 +1755,32 @@ def test_ams_query_tracks_exact_f2(ray_session):
     exact = e.queries()["second_moment_users_exact"](sf).to_pandas()["f2"][0]
     est = e.queries()["second_moment_users_ams"](sf).to_pandas()["f2_est"][0]
     assert abs(est - exact) / exact < 0.1, (est, exact)
+
+
+def test_ams_inner_product_tracks_exact_join_size(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    exact = e.queries()["join_size_users_daypair"](sf).to_pandas()["join_size"][0]
+    est = e.queries()["join_size_users_daypair_ams"](sf).to_pandas()[
+        "join_size_est"
+    ][0]
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.15, (est, exact)
+
+
+def test_estimate_inner_guards_and_small_exact():
+    import pytest
+
+    from hksketch.sketch.ams import AMSSketch, estimate_inner
+    from hksketch.sketch.base import IncompatibleSketchError
+
+    a = AMSSketch(width=1 << 14, depth=7, seed=4)
+    b = AMSSketch(width=1 << 14, depth=7, seed=4)
+    a.add_batch(pa.array([1, 1, 2, 3], type=pa.int64()))
+    b.add_batch(pa.array([1, 3, 3, 4], type=pa.int64()))
+    # truth: f_a·f_b = 2*1 (key 1) + 1*2 (key 3) = 4; wide sketch with 4
+    # keys → collision-free, estimate exact
+    assert estimate_inner(a, b) == 4.0
+    with pytest.raises(IncompatibleSketchError):
+        estimate_inner(a, AMSSketch(width=1 << 14, depth=7, seed=5))
