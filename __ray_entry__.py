@@ -1665,6 +1665,49 @@ def _q_docs_embeddings_join(sf_dir: str):
     return out.sort("label")
 
 
+def _q_docs_without_label3(sf_dir: str):
+    """ANTI-join ⊕oracle: per source, documents with NO label-3 embedding
+    — the "which rows still need processing" question every incremental
+    pipeline asks.  Crosses ``hash_join``'s LEFT path: right side is
+    filtered + key-deduped (so unmatched left rows surface exactly once
+    with nulls), then a null-filter + per-source count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
+    embs = read_table(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def only3(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("label"), pa.scalar(3, type=pa.int32())))
+        # vec_id is unique in the embeddings table, so the filtered side is
+        # key-unique and an unmatched left row surfaces exactly once
+        return pa.table(
+            {"vec_id": t.column("vec_id"),
+             "has3": pa.array([1] * t.num_rows, type=pa.int64())}
+        )
+
+    right = embs.map_batches(only3, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(docs, right, on="doc_id", right_on="vec_id", how="left")
+
+    def count_missing(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_null(b.column("has3")))
+        return pa.table(
+            {"source": t.column("source"),
+             "n_docs": pa.array([1] * t.num_rows, type=pa.int64())}
+        )
+
+    out = (
+        j.map_batches(count_missing, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return out.sort("source")
+
+
 def _q_quality_gated_counts(sf_dir: str):
     """Docs-above-the-median-quality per source: a data-driven (not fixed)
     threshold composition — distributed exact median of ``alpha_ratio``
@@ -2668,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "second_moment_users_ams": _q_second_moment_users_ams,
         "join_size_users_daypair": _q_join_size_users_daypair,
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
+        "docs_without_label3": _q_docs_without_label3,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
     }
 
@@ -3177,6 +3221,13 @@ FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
         "second_moment_users_exact": """
 SELECT CAST(sum(c * c) AS BIGINT) AS f2
 FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+""",
+        "docs_without_label3": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                  WHERE e.vec_id = d.doc_id AND e.label = 3)
+GROUP BY source ORDER BY source
 """,
         "join_size_users_daypair": """
 WITH d AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
