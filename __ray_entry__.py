@@ -989,6 +989,47 @@ def _q_dup_clusters(sf_dir: str):
     return labels.sort("doc_id")
 
 
+def _q_clean_corpus_near_ids(sf_dir: str):
+    """NEAR-dup-aware corpus cleaning end-to-end ⊕oracle: exact trigram
+    Jaccard pairs → connected components → keep each cluster's min-id
+    canonical document, drop the rest — the full near-dedup composition
+    (`clean_corpus_ids` is its exact-hash sibling).  The survivor filter
+    is a distributed LEFT hash_join against the (bounded) non-canonical
+    label rows, not a broadcast id set — at web scale the removed set is
+    a constant fraction of the corpus and must not land on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.dedup.components import connected_components
+    from hksketch.dedup.ngram import ngram_jaccard_near_dupes
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_near_dupes(ds, "text", "doc_id", n=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+
+    def non_canonical(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("doc_id"), b.column("cluster_id")))
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "rm": pa.array([1] * t.num_rows, type=pa.int64())}
+        )
+
+    removed = labels.map_batches(
+        non_canonical, batch_format="pyarrow", zero_copy_batch=True
+    )
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+    j = hash_join(docs, removed, on="doc_id", how="left")
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_null(b.column("rm")))
+        return pa.table({"doc_id": t.column("doc_id")})
+
+    out = j.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("doc_id")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Corpus-wide TF-IDF top-50 terms: the standard relevance weighting a
     training-data pipeline uses for keyword extraction / boilerplate
@@ -2662,6 +2703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dupes": _q_ngram_jaccard_near_dupes,
         "containment_near_dupes": _q_containment_near_dupes,
         "dup_clusters": _q_dup_clusters,
+        "clean_corpus_near_ids": _q_clean_corpus_near_ids,
         "duplicated_spans": _q_duplicated_spans,
         "source_distinctive_terms": _q_source_distinctive_terms,
         "top_bigrams": _q_top_bigrams,
@@ -2993,6 +3035,27 @@ ORDER BY id_a, id_b
 )
 SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
+ORDER BY doc_id
+""",
+        "clean_corpus_near_ids": "WITH RECURSIVE "
+        + _NGRAM_PAIRS_CTES
+        + """
+, edges AS (
+  SELECT id_a AS u, id_b AS v FROM ngram_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM ngram_pairs
+), nodes AS (
+  SELECT DISTINCT u AS id FROM edges
+), walk AS (
+  SELECT id AS node, id AS lab FROM nodes
+  UNION
+  SELECT w.node, e.v AS lab FROM walk w JOIN edges e ON e.u = w.lab
+), removed AS (
+  SELECT node FROM (SELECT node, min(lab) AS m FROM walk GROUP BY node)
+  WHERE m < node
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM removed)
 ORDER BY doc_id
 """,
         "docs_embeddings_join": """
