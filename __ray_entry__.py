@@ -561,6 +561,47 @@ def _q_lang_id(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID CONFUSION MATRIX ⊕oracle: metadata ``lang`` vs the
+    n-gram-heuristic prediction, counted per (truth, predicted) cell — the
+    eval table every classifier stage in a curation pipeline reports.
+    One pass: predict per batch (vectorized ``lang_id_batch``), polars
+    pre-agg, one tiny groupby; the SQL mirror nests the generated
+    stopword-exact lang_id query, so the two rules cannot drift."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.analysis import lang_id_batch
+
+    ds = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        pred = lang_id_batch(b.column("text").combine_chunks())
+        g = (
+            pl.DataFrame(
+                {"lang": b.column("lang").to_numpy(zero_copy_only=False),
+                 "lang_pred": pred.to_numpy(zero_copy_only=False)}
+            )
+            .group_by(["lang", "lang_pred"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        ).to_arrow()
+        return pa.table(
+            {"lang": g.column("lang").cast(pa.string()),
+             "lang_pred": g.column("lang_pred").cast(pa.string()),
+             "n": g.column("n").cast(pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return out.sort(["lang", "lang_pred"])
+
+
 def _q_quality_scores(sf_dir: str):
     from hksketch.pipelines.ops import read_table
     from hksketch.text.analysis import quality_scores_batch
@@ -2697,6 +2738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         "lang_id": _q_lang_id,
+        "lang_confusion": _q_lang_confusion,
         "quality_scores": _q_quality_scores,
         "token_stats": _q_token_stats,
         "bpe_token_totals": _q_bpe_token_totals,
@@ -2896,6 +2938,12 @@ FROM scored
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        "lang_confusion": (
+            "WITH pred AS (" + _lang_id_sql() + ")\n"
+            "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n\n"
+            "FROM documents d JOIN pred p USING (doc_id)\n"
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "topk_tokens_sketch": _TOPK_TOKENS_SQL,
         "topk_tokens_cuckoo": _TOPK_TOKENS_SQL,
         "topk_tokens_canonical": _TOPK_TOKENS_SQL,
