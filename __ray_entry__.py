@@ -2424,6 +2424,45 @@ def _q_hll_user_overlap(sf_dir: str):
     )
 
 
+def _q_trending_users(sf_dir: str):
+    """Top-k DRIFT ⊕oracle: users in the LAST day's exact top-10 but not
+    the FIRST day's — trending detection, the question windowed heavy-
+    hitter sketches exist to answer cheaply; here the exact version, two
+    ``exact_topk`` passes and a k-bounded driver set-diff."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import exact_topk, read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(b.column("ts"), unit="day"),
+             "user_id": b.column("user_id")}
+        )
+
+    byday = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    first, last = byday.min("day"), byday.max("day")
+
+    def topk_of(dval):
+        side = byday.map_batches(
+            lambda b, _d=dval: b.filter(
+                pc.equal(b.column("day"), pa.scalar(_d))
+            ).select(["user_id"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return exact_topk(side, "user_id", k=10, count_name="count").to_pandas()
+
+    tf, tl = topk_of(first), topk_of(last)
+    out = tl[~tl["user_id"].isin(set(tf["user_id"]))]
+    out = out.sort_values(["count", "user_id"], ascending=[False, True])
+    return pa.table(
+        {"user_id": pa.array(out["user_id"].to_numpy(), type=pa.int64()),
+         "count": pa.array(out["count"].to_numpy(), type=pa.int64())}
+    )
+
+
 def _q_second_moment_users_exact(sf_dir: str):
     """Exact F2 (the AMS "surprise number", Σ per-user count²) ⊕oracle —
     the skew statistic that tells a pipeline whether a key distribution
@@ -2792,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_overlap": _q_hll_user_overlap,
         "user_overlap_kmv": _q_user_overlap_kmv,
         "second_moment_users_exact": _q_second_moment_users_exact,
+        "trending_users": _q_trending_users,
         "second_moment_users_ams": _q_second_moment_users_ams,
         "join_size_users_daypair": _q_join_size_users_daypair,
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
@@ -3328,6 +3368,17 @@ ret AS (
 SELECT a.day, CAST(a.a AS BIGINT) AS active_users,
        CAST(COALESCE(r.r, 0) AS BIGINT) AS retained_users
 FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
+""",
+        "trending_users": """
+WITH d AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
+fl AS (SELECT min(day) AS f, max(day) AS l FROM d),
+cf AS (SELECT user_id, count(*) AS c FROM d WHERE day = (SELECT f FROM fl)
+       GROUP BY 1 ORDER BY c DESC, user_id LIMIT 10),
+cl AS (SELECT user_id, count(*) AS c FROM d WHERE day = (SELECT l FROM fl)
+       GROUP BY 1 ORDER BY c DESC, user_id LIMIT 10)
+SELECT user_id, CAST(c AS BIGINT) AS count FROM cl
+WHERE user_id NOT IN (SELECT user_id FROM cf)
+ORDER BY count DESC, user_id ASC
 """,
         "second_moment_users_exact": """
 SELECT CAST(sum(c * c) AS BIGINT) AS f2
