@@ -1983,6 +1983,95 @@ def _q_sample_docs_weighted(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def _q_doc_length_quantiles_per_lang(sf_dir: str):
+    """Per-language exact doc-length quantiles ⊕oracle (quantile_disc rank
+    rule, integer n_chars) — the curation length-profile table; few large
+    groups → per-group map_groups, same shape as
+    ``quantiles_by_event_type``."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["lang", "n_chars"])
+
+    def quants(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("n_chars").to_numpy(zero_copy_only=False))
+        n = len(v)
+
+        def qd(q):
+            return int(v[max(0, int(np.ceil(q * n)) - 1)])
+
+        return pa.table(
+            {"lang": pa.array([g.column("lang")[0].as_py()]),
+             "q25": pa.array([qd(0.25)], type=pa.int64()),
+             "q50": pa.array([qd(0.5)], type=pa.int64()),
+             "q75": pa.array([qd(0.75)], type=pa.int64())}
+        )
+
+    return ds.groupby("lang").map_groups(quants, batch_format="pyarrow").sort("lang")
+
+
+def _q_doc_length_quantiles_per_lang_kll(sf_dir: str):
+    """The KLL sketch twin: one mergeable KLL per language through
+    ``grouped_sketch`` — with per-group n ≪ k the sketch is in its exact
+    regime, and KLL's rank rule matches ``quantile_disc`` exactly, so this
+    crosses KLL's grouped distributed merge while remaining bound-tested
+    vs the exact twin (tests/test_round4.py)."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "documents", ["lang", "n_chars"])
+    cfg = sketch_config("kll", k=256, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="n_chars", group_col="lang")
+    langs, q25, q50, q75 = [], [], [], []
+    for row in sorted(out.take_all(), key=lambda r: r["lang"]):
+        sk = sketch_from_bytes(row["sketch"])
+        langs.append(row["lang"])
+        q25.append(round(float(sk.quantile(0.25)), 6))
+        q50.append(round(float(sk.quantile(0.5)), 6))
+        q75.append(round(float(sk.quantile(0.75)), 6))
+    return pa.table(
+        {"lang": pa.array(langs, type=pa.string()),
+         "q25": pa.array(q25, type=pa.float64()),
+         "q50": pa.array(q50, type=pa.float64()),
+         "q75": pa.array(q75, type=pa.float64())}
+    )
+
+
+def _q_sample_docs_weighted_per_source(sf_dir: str):
+    """Per-GROUP weighted sampling: one mergeable A-ES sketch PER SOURCE
+    through ``grouped_sketch`` (WeightedSample × grouped path) — balanced
+    per-feed importance sampling, P(doc | source) ∝ n_chars.
+    Deterministic keyed-hash draws → partition-invariant; recompute
+    equality asserted in tests."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+    cfg = sketch_config("wsample", k=5, seed=SEED)
+    out = grouped_sketch(
+        ds, cfg, key_col="doc_id", group_col="source", weight_col="n_chars"
+    )
+    srcs, docs = [], []
+    for row in sorted(out.take_all(), key=lambda r: r["source"]):
+        for d in sorted(sketch_from_bytes(row["sketch"]).sample()):
+            srcs.append(row["source"])
+            docs.append(int(d))
+    return pa.table(
+        {"source": pa.array(srcs, type=pa.string()),
+         "doc_id": pa.array(docs, type=pa.int64())}
+    )
+
+
 def _q_clean_corpus_ids(sf_dir: str):
     """Composite LLM-data cleaning pipeline ⊕oracle: quality gates
     (alpha_ratio ≥ 0.82, digit_ratio ≤ 0.2, n_tokens ≥ 40) then exact dedup
@@ -2810,6 +2899,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_users_hll": _q_rolling_distinct_users_hll,
         "sample_events": _q_sample_events,
         "sample_docs_weighted": _q_sample_docs_weighted,
+        "sample_docs_weighted_per_source": _q_sample_docs_weighted_per_source,
+        "doc_length_quantiles_per_lang": _q_doc_length_quantiles_per_lang,
+        "doc_length_quantiles_per_lang_kll": _q_doc_length_quantiles_per_lang_kll,
         "quality_gated_counts": _q_quality_gated_counts,
         "docs_embeddings_join": _q_docs_embeddings_join,
         "orders_semijoin_bloom": _q_orders_semijoin_bloom,
@@ -3368,6 +3460,13 @@ ret AS (
 SELECT a.day, CAST(a.a AS BIGINT) AS active_users,
        CAST(COALESCE(r.r, 0) AS BIGINT) AS retained_users
 FROM act a LEFT JOIN ret r USING (day) ORDER BY a.day
+""",
+        "doc_length_quantiles_per_lang": """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50,
+       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75
+FROM documents GROUP BY lang ORDER BY lang
 """,
         "trending_users": """
 WITH d AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),

@@ -1784,3 +1784,41 @@ def test_estimate_inner_guards_and_small_exact():
     assert estimate_inner(a, b) == 4.0
     with pytest.raises(IncompatibleSketchError):
         estimate_inner(a, AMSSketch(width=1 << 14, depth=7, seed=5))
+
+
+# ---------- grouped KLL / grouped weighted sample ----------
+
+
+def test_grouped_kll_exact_regime_matches_exact_twin(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    exact = e.queries()["doc_length_quantiles_per_lang"](sf).to_pandas()
+    kll = e.queries()["doc_length_quantiles_per_lang_kll"](sf).to_pandas()
+    assert exact["lang"].tolist() == kll["lang"].tolist()
+    # per-group n < k=256 at sf0.001 → KLL is exact and its rank rule is
+    # quantile_disc's; values must agree exactly
+    for c in ("q25", "q50", "q75"):
+        assert exact[c].astype(float).tolist() == kll[c].tolist(), c
+
+
+def test_grouped_weighted_sample_recompute_equality(ray_session):
+    import duckdb
+    import __ray_entry__ as e
+
+    from hksketch.sketch.reservoir import WeightedSample
+
+    sf = "/root/testdata/sf0.001"
+    a = e.queries()["sample_docs_weighted_per_source"](sf).to_pandas()
+    b = e.queries()["sample_docs_weighted_per_source"](sf).to_pandas()
+    assert a.equals(b)  # deterministic under re-execution
+    # driver-side recompute of one group must match the distributed merge
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf}/documents.parquet' "
+        f"WHERE source = 'src0'"
+    ).fetchall()
+    ws = WeightedSample(k=5, seed=12345)
+    ws.add_batch([r[0] for r in rows], [r[1] for r in rows])
+    want = sorted(int(d) for d in ws.sample())
+    got = sorted(a[a["source"] == "src0"]["doc_id"].tolist())
+    assert got == want
