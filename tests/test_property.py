@@ -106,3 +106,62 @@ def test_bloom_no_false_negatives_after_merge(items, split):
         y.add_batch(items[split:])
     x.merge(y)
     assert x.contains_batch(items).all()
+
+
+@given(
+    keys=st.lists(st.integers(0, 50), min_size=1, max_size=300),
+    weights=st.lists(st.integers(1, 20), min_size=1, max_size=300),
+    cut=st.integers(0, 300),
+)
+@settings(max_examples=100, deadline=None)
+def test_ams_linearity(keys, weights, cut):
+    """AMS is a LINEAR sketch: sketch(A ⊎ B) is state-identical to
+    sketch(A) + sketch(B) for every split point and weighting."""
+    import pyarrow as pa
+
+    from hksketch.sketch.ams import AMSSketch
+
+    n = min(len(keys), len(weights))
+    keys, weights = keys[:n], weights[:n]
+    cut = min(cut, n)
+    whole = AMSSketch(width=64, depth=3, seed=7)
+    whole.add_batch(pa.array(keys, type=pa.int64()), weights)
+    a = AMSSketch(width=64, depth=3, seed=7)
+    b = AMSSketch(width=64, depth=3, seed=7)
+    a.add_batch(pa.array(keys[:cut], type=pa.int64()), weights[:cut])
+    b.add_batch(pa.array(keys[cut:], type=pa.int64()), weights[cut:])
+    assert a.merge(b).state_equal(whole)
+    # and the estimate in a collision-free-wide sketch of a tiny domain is
+    # nonnegative regardless
+    assert whole.estimate() >= 0.0
+
+
+@given(
+    xs=st.lists(st.integers(0, 10_000), min_size=1, max_size=400),
+    split=st.integers(1, 5),
+)
+@settings(max_examples=100, deadline=None)
+def test_kmv_estimate_merge_consistency(xs, split):
+    """KMV bottom-k: the merged sketch's tag set — and therefore its
+    distinct estimate AND its overlap estimates — equals the single-pass
+    sketch for every partitioning."""
+    import pyarrow as pa
+
+    from hksketch.sketch.reservoir import DistinctValueSample
+
+    one = DistinctValueSample(k=32, seed=11)
+    one.add_batch(pa.array(xs, type=pa.int64()))
+    parts = []
+    step = max(1, len(xs) // split)
+    for lo in range(0, len(xs), step):
+        p = DistinctValueSample(k=32, seed=11)
+        p.add_batch(pa.array(xs[lo:lo + step], type=pa.int64()))
+        parts.append(p)
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.merge(p)
+    assert np.array_equal(m.tags, one.tags)
+    assert m.estimate() == one.estimate()
+    # exact regime sanity: below k the estimate IS the distinct count
+    if len(set(xs)) < 32:
+        assert m.estimate() == float(len(set(xs)))
