@@ -2513,6 +2513,66 @@ def _q_hll_user_overlap(sf_dir: str):
     )
 
 
+def _q_sketch_accuracy_report(sf_dir: str):
+    """A4-A7 as a DRIVER artifact: hit-ratio and ARE of each HeavyKeeper
+    variant's top-100 tokens against the exact distributed truth, in one
+    table — the reference's accuracy harness
+    (`/root/reference/tests/accuracy_compare.rs:43-63`) surfaced as a
+    queryable report.  Deterministic (fixed seed/config) → rows-only gate;
+    the floors are asserted in tests/test_round4.py."""
+    import pyarrow as pa
+
+    from hksketch.metrics import score_results
+    from hksketch.pipelines.flagship import topk_tokens_sketch
+    from hksketch.pipelines.ops import exact_counts, read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    k = 100
+    reported = {
+        v: [
+            (t["token"], t["count"])
+            for t in topk_tokens_sketch(sf_dir, k=k, variant=v).to_pylist()
+        ]
+        for v in ("bucketed", "topk", "cuckoo")
+    }
+    # exact truth, restricted to the keys any variant reported plus the
+    # exact top-k (bounded: ≤ 4k rows cross the driver, never the vocab)
+    ds = read_table(sf_dir, "documents", ["text"])
+    tokens = ds.map_batches(
+        lambda b: tokenize_column(b.column("text")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    counts = exact_counts(tokens, "token")
+    topk_true = counts.sort(
+        ["count", "token"], descending=[True, False]
+    ).limit(k).to_pandas()
+    need = set(topk_true["token"]) | {
+        t for rep in reported.values() for t, _ in rep
+    }
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_in(b.column("token"), pa.array(list(need))))
+
+    truth_rows = counts.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    truth = dict(zip(truth_rows["token"], truth_rows["count"]))
+
+    variants, hit, are = [], [], []
+    for v in ("bucketed", "topk", "cuckoo"):
+        h, a, _ = score_results(reported[v], truth, k)
+        variants.append(v)
+        hit.append(round(h, 6))
+        are.append(round(a, 6))
+    return pa.table(
+        {"variant": pa.array(variants, type=pa.string()),
+         "hit_ratio": pa.array(hit, type=pa.float64()),
+         "are": pa.array(are, type=pa.float64())}
+    )
+
+
 def _q_trending_users(sf_dir: str):
     """Top-k DRIFT ⊕oracle: users in the LAST day's exact top-10 but not
     the FIRST day's — trending detection, the question windowed heavy-
@@ -2924,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_kmv": _q_user_overlap_kmv,
         "second_moment_users_exact": _q_second_moment_users_exact,
         "trending_users": _q_trending_users,
+        "sketch_accuracy_report": _q_sketch_accuracy_report,
         "second_moment_users_ams": _q_second_moment_users_ams,
         "join_size_users_daypair": _q_join_size_users_daypair,
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,

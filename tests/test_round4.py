@@ -1822,3 +1822,14 @@ def test_grouped_weighted_sample_recompute_equality(ray_session):
     want = sorted(int(d) for d in ws.sample())
     got = sorted(a[a["source"] == "src0"]["doc_id"].tolist())
     assert got == want
+
+
+def test_sketch_accuracy_report_floors(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["sketch_accuracy_report"]("/root/testdata/sf0.01").to_pandas()
+    assert out["variant"].tolist() == ["bucketed", "topk", "cuckoo"]
+    # at the flagship config every variant's reported top-100 is hash-exact
+    # vs the oracle, so the self-reported metrics must be perfect
+    assert (out["hit_ratio"] == 1.0).all(), out
+    assert (out["are"] == 0.0).all(), out
