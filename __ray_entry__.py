@@ -1048,6 +1048,9 @@ def _q_clean_corpus_near_ids(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     pairs = ngram_jaccard_near_dupes(ds, "text", "doc_id", n=3, threshold=0.5)
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+    if pairs.num_rows == 0:
+        return docs.sort("doc_id")
     labels = connected_components(pairs, "id_a", "id_b")
 
     def non_canonical(b: pa.Table) -> pa.Table:
@@ -1060,7 +1063,6 @@ def _q_clean_corpus_near_ids(sf_dir: str):
     removed = labels.map_batches(
         non_canonical, batch_format="pyarrow", zero_copy_batch=True
     )
-    docs = read_table(sf_dir, "documents", ["doc_id"])
     j = hash_join(docs, removed, on="doc_id", how="left")
 
     def keep(b: pa.Table) -> pa.Table:
@@ -2687,7 +2689,8 @@ def _day_pair_streams(sf_dir: str):
             day_partial, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()["day"].unique()
     )
-    d1, d2 = obs[0], obs[1]
+    d1 = obs[0]
+    d2 = obs[1] if len(obs) > 1 else obs[0]
     filt = byday.map_batches(
         lambda b: b.filter(
             pc.or_(pc.equal(b.column("day"), pa.scalar(d1)),
@@ -2733,6 +2736,7 @@ def _q_join_size_users_daypair(sf_dir: str):
     sharded = partials.map_batches(
         _shard_fn("user_id", 32), batch_format="pyarrow", zero_copy_batch=True
     )
+    same_day = d1 == d2  # degenerate single-day stream: join size = Σ c²
 
     def prod(g: pa.Table) -> pa.Table:
         u = g.column("user_id").to_numpy(zero_copy_only=False)
@@ -2746,6 +2750,11 @@ def _q_join_size_users_daypair(sf_dir: str):
         starts = np.flatnonzero(new)
         cs = np.add.reduceat(c, starts)
         uu = u[starts]
+        if same_day:
+            # both sides are the same stream (SQL's min(day)==max(day)):
+            # every user joins itself, contributing c²
+            tot = int((cs * cs).sum())
+            return pa.table({"join_size": pa.array([tot], type=pa.int64())})
         # after the fold a user appears at most twice (one row per day);
         # adjacent same-user rows are that user's two day totals → c1·c2
         both = uu[1:] == uu[:-1]
@@ -2806,9 +2815,17 @@ def _q_user_overlap_kmv(sf_dir: str):
     cfg = sketch_config("reservoir", k=2048, seed=SEED)
     out = grouped_sketch(ds, cfg, key_col="user_id", group_col="event_type")
     blobs = {r["event_type"]: r["sketch"] for r in out.take_all()}
-    est = estimate_overlap(
-        sketch_from_bytes(blobs["click"]), sketch_from_bytes(blobs["error"])
-    )
+
+    def side(et):
+        from hksketch.sketch.reservoir import DistinctValueSample
+
+        blob = blobs.get(et)
+        return (
+            sketch_from_bytes(blob) if blob is not None
+            else DistinctValueSample(k=2048, seed=SEED)
+        )
+
+    est = estimate_overlap(side("click"), side("error"))
     return pa.table(
         {"n_click": pa.array([int(round(est["est_a"]))], type=pa.int64()),
          "n_error": pa.array([int(round(est["est_b"]))], type=pa.int64()),

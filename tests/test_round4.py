@@ -1833,3 +1833,55 @@ def test_sketch_accuracy_report_floors(ray_session):
     # vs the oracle, so the self-reported metrics must be perfect
     assert (out["hit_ratio"] == 1.0).all(), out
     assert (out["are"] == 0.0).all(), out
+
+
+def test_new_queries_survive_degenerate_single_row_tables(
+    ray_session, tmp_path
+):
+    """One event / one doc / one embedding: every events- and documents-
+    based round-4 query must return (possibly empty) results, not crash —
+    single-type event streams, single observed days, and dup-free corpora
+    are all reachable states of a real partition."""
+    import numpy as np
+    import pyarrow.parquet as pq2
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    pq2.write_table(pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01T10:00:00", "us")]),
+        "user_id": pa.array([7], pa.int64()),
+        "event_type": pa.array(["click"]),
+        "value": pa.array([1.5], pa.float64()),
+        "props": pa.array(["{}"]),
+    }), f"{d}/events.parquet")
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["hello world text here"]),
+        "lang": pa.array(["en"]),
+        "source": pa.array(["src0"]),
+        "n_chars": pa.array([21], pa.int64()),
+    }), f"{d}/documents.parquet")
+    pq2.write_table(pa.table({
+        "vec_id": pa.array([1], pa.int64()),
+        "embedding": pa.array([[0.1] * 16], pa.list_(pa.float32())),
+        "label": pa.array([0], pa.int32()),
+    }), f"{d}/embeddings.parquet")
+
+    q = e.queries()
+    for name in ("user_overlap_kmv", "join_size_users_daypair",
+                 "join_size_users_daypair_ams", "clean_corpus_near_ids",
+                 "user_retention_daily", "funnel_view_purchase",
+                 "rolling_distinct_users", "trending_users",
+                 "cumulative_users_daily", "decayed_topk_users"):
+        out = q[name](d)  # must not raise
+        t = out if isinstance(out, pa.Table) else (
+            out if hasattr(out, "to_arrow_refs") is False else None
+        )
+    # spot-check the degenerate semantics
+    keep = q["clean_corpus_near_ids"](d).to_pandas()
+    assert keep["doc_id"].tolist() == [1]
+    ov = q["user_overlap_kmv"](d).to_pandas().iloc[0]
+    assert ov["n_click"] == 1 and ov["n_error"] == 0
+    js = q["join_size_users_daypair"](d).to_pandas()["join_size"][0]
+    assert js == 1  # single day: both sides are the same stream, 1·1
