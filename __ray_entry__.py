@@ -2575,6 +2575,51 @@ def _q_sketch_accuracy_report(sf_dir: str):
     )
 
 
+def _q_value_hour_correlation(sf_dir: str):
+    """Distributed Pearson correlation ⊕oracle between event value and
+    hour-of-day: per-batch INTEGER moment partials (n, Σx, Σy, Σxy, Σx²,
+    Σy²) over (cents, hour) — order-independent, so exact under any
+    partitioning — one tiny aggregate, then one float expression mirrored
+    operation-for-operation in the SQL; published milli-rounded."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "value"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(b.column("value"), pa.scalar(100.0)),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64()).to_numpy()
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        hour = (ts // 3_600_000_000) % 24
+        return pa.table(
+            {"n": pa.array([len(cents)], type=pa.int64()),
+             "sx": pa.array([int(cents.sum())], type=pa.int64()),
+             "sy": pa.array([int(hour.sum())], type=pa.int64()),
+             "sxy": pa.array([int((cents * hour).sum())], type=pa.int64()),
+             "sxx": pa.array([int((cents * cents).sum())], type=pa.int64()),
+             "syy": pa.array([int((hour * hour).sum())], type=pa.int64())}
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
+    n = float(agg["sum(n)"])
+    sx, sy = float(agg["sum(sx)"]), float(agg["sum(sy)"])
+    sxy = float(agg["sum(sxy)"])
+    sxx, syy = float(agg["sum(sxx)"]), float(agg["sum(syy)"])
+    # same shape as the SQL text: (n*sxy - sx*sy) / sqrt(...) / sqrt(...)
+    r = (n * sxy - sx * sy) / np.sqrt(n * sxx - sx * sx) / np.sqrt(
+        n * syy - sy * sy
+    )
+    r_milli = float(np.floor(r * 1000.0 + 0.5) / 1000.0)
+    return pa.table({"corr": pa.array([r_milli], type=pa.float64())})
+
+
 def _q_trending_users(sf_dir: str):
     """Top-k DRIFT ⊕oracle: users in the LAST day's exact top-10 but not
     the FIRST day's — trending detection, the question windowed heavy-
@@ -3001,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_kmv": _q_user_overlap_kmv,
         "second_moment_users_exact": _q_second_moment_users_exact,
         "trending_users": _q_trending_users,
+        "value_hour_correlation": _q_value_hour_correlation,
         "sketch_accuracy_report": _q_sketch_accuracy_report,
         "second_moment_users_ams": _q_second_moment_users_ams,
         "join_size_users_daypair": _q_join_size_users_daypair,
@@ -3545,6 +3591,18 @@ SELECT lang,
        CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50,
        CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        "value_hour_correlation": """
+WITH m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x*y) AS DOUBLE) AS sxy,
+         CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy
+  FROM (SELECT CAST(round(value*100) AS BIGINT) AS x,
+               (epoch_us(ts) // 3600000000) % 24 AS y FROM events))
+SELECT round((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+             / sqrt(n * syy - sy * sy), 3) AS corr
+FROM m
 """,
         "trending_users": """
 WITH d AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),

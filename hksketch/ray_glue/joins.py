@@ -60,6 +60,15 @@ def hash_join(
 
     lschema = left.schema()
     rschema = right.schema()
+    if lschema is None or rschema is None:
+        # a fully-empty MAPPED dataset has no schema to join on; the caller
+        # must materialize a typed empty table (rd.from_arrow(empty_table))
+        # or skip the join for that base case
+        raise ValueError(
+            "hash_join: %s side has no schema (empty mapped dataset) — "
+            "supply a typed empty table or handle the empty case upstream"
+            % ("left" if lschema is None else "right")
+        )
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     lcols = [n for n in lschema.names]

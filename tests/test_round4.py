@@ -1885,3 +1885,26 @@ def test_new_queries_survive_degenerate_single_row_tables(
     assert ov["n_click"] == 1 and ov["n_error"] == 0
     js = q["join_size_users_daypair"](d).to_pandas()["join_size"][0]
     assert js == 1  # single day: both sides are the same stream, 1·1
+
+
+def test_hash_join_schemaless_empty_side_raises_clearly(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "v": pa.array([2], pa.int64())}))
+    # a mapped dataset that produces zero rows loses its schema entirely
+    empty_mapped = left.map_batches(
+        lambda b: pa.table({"k": pa.array([], pa.int64()),
+                            "w": pa.array([], pa.int64())}).filter(
+                                pa.array([], pa.bool_())),
+        batch_format="pyarrow",
+    ).filter(lambda r: False)
+    if empty_mapped.schema() is None:
+        with pytest.raises(ValueError, match="no schema"):
+            hash_join(left, empty_mapped, on="k", shards=8)
+    else:  # Ray kept a schema on this version — join must then just work
+        out = hash_join(left, empty_mapped, on="k", how="left", shards=8)
+        assert out.count() == 1
