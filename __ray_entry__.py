@@ -2575,6 +2575,41 @@ def _q_sketch_accuracy_report(sf_dir: str):
     )
 
 
+def _q_events_profile(sf_dir: str):
+    """ONE-SCAN table profile (`ray_glue.stages.grouped_profile`): per
+    event type, exact row count + HLL distinct users + t-digest median —
+    three statistics that would otherwise be three scans, computed from a
+    single pass whose shuffle carries one multi-blob row per (batch,
+    group).  The count column is exact; the estimates are bound-tested vs
+    their exact twins in tests/test_round4.py (rows-only gate)."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_profile
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id", "value"])
+    out = grouped_profile(
+        ds, "event_type",
+        {"users_hll": (sketch_config("hll", p=14, seed=SEED), "user_id"),
+         "value_td": (sketch_config("tdigest", compression=200), "value")},
+    )
+    types, counts, dus, p50 = [], [], [], []
+    for row in sorted(out.take_all(), key=lambda r: r["event_type"]):
+        types.append(row["event_type"])
+        counts.append(int(row["n_rows"]))
+        dus.append(round(sketch_from_bytes(row["users_hll"]).estimate(), 2))
+        p50.append(round(float(
+            sketch_from_bytes(row["value_td"]).quantile(0.5)), 6))
+    return pa.table(
+        {"event_type": pa.array(types, type=pa.string()),
+         "n_events": pa.array(counts, type=pa.int64()),
+         "est_distinct_users": pa.array(dus, type=pa.float64()),
+         "est_median_value": pa.array(p50, type=pa.float64())}
+    )
+
+
 def _q_value_hour_correlation(sf_dir: str):
     """Distributed Pearson correlation ⊕oracle between event value and
     hour-of-day: per-batch INTEGER moment partials (n, Σx, Σy, Σxy, Σx²,
@@ -3047,6 +3082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "second_moment_users_exact": _q_second_moment_users_exact,
         "trending_users": _q_trending_users,
         "value_hour_correlation": _q_value_hour_correlation,
+        "events_profile": _q_events_profile,
         "sketch_accuracy_report": _q_sketch_accuracy_report,
         "second_moment_users_ams": _q_second_moment_users_ams,
         "join_size_users_daypair": _q_join_size_users_daypair,

@@ -367,3 +367,77 @@ class SketchLookup:
         return batch.append_column(
             self.out_col, pa.array(counts.astype(np.uint64), type=pa.uint64())
         )
+
+
+def grouped_profile(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    specs: dict,
+    batch_size: int = 16384,
+):
+    """ONE-SCAN multi-sketch table profile: for every group, an exact row
+    count plus one mergeable sketch per entry of ``specs`` (name →
+    ``(cfg, key_col)`` or ``(cfg, key_col, weight_col)``) — the "profile
+    a table in a single pass" pattern (count + HLL distinct + t-digest
+    quantiles + ... simultaneously), instead of N separate scans.
+
+    Returns Dataset[(group_col, n_rows:int64, <name>:binary per spec)].
+    The shuffle carries one row per (batch, group) with all partial blobs
+    on it; every blob column merges through its own ``MergeSketchBlobs``
+    in the same groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    names = list(specs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {group_col: [], "n_rows": []}
+        for nm in names:
+            cols[nm] = []
+        if batch.num_rows == 0:
+            return pa.table(
+                {group_col: pa.array([], type=batch.schema.field(group_col).type),
+                 "n_rows": pa.array([], type=pa.int64()),
+                 **{nm: pa.array([], type=pa.binary()) for nm in names}}
+            )
+        gvals = batch.column(group_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(gvals, kind="stable")
+        sorted_g = gvals[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(sorted_g[1:] != sorted_g[:-1]) + 1,
+             [len(sorted_g)])
+        )
+        take = pa.array(order, type=pa.int64())
+        sorted_batch = batch.take(take)
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            cols[group_col].append(sorted_g[lo])
+            cols["n_rows"].append(hi - lo)
+            for nm in names:
+                spec = specs[nm]
+                cfg, key_col = spec[0], spec[1]
+                weight_col = spec[2] if len(spec) > 2 else None
+                sk = make_sketch(cfg)
+                keys = sorted_batch.column(key_col).slice(lo, hi - lo)
+                if weight_col is not None:
+                    sk.add_batch(
+                        keys, sorted_batch.column(weight_col).slice(lo, hi - lo)
+                    )
+                else:
+                    sk.add_batch(keys)
+                cols[nm].append(sk.to_bytes())
+        return pa.table(
+            {group_col: pa.array(cols[group_col],
+                                 type=batch.schema.field(group_col).type),
+             "n_rows": pa.array(cols["n_rows"], type=pa.int64()),
+             **{nm: pa.array(cols[nm], type=pa.binary()) for nm in names}}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    aggs = [Sum("n_rows", alias_name="n_rows")]
+    for nm in names:
+        aggs.append(MergeSketchBlobs(on=nm, alias_name=nm))
+    return partials.groupby(group_col).aggregate(*aggs)

@@ -1908,3 +1908,27 @@ def test_hash_join_schemaless_empty_side_raises_clearly(ray_session):
     else:  # Ray kept a schema on this version — join must then just work
         out = hash_join(left, empty_mapped, on="k", how="left", shards=8)
         assert out.count() == 1
+
+
+def test_events_profile_one_scan_matches_exact_twins(ray_session):
+    import duckdb
+    import numpy as np
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    prof = e.queries()["events_profile"](sf).to_pandas().set_index("event_type")
+    want = duckdb.sql(f"""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS du,
+               quantile_disc(value, 0.5) AS med
+        FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1
+    """).df().set_index("event_type")
+    assert sorted(prof.index) == sorted(want.index)
+    for et in want.index:
+        # count column is EXACT
+        assert prof.loc[et, "n_events"] == want.loc[et, "n"]
+        # HLL p=14 ~0.8% typical; allow 5%
+        assert (abs(prof.loc[et, "est_distinct_users"] - want.loc[et, "du"])
+                / want.loc[et, "du"]) < 0.05
+        # t-digest median within 5% of the exact median
+        assert (abs(prof.loc[et, "est_median_value"] - want.loc[et, "med"])
+                / max(abs(want.loc[et, "med"]), 1e-9)) < 0.05
