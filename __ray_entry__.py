@@ -843,8 +843,22 @@ def _q_pmi_bigrams(sf_dir: str):
         .aggregate(Sum("c", alias_name="c"))
     ).materialize()
 
-    n_bi = float(bc.sum("cab"))
+    n_bi = float(bc.sum("cab"))  # total occurrences: from the UNFILTERED counts
     n_uni = float(uc.sum("c"))
+
+    # the cab >= 5 support threshold is applied in the final score stage
+    # anyway — applying it HERE drops the dominant rare-bigram tail before
+    # both token-keyed shuffles (round-4 review)
+    def support(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(
+            _pc.greater_equal(b.column("cab"), pa.scalar(5, type=pa.int64()))
+        )
+
+    bc = bc.map_batches(
+        support, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def attach(which: str):
         # union (bigram rows keyed by one of their words) with (unigram
@@ -1389,7 +1403,12 @@ def _q_rolling_distinct_users(sf_dir: str):
             .cast(pa.schema([("day", pa.int64()), ("user_id", pa.int64())]))
         )
 
-    pairs = ds.map_batches(day_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    # pairs is consumed twice (observed-day pass + explode pass):
+    # materialize the narrow 2-int projection once instead of re-running
+    # the parquet read + dedup per consumer (round-4 review)
+    pairs = ds.map_batches(
+        day_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     # observed days: per-batch unique partials (≤ #days rows per block) →
     # tiny driver unique; bounded by the calendar, never the data
     def day_partial(b: pa.Table) -> pa.Table:
@@ -2673,7 +2692,11 @@ def _q_trending_users(sf_dir: str):
              "user_id": b.column("user_id")}
         )
 
-    byday = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    # byday is consumed four times (min, max, two filtered top-k passes):
+    # materialize the 2-column projection once (round-4 review)
+    byday = ds.map_batches(
+        day, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     first, last = byday.min("day"), byday.max("day")
 
     def topk_of(dval):
@@ -2759,7 +2782,11 @@ def _day_pair_streams(sf_dir: str):
              "user_id": b.column("user_id")}
         )
 
-    byday = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    # narrow (day, user) projection is consumed by the observed-day pass,
+    # then once or twice by the downstream queries — materialize it once
+    byday = ds.map_batches(
+        day, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def day_partial(b: pa.Table) -> pa.Table:
         return pa.table({"day": pc.unique(b.column("day").combine_chunks())})

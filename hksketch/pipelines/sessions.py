@@ -289,14 +289,26 @@ def conversion_funnel_daily(
         )
         if g.num_rows == 0:
             return empty
-        keys, ts, order = _sorted_arrays(g, key_col, ts_col)
-        typ = g.column(type_col).to_numpy(zero_copy_only=False)[order]
+        # sort (key, ts, from-events LAST within a timestamp): an equal-ts
+        # from-event must not become the running max at a to-row — it would
+        # fail the strict-before check and SHADOW an older in-window
+        # from-event, making the answer depend on input row order
+        keys0 = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts0 = (
+            g.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+            .to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        typ0 = g.column(type_col).to_numpy(zero_copy_only=False)
+        from_rank = (typ0 == from_type).astype(np.int8)
+        order = np.lexsort((from_rank, ts0, keys0))
+        keys, ts, typ = keys0[order], ts0[order], typ0[order]
         is_to = typ == to_type
         if not is_to.any():
             return empty
         n = len(keys)
-        # latest from-event position at-or-before each row (running max of
-        # from positions; -1 = none yet)
+        # latest STRICTLY-EARLIER from-event position at each row (running
+        # max of from positions; -1 = none yet; equal-ts from-events sort
+        # after to-events, so they cannot be the max at a to-row)
         last_from = np.maximum.accumulate(
             np.where(typ == from_type, np.arange(n), -1)
         )

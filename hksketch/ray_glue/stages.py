@@ -87,6 +87,18 @@ class MergeSketchBlobs(SketchAggregate):
         return acc.to_bytes() if acc is not None else None
 
 
+def _group_order(groups: "np.ndarray"):
+    """One stable argsort + boundary scan shared by every per-batch
+    grouped-partial builder: returns (order, uniq, starts, ends) where
+    ``order`` gathers rows group-contiguously and group ``i`` spans
+    ``order[starts[i]:ends[i]]``."""
+    order = np.argsort(groups, kind="stable")
+    sorted_g = groups[order]
+    uniq, starts = np.unique(sorted_g, return_index=True)
+    ends = np.append(starts[1:], len(sorted_g))
+    return order, uniq, starts, ends
+
+
 def make_partial_sketch_fn(
     cfg: dict,
     key_col: str,
@@ -150,12 +162,9 @@ def make_partial_sketch_fn(
                  "sketch": pa.array([], type=pa.binary()),
                  "n_rows": pa.array([], type=pa.int64())}
             )
-        order = np.argsort(kg, kind="stable")
+        order, uniq, starts, ends = _group_order(kg)
         keys_sorted = keyarr.take(pa.array(order))
-        kg_sorted = kg[order]
         w_sorted = w[order] if w is not None else None
-        uniq, starts = np.unique(kg_sorted, return_index=True)
-        ends = np.append(starts[1:], len(kg_sorted))
         probe = make_sketch(cfg)
         # one hash pass for the whole batch, via the sketch's OWN hasher
         # (respects with_hasher backends); only kernels exposing a hashes=
@@ -401,17 +410,14 @@ def grouped_profile(
                  **{nm: pa.array([], type=pa.binary()) for nm in names}}
             )
         gvals = batch.column(group_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(gvals, kind="stable")
-        sorted_g = gvals[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(sorted_g[1:] != sorted_g[:-1]) + 1,
-             [len(sorted_g)])
-        )
-        take = pa.array(order, type=pa.int64())
-        sorted_batch = batch.take(take)
-        for i in range(len(bounds) - 1):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            cols[group_col].append(sorted_g[lo])
+        # same slicing idiom as make_partial_sketch_fn's grouped path (one
+        # shared helper); the hashes= fast path is not applicable here —
+        # each spec sketches a DIFFERENT key column
+        order, uniq, starts, ends = _group_order(gvals)
+        sorted_batch = batch.take(pa.array(order, type=pa.int64()))
+        for i in range(len(uniq)):
+            lo, hi = int(starts[i]), int(ends[i])
+            cols[group_col].append(uniq[i])
             cols["n_rows"].append(hi - lo)
             for nm in names:
                 spec = specs[nm]

@@ -319,19 +319,33 @@ def estimate_overlap(a: "ReservoirSample", b: "ReservoirSample") -> dict:
     error scales with the UNION (not the sum of set sizes), which is what
     makes it usable for small intersections of large sets.
 
-    Exact when both sketches are below their k (every tag retained).
+    Exact when BOTH sketches are below their k (every tag retained, so
+    the union and intersection tag sets are complete — even if the union
+    exceeds k); the sampled (k-1)/U_(k) path only engages when at least
+    one side actually truncated.
     Returns dict(est_a, est_b, est_union, est_inter, est_jaccard).
     """
     a._check_compatible(b)
     union_tags = np.unique(np.concatenate([a.tags, b.tags]))
     k = a.k
+    both = np.intersect1d(a.tags, b.tags, assume_unique=True)
+    if len(a.tags) < a.k and len(b.tags) < b.k:
+        # exact regime: nothing was ever dropped on either side
+        est_union = float(len(union_tags))
+        inter = float(len(both))
+        return {
+            "est_a": float(len(a.tags)),
+            "est_b": float(len(b.tags)),
+            "est_union": est_union,
+            "est_inter": inter,
+            "est_jaccard": inter / max(len(union_tags), 1),
+        }
     if len(union_tags) >= k:
         union_tags = union_tags[:k]
         u_k = (float(union_tags[-1]) + 1.0) / 2.0 ** 64
         est_union = (k - 1) / u_k
     else:
         est_union = float(len(union_tags))
-    both = np.intersect1d(a.tags, b.tags, assume_unique=True)
     m = int(np.isin(union_tags, both, assume_unique=True).sum())
     jac = m / max(len(union_tags), 1)
     return {
