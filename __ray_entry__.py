@@ -260,14 +260,15 @@ def _q_cms_event_type_counts(sf_dir: str):
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
-    from hksketch.ray_glue.aggregate import CountMinAggregate
+    from hksketch.ray_glue.aggregate import CountMinAggregate, aggregate_sketch
     from hksketch.sketch import sketch_from_bytes
 
     ds = read_table(sf_dir, "events", ["event_type"])
-    blob = ds.aggregate(
+    blob = aggregate_sketch(
+        ds,
         CountMinAggregate(on="event_type", width=4096, depth=4, seed=SEED,
-                          alias_name="sketch")
-    )["sketch"]
+                          alias_name="sketch"),
+    )
     cms = sketch_from_bytes(blob)
     types = sorted(ds.unique("event_type"))
     est = cms.count_batch(types).astype("int64")
@@ -282,13 +283,15 @@ def _q_bloom_users_membership(sf_dir: str):
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
-    from hksketch.ray_glue.aggregate import BloomAggregate
+    from hksketch.ray_glue.aggregate import BloomAggregate, aggregate_sketch
     from hksketch.sketch import sketch_from_bytes
 
     ds = read_table(sf_dir, "events", ["user_id"])
-    blob = ds.aggregate(
-        BloomAggregate(on="user_id", m_bits=1 << 20, k=7, seed=SEED, alias_name="s")
-    )["s"]
+    blob = aggregate_sketch(
+        ds,
+        BloomAggregate(on="user_id", m_bits=1 << 20, k=7, seed=SEED,
+                       alias_name="s"),
+    )
     bf = sketch_from_bytes(blob)
     probe = np.arange(0, 200, dtype=np.int64)
     present = bf.contains_batch(probe)
@@ -1672,9 +1675,13 @@ def _q_orders_semijoin_bloom(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    blob = side.aggregate(
-        BloomAggregate(on="c_custkey", m_bits=1 << 22, k=7, seed=SEED, alias_name="s")
-    )["s"]
+    from hksketch.ray_glue.aggregate import aggregate_sketch
+
+    blob = aggregate_sketch(
+        side,
+        BloomAggregate(on="c_custkey", m_bits=1 << 22, k=7, seed=SEED,
+                       alias_name="s"),
+    )
     bf = sketch_from_bytes(blob)  # ~512 KB: closure-broadcast with the fn
 
     def probe(b: pa.Table) -> pa.Table:
@@ -2341,11 +2348,14 @@ def _q_top_unshipped_orders(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    from hksketch.ray_glue.aggregate import aggregate_sketch
+
     bf_cust = sketch_from_bytes(
-        side.aggregate(
+        aggregate_sketch(
+            side,
             BloomAggregate(on="c_custkey", m_bits=m_cust, k=7, seed=SEED,
-                           alias_name="s")
-        )["s"]
+                           alias_name="s"),
+        )
     )
 
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
@@ -2360,10 +2370,11 @@ def _q_top_unshipped_orders(sf_dir: str):
         keep_orders, batch_format="pyarrow", zero_copy_batch=True
     )
     bf_ord = sketch_from_bytes(
-        kept_orders.aggregate(
+        aggregate_sketch(
+            kept_orders,
             BloomAggregate(on="o_orderkey", m_bits=m_ord, k=7, seed=SEED,
-                           alias_name="s")
-        )["s"]
+                           alias_name="s"),
+        )
     )
 
     li = read_table(
@@ -2396,9 +2407,17 @@ def _q_top_unshipped_orders(sf_dir: str):
         weight_col="rev4",
         count_name="rev4",
     )
-    top = pa.Table.from_pylist(
-        rev.sort(["rev4", "l_orderkey"], descending=[True, False]).limit(10).take_all()
-    )
+    rows = rev.sort(
+        ["rev4", "l_orderkey"], descending=[True, False]
+    ).limit(10).take_all()
+    if not rows:
+        # no qualifying order (everything filtered) → typed empty result
+        return pa.table(
+            {"o_orderkey": pa.array([], type=pa.int64()),
+             "revenue": pa.array([], type=pa.float64()),
+             "o_orderdate": pa.array([], type=pa.timestamp("us"))}
+        )
+    top = pa.Table.from_pylist(rows)
     # date lookup for the 10 winners only (broadcast the tiny key set)
     keys = top.column("l_orderkey").to_numpy().astype("int64")
 

@@ -119,6 +119,13 @@ class SketchAggregate(AggregateFnV2):
             ignore_nulls=True,
         )
 
+    def empty_blob(self) -> bytes:
+        """Serialized sketch of the EMPTY stream — what an aggregation over
+        zero rows means.  ``Dataset.aggregate`` returns None for an empty
+        dataset; callers use :func:`aggregate_sketch` (or this directly)
+        instead of subscripting that None."""
+        return make_sketch(self._cfg).to_bytes()
+
     # -- AggregateFnV2 contract -----------------------------------------
 
     def aggregate_block(self, block) -> Optional[bytes]:
@@ -230,3 +237,11 @@ class KLLQuantileAggregate(SketchAggregate):
             return [float("nan")] * len(self._qs)
         sk = sketch_from_bytes(accumulator)
         return [sk.quantile(q) for q in self._qs]
+
+
+def aggregate_sketch(ds, agg: "SketchAggregate") -> bytes:
+    """``ds.aggregate(agg)`` with the empty-dataset base case handled: zero
+    input rows yield the sketch of the empty stream, never None."""
+    out = ds.aggregate(agg)
+    blob = None if out is None else out[agg.name]
+    return blob if blob is not None else agg.empty_blob()

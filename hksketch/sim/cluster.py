@@ -50,6 +50,9 @@ def _fold_partial_chunk(items: list, cols: tuple, shapes: tuple):
             for a, v in zip(acc, it):
                 a += np.asarray(v, dtype=np.float64).reshape(-1)
             continue
+        if it.num_rows == 0:
+            # empty blocks carry empty schemas — nothing to fold
+            continue
         for a, c in zip(acc, cols):
             col = it.column(c).combine_chunks()
             flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)

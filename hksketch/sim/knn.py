@@ -263,13 +263,19 @@ def _pairs_from_scores(S: np.ndarray, ids_a, ids_b, threshold: float,
 def _block_pair_task(ta: pa.Table, tb: pa.Table, threshold: float,
                      emb_col: str, id_col: str, same_block: bool) -> pa.Table:
     """One block×block cosine product; returns only the qualifying pairs."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    # repartition() of a tiny dataset emits EMPTY blocks with empty
+    # schemas — no rows to pair, and .column() would KeyError
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return empty
     A = _normalize(_emb_matrix(ta.column(emb_col)))
     B = _normalize(_emb_matrix(tb.column(emb_col)))
     ids_a = ta.column(id_col).to_numpy().astype(np.int64)
     ids_b = tb.column(id_col).to_numpy().astype(np.int64)
     a, b = _pairs_from_scores(A @ B.T, ids_a, ids_b, threshold, same_block)
     return pa.table({"a": pa.array(a, type=pa.int64()),
-                     "b": pa.array(b, type=pa.int64())})
+                     "b": pa.array(b, type=pa.int64())})  # noqa: E501
 
 
 def embedding_near_dupes(

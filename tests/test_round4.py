@@ -1976,3 +1976,29 @@ def test_kmv_overlap_exact_even_when_union_exceeds_k():
     assert est["est_union"] == 600.0
     assert est["est_inter"] == 0.0
     assert est["est_jaccard"] == 0.0
+
+
+def test_previously_crashing_queries_on_degenerate_tables(ray_session, tmp_path):
+    """Regression for the degenerate-sweep findings: empty filtered
+    streams (global_sketch / SketchAggregate → sketch of the EMPTY stream,
+    never None), empty repartition blocks in the block-pair and k-means
+    fold tasks, and the no-qualifying-orders base case."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from degenerate_sweep import write_tiny
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    write_tiny(d)
+    q = e.queries()
+    for name in ("cms_heavy_change_users", "hll_user_overlap",
+                 "top_unshipped_orders", "embed_near_dupes",
+                 "kmeans_embedding_clusters", "cms_event_type_counts",
+                 "bloom_users_membership"):
+        out = q[name](d)
+        if not isinstance(out, pa.Table):
+            out = pa.Table.from_pandas(out.to_pandas())
+        assert out.num_rows >= 0, name
+    # empty-stream sketch semantics: zero qualifying orders → 0-row result
+    assert q["top_unshipped_orders"](d).num_rows == 0
