@@ -1108,6 +1108,21 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, n_docs=n_docs, k=50)
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM perplexity quality gate (Wenzek et al. 2019 use a
+    KenLM 5-gram; here a from-scratch add-one unigram LM trained on the
+    corpus itself): train = one combiner-shuffle to vocab-sized counts +
+    deterministic top-65536 cap; score = one broadcast-model streaming
+    pass.  Per-token log-probs are frozen to int64 micro-units at model
+    build, so per-doc sums are order-independent integers and the oracle
+    hash-matches exactly (see ``hksketch.text.lm``)."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.lm import lm_perplexity
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return lm_perplexity(ds).sort("doc_id")
+
+
 def _q_doc_fingerprints(sf_dir: str):
     import pyarrow as pa
 
@@ -3082,6 +3097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "pmi_bigrams": _q_pmi_bigrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "lm_perplexity": _q_lm_perplexity,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
@@ -3578,6 +3594,42 @@ SELECT token, tf, df,
 FROM stats
 ORDER BY tfidf DESC, token ASC
 LIMIT 50
+""",
+        "lm_perplexity": _TOKENS_DOC_CTE
+        + """
+, tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t,
+         CAST(count(DISTINCT token) AS DOUBLE) AS v
+  FROM doc_toks
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM doc_toks GROUP BY token
+),
+vocab AS (
+  SELECT token, c FROM counts ORDER BY c DESC, token ASC LIMIT 65536
+),
+model AS (
+  SELECT token,
+         CAST(floor(ln((CAST(c AS DOUBLE) + 1.0) / (t + v + 1.0)) * 1e6
+                    + 0.5) AS BIGINT) AS logp
+  FROM vocab, tot
+),
+oov AS (
+  SELECT CAST(floor(ln(1.0 / (t + v + 1.0)) * 1e6 + 0.5) AS BIGINT) AS logp
+  FROM tot
+),
+scored AS (
+  SELECT dt.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(coalesce(m.logp, (SELECT logp FROM oov))) AS s
+  FROM doc_toks dt LEFT JOIN model m ON m.token = dt.token
+  GROUP BY dt.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(-s AS BIGINT) AS nll_micro,
+       floor(exp((-CAST(s AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE))
+             * 1000.0 + 0.5) / 1000.0 AS ppl_milli
+FROM scored ORDER BY doc_id
 """,
         "bpe_token_totals": r"""
 SELECT source,

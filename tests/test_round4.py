@@ -2002,3 +2002,75 @@ def test_previously_crashing_queries_on_degenerate_tables(ray_session, tmp_path)
         assert out.num_rows >= 0, name
     # empty-stream sketch semantics: zero qualifying orders → 0-row result
     assert q["top_unshipped_orders"](d).num_rows == 0
+
+
+# ---------- LM perplexity (CCNet-style unigram quality gate) ----------
+
+
+def test_lm_perplexity_matches_brute_force_with_oov(ray_session):
+    """vocab_cap=2 forces the OOV path (the capped regime the driver
+    oracle can't reach at sf0.01, where cap >= vocab): scores must equal
+    an independent per-token brute force, micro-int exact."""
+    import math
+
+    import ray.data as rd
+
+    from hksketch.text.lm import lm_perplexity, train_unigram_lm
+
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+         "text": ["aa bb aa cc", "bb bb zz aa", "", "cc"]}
+    )
+    ds = rd.from_arrow(docs)
+    model = train_unigram_lm(ds, vocab_cap=2)
+    # counts: aa 3, bb 3, cc 2, zz 1 → top-2 by (count desc, token asc)
+    # keeps aa and bb; cc/zz are OOV
+    assert model["vocab"] == 4 and model["total"] == 9
+    assert len(model["hashes"]) == 2
+    out = (
+        lm_perplexity(ds, vocab_cap=2, model=model)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    cnt = {"aa": 3, "bb": 3}
+    T, V = 9, 4
+    lp = {t: math.floor(math.log((c + 1.0) / (T + V + 1.0)) * 1e6 + 0.5)
+          for t, c in cnt.items()}
+    oov = math.floor(math.log(1.0 / (T + V + 1.0)) * 1e6 + 0.5)
+    assert model["oov"] == oov
+    exp_rows = []
+    for did, toks in [(1, ["aa", "bb", "aa", "cc"]),
+                      (2, ["bb", "bb", "zz", "aa"]), (4, ["cc"])]:
+        s = sum(lp.get(t, oov) for t in toks)
+        ppl = math.exp((-s / 1e6) / len(toks))
+        exp_rows.append((did, len(toks), -s,
+                         math.floor(ppl * 1000.0 + 0.5) / 1000.0))
+    assert list(out.itertuples(index=False, name=None)) == exp_rows
+    # doc 3 (zero tokens) is excluded, not scored as 0
+    assert 3 not in set(out["doc_id"])
+
+
+def test_lm_perplexity_degenerate_inputs(ray_session):
+    """Empty corpus and all-empty-text corpus: train yields the documented
+    base model (vocab 0, oov logp 0) and scoring emits the full schema with
+    zero rows — the empty-partition contract every operator here keeps."""
+    import ray.data as rd
+
+    from hksketch.text.lm import lm_perplexity, train_unigram_lm
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    m = train_unigram_lm(rd.from_arrow(empty))
+    assert m["vocab"] == 0 and m["total"] == 0 and m["oov"] == 0
+    blank = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "text": pa.array(["1234 !!"])})
+    out = lm_perplexity(rd.from_arrow(blank)).to_pandas()
+    assert len(out) == 0
+    # the batch-level contract carries the full schema even when every
+    # doc is token-less (Ray may drop all-empty blocks dataset-level)
+    from hksketch.text.lm import LMScore
+
+    bt = LMScore(m)(blank)
+    assert bt.num_rows == 0
+    assert bt.schema.names == ["doc_id", "n_tokens", "nll_micro",
+                               "ppl_milli"]
