@@ -1108,6 +1108,22 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, n_docs=n_docs, k=50)
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher repetition filters (Rae et al. 2021) as a per-doc quality
+    query — word stats, top-bigram and duplicate-trigram fractions, plus
+    the composite pass flag.  Embarrassingly parallel (one tokenize pass,
+    polars group-bys inside the batch, NO shuffle); every fraction is one
+    int64/int64 IEEE division, so the oracle hash-matches bit-for-bit
+    (see ``text.analysis.gopher_quality_batch``)."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.analysis import gopher_quality_batch
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        gopher_quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style LM perplexity quality gate (Wenzek et al. 2019 use a
     KenLM 5-gram; here a from-scratch add-one unigram LM trained on the
@@ -3098,6 +3114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_perplexity": _q_lm_perplexity,
+        "gopher_quality": _q_gopher_quality,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
@@ -3594,6 +3611,68 @@ SELECT token, tf, df,
 FROM stats
 ORDER BY tfidf DESC, token ASC
 LIMIT 50
+""",
+        "gopher_quality": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, toks FROM tl WHERE len(toks) > 0),
+words AS (SELECT doc_id, unnest(toks) AS w FROM base),
+wstat AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT w) AS BIGINT) AS nd,
+         CAST(sum(length(w)) AS BIGINT) AS chars
+  FROM words GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM base
+),
+bmax AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM base
+),
+tdup AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup
+  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+  WHERE c >= 2 GROUP BY doc_id
+),
+scored AS (
+  SELECT w.doc_id, w.n AS n_words,
+         CAST(w.chars AS DOUBLE) / CAST(w.n AS DOUBLE) AS mean_word_chars,
+         CAST(w.n - w.nd AS DOUBLE) / CAST(w.n AS DOUBLE) AS dup_word_frac,
+         CASE WHEN w.n >= 2
+              THEN CAST(coalesce(b.mx, 0) AS DOUBLE)
+                   / CAST(w.n - 1 AS DOUBLE)
+              ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN w.n >= 3
+              THEN CAST(coalesce(t.dup, 0) AS DOUBLE)
+                   / CAST(w.n - 2 AS DOUBLE)
+              ELSE 0.0 END AS dup_trigram_frac
+  FROM wstat w
+  LEFT JOIN bmax b USING (doc_id)
+  LEFT JOIN tdup t USING (doc_id)
+)
+SELECT doc_id, n_words, mean_word_chars, dup_word_frac, top_bigram_frac,
+       dup_trigram_frac,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_chars >= 3.0 AND mean_word_chars <= 10.0
+        AND top_bigram_frac <= 0.20 AND dup_trigram_frac <= 0.30)
+         AS gopher_pass
+FROM scored ORDER BY doc_id
 """,
         "lm_perplexity": _TOKENS_DOC_CTE
         + """

@@ -290,3 +290,108 @@ def bpe_token_counts(texts: "pa.Array | pa.ChunkedArray") -> np.ndarray:
         .to_numpy()
         .astype(np.int64)
     )
+
+
+def gopher_quality_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style repetition/quality signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Table A1 repetition filters), adapted to
+    word-level n-grams: per document ``n_words``, ``mean_word_chars``,
+    ``dup_word_frac`` (1 − distinct/total), ``top_bigram_frac`` (most
+    frequent adjacent pair / total pairs), ``dup_trigram_frac``
+    (occurrences of within-doc repeated trigrams / total trigrams), and a
+    composite ``gopher_pass`` flag (50 ≤ words ≤ 100 000, mean word length
+    in [3, 10], top-bigram ≤ 0.20, dup-trigram ≤ 0.30 — the paper's
+    thresholds for the signals kept here).
+
+    Embarrassingly parallel — one tokenize pass per batch, polars
+    group-bys, NO shuffle; every fraction is a single int64/int64 IEEE
+    division so the DuckDB oracle hash-matches bit-for-bit.  Docs with
+    zero tokens are excluded (the corpus-wide convention)."""
+    import polars as pl
+
+    from .tokenize import tokenize_column
+
+    schema = pa.schema(
+        [(id_col, pa.int64()), ("n_words", pa.int64()),
+         ("mean_word_chars", pa.float64()), ("dup_word_frac", pa.float64()),
+         ("top_bigram_frac", pa.float64()), ("dup_trigram_frac", pa.float64()),
+         ("gopher_pass", pa.bool_())]
+    )
+    if batch.num_rows == 0:
+        return schema.empty_table()
+    toks = tokenize_column(batch.column(text_col), with_doc_index=True)
+    if toks.num_rows == 0:
+        return schema.empty_table()
+    didx = toks.column("doc_idx").to_numpy()
+    tok = toks.column("token").combine_chunks()
+
+    df = pl.DataFrame({"d": didx, "w": pl.from_arrow(tok)})
+    wstat = (
+        df.group_by("d")
+        .agg(n=pl.len().cast(pl.Int64),
+             nd=pl.col("w").n_unique().cast(pl.Int64),
+             chars=pl.col("w").str.len_bytes().sum().cast(pl.Int64))
+        .sort("d")
+    )
+    docs = wstat["d"].to_numpy()
+    n = wstat["n"].to_numpy().astype(np.int64)
+    nd = wstat["nd"].to_numpy().astype(np.int64)
+    chars = wstat["chars"].to_numpy().astype(np.int64)
+
+    def _ngram_stats(k: int, reducer: str) -> np.ndarray:
+        """Per-doc max (reducer='max') k-gram multiplicity or summed
+        multiplicity of repeated k-grams (reducer='dup'), aligned to
+        ``docs``; vectorized adjacency via shifted doc-index equality."""
+        out = np.zeros(len(docs), dtype=np.int64)
+        if len(didx) < k:
+            return out
+        same = didx[k - 1:] == didx[: len(didx) - k + 1]
+        idx = np.flatnonzero(same)
+        if len(idx) == 0:
+            return out
+        import pyarrow.compute as pc
+
+        parts = [tok.take(pa.array(idx + j, type=pa.int64()))
+                 for j in range(k)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        g = pl.DataFrame({"d": didx[idx], "g": pl.from_arrow(joined)})
+        gc = g.group_by(["d", "g"]).agg(c=pl.len().cast(pl.Int64))
+        if reducer == "max":
+            r = gc.group_by("d").agg(v=pl.col("c").max()).sort("d")
+        else:
+            r = (
+                gc.filter(pl.col("c") >= 2)
+                .group_by("d")
+                .agg(v=pl.col("c").sum())
+                .sort("d")
+            )
+        pos = np.searchsorted(docs, r["d"].to_numpy())
+        out[pos] = r["v"].to_numpy().astype(np.int64)
+        return out
+
+    bmax = _ngram_stats(2, "max")
+    tdup = _ngram_stats(3, "dup")
+
+    nf = n.astype(np.float64)
+    mean_chars = chars.astype(np.float64) / nf
+    dup_word = (n - nd).astype(np.float64) / nf
+    top_bigram = np.where(n >= 2, bmax.astype(np.float64)
+                          / np.maximum(n - 1, 1).astype(np.float64), 0.0)
+    dup_trigram = np.where(n >= 3, tdup.astype(np.float64)
+                           / np.maximum(n - 2, 1).astype(np.float64), 0.0)
+    ok = ((n >= 50) & (n <= 100_000)
+          & (mean_chars >= 3.0) & (mean_chars <= 10.0)
+          & (top_bigram <= 0.20) & (dup_trigram <= 0.30))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)[docs]
+    return pa.table(
+        {id_col: pa.array(ids, type=pa.int64()),
+         "n_words": pa.array(n), "mean_word_chars": pa.array(mean_chars),
+         "dup_word_frac": pa.array(dup_word),
+         "top_bigram_frac": pa.array(top_bigram),
+         "dup_trigram_frac": pa.array(dup_trigram),
+         "gopher_pass": pa.array(ok)}
+    )

@@ -2074,3 +2074,39 @@ def test_lm_perplexity_degenerate_inputs(ray_session):
     assert bt.num_rows == 0
     assert bt.schema.names == ["doc_id", "n_tokens", "nll_micro",
                                "ppl_milli"]
+
+
+def test_gopher_quality_hand_computed():
+    """Repetition metrics on hand-checkable docs: heavy bigram repetition,
+    short docs, and the n=1 / n=2 denominators-zero edges."""
+    from hksketch.text.analysis import gopher_quality_batch
+
+    batch = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+         "text": ["ab ab ab ab cd",          # bigram "ab ab" x3 of 4
+                  "xx",                       # n=1: both fracs 0
+                  "one two",                  # n=2: trigram frac 0
+                  ""]}                        # token-less: excluded
+    )
+    out = gopher_quality_batch(batch)
+    assert out.column("doc_id").to_pylist() == [1, 2, 3]
+    r = {c: out.column(c).to_pylist() for c in out.schema.names}
+    # doc 1: n=5, nd=2 (ab, cd), chars=10
+    assert r["n_words"][0] == 5
+    assert r["mean_word_chars"][0] == 10 / 5
+    assert r["dup_word_frac"][0] == 3 / 5
+    # bigrams: (ab,ab) x3, (ab,cd) x1 -> max 3 of 4
+    assert r["top_bigram_frac"][0] == 3 / 4
+    # trigrams: (ab ab ab) x2, (ab ab cd) x1 -> dup occurrences 2 of 3
+    assert r["dup_trigram_frac"][0] == 2 / 3
+    assert r["gopher_pass"][0] is False  # repetition + n < 50
+    # doc 2: single token, mean 2.0, all fracs 0, fails length gate only
+    assert r["n_words"][1] == 1 and r["top_bigram_frac"][1] == 0.0
+    assert r["dup_trigram_frac"][1] == 0.0
+    # doc 3: one bigram occurring once -> frac 1.0; trigram frac 0
+    assert r["top_bigram_frac"][2] == 1.0
+    assert r["dup_trigram_frac"][2] == 0.0
+    # empty batch keeps the full schema
+    assert gopher_quality_batch(batch.slice(0, 0)).schema.names == list(
+        out.schema.names
+    )
