@@ -1108,6 +1108,100 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, n_docs=n_docs, k=50)
 
 
+def _q_corpus_filter_flags(sf_dir: str):
+    """The end-to-end training-corpus gate — the composition a Common-Crawl
+    pipeline actually runs (CCNet/Gopher order): language agreement
+    (lang-ID prediction == metadata tag), Gopher repetition flags, LM
+    perplexity at-or-below the corpus median, and exact-dup first-survivor
+    — per doc, with each gate reported and ``keep`` their conjunction.
+
+    Distributed shape: scan 1 trains the unigram LM (combiner shuffle);
+    scan 2 is ONE fused actor-pool pass computing all per-doc gate inputs
+    (gopher metrics + lang-ID + LM score + content hash) into a narrow
+    materialized gates table; then a distributed exact median over it, a
+    (hash → min id) groupby for dup winners, and one hash join back.
+    Bodies are scanned twice and never shuffled; everything shuffled is
+    per-doc scalars."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Min
+
+    from hksketch.dedup.exact import DEDUP_SEED
+    from hksketch.hashing import hash_array
+    from hksketch.pipelines.ops import exact_quantiles, read_table
+    from hksketch.ray_glue.joins import hash_join
+    from hksketch.text.analysis import gopher_quality_batch, lang_id_batch
+    from hksketch.text.lm import LMScore, train_unigram_lm
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ref = ray.put(train_unigram_lm(ds))
+
+    gates_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang_ok", pa.bool_()),
+         ("gopher_pass", pa.bool_()), ("ppl_milli", pa.float64()),
+         ("content_hash", pa.int64())]
+    )
+
+    class Gates:
+        def __init__(self, model_ref):
+            self.lm = LMScore(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import polars as pl
+            import pyarrow.compute as pc
+
+            if b.num_rows == 0:
+                return gates_schema.empty_table()
+            gq = gopher_quality_batch(b)  # tokened docs only
+            if gq.num_rows == 0:
+                return gates_schema.empty_table()
+            lmq = self.lm(b)  # same tokened-doc subset
+            lang_ok = pc.equal(lang_id_batch(b.column("text")),
+                               b.column("lang").combine_chunks())
+            per_row = pl.DataFrame(
+                {"doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
+                 "lang_ok": pl.from_arrow(lang_ok),
+                 "content_hash": hash_array(
+                     b.column("text"), DEDUP_SEED).astype(np.int64)}
+            )
+            j = (
+                pl.from_arrow(gq.select(["doc_id", "gopher_pass"]))
+                .join(pl.from_arrow(lmq.select(["doc_id", "ppl_milli"])),
+                      on="doc_id")
+                .join(per_row, on="doc_id")
+                .select(["doc_id", "lang_ok", "gopher_pass", "ppl_milli",
+                         "content_hash"])
+            )
+            return j.to_arrow().cast(gates_schema)
+
+    G = ds.map_batches(
+        Gates, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(ref,), concurrency=(1, 8),
+    ).materialize()
+    med = exact_quantiles(G, "ppl_milli", [0.5])[0]
+    winners = G.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="min_id")
+    )
+    joined = hash_join(G, winners, on="content_hash")
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang_ok = b.column("lang_ok")
+        gok = b.column("gopher_pass")
+        ppl_ok = pc.less_equal(b.column("ppl_milli"), pa.scalar(med))
+        first = pc.equal(b.column("doc_id"), b.column("min_id"))
+        keep = pc.and_(pc.and_(lang_ok, gok), pc.and_(ppl_ok, first))
+        return pa.table({"doc_id": b.column("doc_id"), "lang_ok": lang_ok,
+                         "gopher_ok": gok, "ppl_ok": ppl_ok,
+                         "first_dup": first, "keep": keep})
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher repetition filters (Rae et al. 2021) as a per-doc quality
     query — word stats, top-bigram and duplicate-trigram fractions, plus
@@ -3115,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_perplexity": _q_lm_perplexity,
         "gopher_quality": _q_gopher_quality,
+        "corpus_filter_flags": _q_corpus_filter_flags,
         "doc_fingerprints": _q_doc_fingerprints,
         "tokens_per_source_topk": _q_tokens_per_source_topk,
         "tokens_per_lang_topk_sketch": _q_tokens_per_lang_topk_sketch,
@@ -3249,6 +3344,131 @@ LIMIT 100
 )
 
 
+def _corpus_filter_sql() -> str:
+    """Oracle for ``corpus_filter_flags``: the gopher-flag, LM-perplexity,
+    lang-agreement and first-dup CTE chains composed into one statement.
+    The lang-ID subquery nests the generated stopword SQL so the two rules
+    cannot drift; the LM and gopher arithmetic are the same expression
+    shapes as their standalone oracles."""
+    return (
+        "WITH "
+        + _TOKENS_DOC_CTE.strip()[len("WITH "):]
+        + """,
+tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, toks FROM tl WHERE len(toks) > 0),
+wstat AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+           AS chars
+  FROM base
+),
+bmax AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM base)
+        GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+tdup AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS g
+              FROM base)
+        GROUP BY 1, 2)
+  WHERE c >= 2 GROUP BY doc_id
+),
+gq AS (
+  SELECT w.doc_id,
+         (w.n BETWEEN 50 AND 100000
+          AND CAST(w.chars AS DOUBLE) / CAST(w.n AS DOUBLE) >= 3.0
+          AND CAST(w.chars AS DOUBLE) / CAST(w.n AS DOUBLE) <= 10.0
+          AND (CASE WHEN w.n >= 2
+                    THEN CAST(coalesce(b.mx, 0) AS DOUBLE)
+                         / CAST(w.n - 1 AS DOUBLE)
+                    ELSE 0.0 END) <= 0.20
+          AND (CASE WHEN w.n >= 3
+                    THEN CAST(coalesce(t.dup, 0) AS DOUBLE)
+                         / CAST(w.n - 2 AS DOUBLE)
+                    ELSE 0.0 END) <= 0.30) AS gopher_ok
+  FROM wstat w
+  LEFT JOIN bmax b USING (doc_id)
+  LEFT JOIN tdup t USING (doc_id)
+),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t,
+         CAST(count(DISTINCT token) AS DOUBLE) AS v
+  FROM doc_toks
+),
+tcounts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM doc_toks GROUP BY token
+),
+vocab AS (
+  SELECT token, c FROM tcounts ORDER BY c DESC, token ASC LIMIT 65536
+),
+model AS (
+  SELECT token,
+         CAST(floor(ln((CAST(c AS DOUBLE) + 1.0) / (t + v + 1.0)) * 1e6
+                    + 0.5) AS BIGINT) AS logp
+  FROM vocab, tot
+),
+oov AS (
+  SELECT CAST(floor(ln(1.0 / (t + v + 1.0)) * 1e6 + 0.5) AS BIGINT) AS logp
+  FROM tot
+),
+lmsc AS (
+  SELECT dt.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(coalesce(m.logp, (SELECT logp FROM oov))) AS s
+  FROM doc_toks dt LEFT JOIN model m ON m.token = dt.token
+  GROUP BY dt.doc_id
+),
+lmq AS (
+  SELECT doc_id,
+         floor(exp((-CAST(s AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE))
+               * 1000.0 + 0.5) / 1000.0 AS ppl_milli
+  FROM lmsc
+),
+med AS (SELECT quantile_disc(ppl_milli, 0.5) AS m FROM lmq),
+dmin AS (SELECT text, min(doc_id) AS md FROM documents GROUP BY text),
+lp AS ("""
+        + _lang_id_sql()
+        + """),
+flags AS (
+  SELECT g.doc_id,
+         (l.lang_pred = d.lang) AS lang_ok,
+         g.gopher_ok,
+         (q.ppl_milli <= m.m) AS ppl_ok,
+         (d.doc_id = dm.md) AS first_dup
+  FROM gq g
+  JOIN lmq q USING (doc_id)
+  JOIN documents d ON d.doc_id = g.doc_id
+  JOIN lp l ON l.doc_id = g.doc_id
+  JOIN dmin dm ON dm.text = d.text
+  CROSS JOIN med m
+)
+SELECT doc_id, lang_ok, gopher_ok, ppl_ok, first_dup,
+       (lang_ok AND gopher_ok AND ppl_ok AND first_dup) AS keep
+FROM flags ORDER BY doc_id
+"""
+    )
+
+
 def _lang_id_sql() -> str:
     """SQL mirror of ``hksketch.text.analysis.lang_id_batch``: the same
     tokenizer (alpha runs, ≤64 bytes, lowercased), per-language stopword
@@ -3309,6 +3529,7 @@ FROM scored
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        "corpus_filter_flags": _corpus_filter_sql(),
         "lang_confusion": (
             "WITH pred AS (" + _lang_id_sql() + ")\n"
             "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n\n"

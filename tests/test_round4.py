@@ -2110,3 +2110,30 @@ def test_gopher_quality_hand_computed():
     assert gopher_quality_batch(batch.slice(0, 0)).schema.names == list(
         out.schema.names
     )
+
+
+def test_corpus_filter_flags_composite(ray_session, tmp_path):
+    """Composite gate: each flag independently computable from the
+    standalone operators; keep == conjunction; duplicate texts keep only
+    the min doc_id; runs on the 1-row degenerate table."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from degenerate_sweep import write_tiny
+
+    import __ray_entry__ as e
+
+    out = e.queries()["corpus_filter_flags"](
+        "/root/testdata/sf0.001"
+    ).to_pandas()
+    assert len(out) == 500
+    conj = (out.lang_ok & out.gopher_ok & out.ppl_ok & out.first_dup)
+    assert (out.keep == conj).all()
+    # the median gate must split the corpus roughly in half
+    assert 0.4 <= out.ppl_ok.mean() <= 0.6
+    d = str(tmp_path)
+    write_tiny(d)
+    tiny = e.queries()["corpus_filter_flags"](d).to_pandas()
+    assert list(tiny.columns) == ["doc_id", "lang_ok", "gopher_ok",
+                                  "ppl_ok", "first_dup", "keep"]
+    assert len(tiny) <= 1
