@@ -2909,6 +2909,35 @@ def _q_second_moment_users_ams(sf_dir: str):
     return pa.table({"f2_est": pa.array([round(est, 2)], type=pa.float64())})
 
 
+def _q_user_counts_countsketch(sf_dir: str):
+    """Count-Sketch point frequencies (Charikar et al. ICALP'02) from the
+    SAME distributed AMS state as the F2 query — unbiased signed estimates
+    for the exact top-20 users, reported against their exact counts.
+    Linear sketch → the tree merge is exactly the single-pass state;
+    rows-only gate (hash-seeded estimates have no SQL mirror) with the
+    published sqrt(F2/width) additive bound asserted in tests."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_topk, read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    blob = global_sketch(
+        ds, sketch_config("ams", width=8192, depth=7, seed=SEED),
+        key_col="user_id",
+    )
+    sk = sketch_from_bytes(blob)
+    top = pa.concat_tables(
+        __import__("ray").get(exact_topk(ds, "user_id", 20).to_arrow_refs())
+    )
+    est = sk.estimate_counts(top.column("user_id"))
+    return pa.table({"user_id": top.column("user_id"),
+                     "exact_count": top.column("count"),
+                     "est_count": pa.array(est, type=pa.float64())})
+
+
 def _day_pair_streams(sf_dir: str):
     """events filtered to the two EARLIEST observed days, with per-batch
     (day, user, c) count partials — shared by the exact and AMS join-size
@@ -3259,6 +3288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "sketch_accuracy_report": _q_sketch_accuracy_report,
         "second_moment_users_ams": _q_second_moment_users_ams,
+        "user_counts_countsketch": _q_user_counts_countsketch,
         "join_size_users_daypair": _q_join_size_users_daypair,
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "docs_without_label3": _q_docs_without_label3,

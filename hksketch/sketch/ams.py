@@ -18,6 +18,12 @@ the row hash, disjoint from the low bits `bucket_indices` consumes.
 F2 (the "surprise number") measures stream skew: repeat-heavy corpora and
 hot-key distributions show up as F2 >> N.  Weighted adds fold item weight
 into the ±1 projection (F2 becomes Σ (Σ_k w)²).
+
+The same state is the Charikar-Chen-Farach-Colton Count Sketch: read per
+key instead of per row (``estimate_counts``) it gives UNBIASED point
+frequencies with additive error sqrt(F2/width) — the signed counterpart
+of count-min (which only over-estimates).  One linear sketch, two
+published estimators.
 """
 
 from __future__ import annotations
@@ -85,6 +91,30 @@ class AMSSketch:
         """Median over rows of Σ counter² — the F2 estimate."""
         sq = (self.cnt.astype(np.float64) ** 2).sum(axis=1)
         return float(np.median(sq))
+
+    def estimate_counts(self, items: Any) -> np.ndarray:
+        """Count-Sketch point-frequency estimates (Charikar, Chen &
+        Farach-Colton ICALP'02): the SAME ±1 state read the other way —
+        per row ``sign(k) · counter[bucket(k)]``, median over rows.
+        Unbiased per row; |error| ≤ sqrt(F2 / width) with constant
+        probability per row, driven down exponentially by the median
+        (the published Count-Sketch bound, asserted in tests).  Returns
+        float64 (medians of even depth can fall between integers)."""
+        arr = _as_arrow_array(items)
+        n = len(arr)
+        if n == 0:
+            return np.empty(0, dtype=np.float64)
+        h = hash_array(arr, self.seed)
+        rows = derive_row_hashes(h, self.depth)
+        est = np.empty((self.depth, n), dtype=np.float64)
+        for r in range(self.depth):
+            idx = bucket_indices(rows[r], self.width)
+            sign = 1 - 2 * ((rows[r] >> U64(63)) & U64(1)).astype(np.int64)
+            est[r] = sign * self.cnt[r, idx]
+        return np.median(est, axis=0)
+
+    def estimate_count(self, item: Any) -> float:
+        return float(self.estimate_counts([item])[0])
 
     def _check_compatible(self, other: "AMSSketch") -> None:
         if type(self) is not type(other):

@@ -2137,3 +2137,36 @@ def test_corpus_filter_flags_composite(ray_session, tmp_path):
     assert list(tiny.columns) == ["doc_id", "lang_ok", "gopher_ok",
                                   "ppl_ok", "first_dup", "keep"]
     assert len(tiny) <= 1
+
+
+def test_countsketch_point_estimates_bound_and_linearity():
+    """Count-Sketch reads of the AMS state: unbiased point frequencies
+    with the published additive bound |err| <= sqrt(F2/width) (3x slack
+    for the fixed seed), and merge-equals-single-pass linearity."""
+    from hksketch.sketch.ams import AMSSketch
+
+    rng = np.random.default_rng(11)
+    keys = rng.zipf(1.5, size=40_000)
+    keys = keys[keys < 10_000].astype(np.uint64)
+    from collections import Counter
+
+    truth = Counter(keys.tolist())
+    f2 = sum(c * c for c in truth.values())
+    sk = AMSSketch(8192, depth=7, seed=5)
+    sk.add_batch(keys)
+    hot = [k for k, _ in truth.most_common(20)]
+    est = sk.estimate_counts(np.array(hot, dtype=np.uint64))
+    bound = 3.0 * (f2 / 8192) ** 0.5
+    for k, e in zip(hot, est):
+        assert abs(e - truth[k]) <= bound, (k, e, truth[k], bound)
+    # linearity: two halves merged read identically to one pass
+    a = AMSSketch(8192, depth=7, seed=5)
+    b = AMSSketch(8192, depth=7, seed=5)
+    a.add_batch(keys[: len(keys) // 2])
+    b.add_batch(keys[len(keys) // 2:])
+    a.merge(b)
+    assert np.array_equal(
+        a.estimate_counts(np.array(hot, dtype=np.uint64)), est
+    )
+    # empty probe
+    assert len(sk.estimate_counts(np.array([], dtype=np.uint64))) == 0
