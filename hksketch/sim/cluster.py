@@ -16,8 +16,13 @@ dedup per cluster) expressed Ray-Data-first:
 
 Cosine geometry throughout (centroids re-normalized each step), matching
 the sim module's other operators.  Deterministic for fixed (seed, data,
-iters): no RNG after init, and partial sums are folded in float64 with a
-fixed reduction order (sorted by batch index).
+iters) — independent of how Ray Data splits blocks: no RNG after init,
+and the per-batch partial sums are FIXED-POINT INTEGERS (embedding
+elements quantized to 2^-30 per element before summation) folded with
+arbitrary-precision integer addition, which is associative — so batch
+boundaries and tree shape cannot perturb the result (float folds were
+bit-stable only for a fixed block structure; under memory pressure Ray
+re-splits blocks and two identical runs could differ at the ulp).
 """
 
 from __future__ import annotations
@@ -31,9 +36,14 @@ import ray
 
 from .knn import _emb_matrix, _normalize, _train_centroids, scattered_sample_matrix
 
+# fixed-point units for exact (associative) partial folds: unit-norm
+# embedding elements quantized to 2^-30, cosines to 1e-9
+_KMEANS_SCALE = float(1 << 30)
+_COS_SCALE = 1e9
+
 
 @ray.remote
-def _fold_partial_chunk(items: list, cols: tuple, shapes: tuple):
+def _fold_partial_chunk(items: list, cols: tuple, shapes: tuple, exact: bool):
     """Sum a chunk of partial rows in a WORKER (round-3 VERDICT #2: the
     driver must not fold per-batch partials in a Python loop — at 10^9-row
     scale that is millions of k·dim rows landing on one process).
@@ -42,42 +52,58 @@ def _fold_partial_chunk(items: list, cols: tuple, shapes: tuple):
     vector per row) and/or tuples of already-folded ndarrays from earlier
     fold levels (refs nested in a list are not auto-resolved by Ray).
     Returns one ndarray per name in ``cols``, reshaped to ``shapes``.
+
+    ``exact`` folds INTEGER partial columns with arbitrary-precision
+    Python ints (object dtype) — integer addition is associative, so the
+    result is bit-identical no matter how Ray Data happened to split
+    blocks or how the tree grouped them.  Float mode is deterministic
+    only for a fixed block structure (float addition isn't associative).
     """
-    acc = [np.zeros(s, dtype=np.float64).reshape(-1) for s in shapes]
+    dt = object if exact else np.float64
+    acc = [np.zeros(int(np.prod(s)), dtype=dt) for s in shapes]
     for it in items:
         it = ray.get(it) if isinstance(it, ray.ObjectRef) else it
         if isinstance(it, tuple):
             for a, v in zip(acc, it):
-                a += np.asarray(v, dtype=np.float64).reshape(-1)
+                a += np.asarray(v, dtype=dt).reshape(-1)
             continue
         if it.num_rows == 0:
             # empty blocks carry empty schemas — nothing to fold
             continue
         for a, c in zip(acc, cols):
             col = it.column(c).combine_chunks()
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            flat = flat.astype(object) if exact else flat.astype(np.float64)
             # vectorized fold: (rows, len) → one summed vector
             a += flat.reshape(it.num_rows, -1).sum(axis=0)
     return tuple(a.reshape(s) for a, s in zip(acc, shapes))
 
 
-def tree_fold_partials(ds, cols: tuple, shapes: tuple, fanin: int = 16):
+def tree_fold_partials(
+    ds, cols: tuple, shapes: tuple, fanin: int = 16, exact: bool = False
+):
     """Tree-reduce a Dataset of per-batch partial rows (fixed-size list
     columns) into one ndarray per column — blocks stay in the object store
     (``to_arrow_refs``), fold tasks run on workers, and the driver receives
-    only the final ``shapes``-sized arrays.  Deterministic for a fixed
-    block structure: blocks fold in dataset order, chunks in in-order
-    fanin slices (same discipline as ``ray_glue.stages.tree_merge_blobs``)."""
+    only the final ``shapes``-sized arrays.
+
+    ``exact=True`` (int64 partial columns) folds in arbitrary-precision
+    integers: bit-identical for ANY block structure / tree shape — the
+    property the k-means fit relies on for run-to-run determinism.  Float
+    mode folds blocks in dataset order, chunks in in-order fanin slices
+    (same discipline as ``ray_glue.stages.tree_merge_blobs``) and is
+    deterministic only when the block structure itself is."""
     items: list = ds.to_arrow_refs()
     if not items:
-        return tuple(np.zeros(s, dtype=np.float64) for s in shapes)
+        z = object if exact else np.float64
+        return tuple(np.zeros(s, dtype=z) for s in shapes)
     while len(items) > fanin:
         items = [
-            _fold_partial_chunk.remote(items[i : i + fanin], cols, shapes)
+            _fold_partial_chunk.remote(items[i : i + fanin], cols, shapes, exact)
             for i in range(0, len(items), fanin)
         ]
     # final fold always runs as a task so the driver never touches rows
-    return ray.get(_fold_partial_chunk.remote(items, cols, shapes))
+    return ray.get(_fold_partial_chunk.remote(items, cols, shapes, exact))
 
 
 def kmeans_fit(
@@ -104,25 +130,31 @@ def kmeans_fit(
             k, dim = Ck.shape
             if b.num_rows == 0:
                 return pa.table(
-                    {"sums": pa.array([np.zeros(k * dim)], type=pa.list_(pa.float64())),
-                     "counts": pa.array([np.zeros(k)], type=pa.list_(pa.float64()))}
+                    {"sums": pa.array([np.zeros(k * dim, dtype=np.int64)],
+                                      type=pa.list_(pa.int64())),
+                     "counts": pa.array([np.zeros(k, dtype=np.int64)],
+                                        type=pa.list_(pa.int64()))}
                 )
             m = _normalize(_emb_matrix(b.column(emb_col)))
             a = np.argmax(m @ Ck.T, axis=1)
+            # per-element fixed-point quantization BEFORE summation: the
+            # partial sums become exact integers, so the tree fold is
+            # associative and the fit is bit-deterministic no matter how
+            # Ray Data split blocks this run (|elem| <= 1 → 2^30-unit
+            # ints; batch sums stay far below int64 range)
+            mi = np.rint(m * _KMEANS_SCALE).astype(np.int64)
             # segment sums via sort + reduceat (the repo's standard kernel
             # shape) instead of an np.add.at scatter; unique() yields
             # strictly increasing starts, so no empty-segment corrections
             order = np.argsort(a, kind="stable")
             uniq, starts = np.unique(a[order], return_index=True)
-            sums = np.zeros((k, dim), dtype=np.float64)
-            sums[uniq] = np.add.reduceat(m[order], starts, axis=0)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            sums[uniq] = np.add.reduceat(mi[order], starts, axis=0)
             counts = np.bincount(a, minlength=k).astype(np.int64)
             return pa.table(
                 {
-                    "sums": pa.array([sums.reshape(-1)], type=pa.list_(pa.float64())),
-                    "counts": pa.array(
-                        [counts.astype(np.float64)], type=pa.list_(pa.float64())
-                    ),
+                    "sums": pa.array([sums.reshape(-1)], type=pa.list_(pa.int64())),
+                    "counts": pa.array([counts], type=pa.list_(pa.int64())),
                 }
             )
 
@@ -130,12 +162,14 @@ def kmeans_fit(
         # worker-side tree fold (no driver materialization: it receives exactly
         # one (k, dim) + one (k,) array per iteration, independent of the
         # number of batches)
-        S, nf = tree_fold_partials(
+        Si, ni = tree_fold_partials(
             ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
             cols=("sums", "counts"),
             shapes=((k, dim), (k,)),
+            exact=True,
         )
-        n = np.rint(nf).astype(np.int64)  # counts are exact small ints in f64
+        S = Si.astype(np.float64) / _KMEANS_SCALE
+        n = ni.astype(np.int64)
         nonempty = n > 0
         newC = C.copy()
         newC[nonempty] = S[nonempty] / n[nonempty, None]
@@ -188,23 +222,29 @@ def kmeans_cluster_sizes(
     def partial(b: pa.Table) -> pa.Table:
         a = b.column("cluster").to_numpy(zero_copy_only=False)
         cos = b.column("cos").to_numpy(zero_copy_only=False)
-        n = np.bincount(a, minlength=n_clusters).astype(np.float64)
+        n = np.bincount(a, minlength=n_clusters).astype(np.int64)
+        # 1e-9-unit fixed point so the fold is exact/associative (the
+        # report rounds to 1e-6 anyway); same determinism rationale as
+        # the fit partials
+        ci = np.rint(cos * _COS_SCALE).astype(np.int64)
         order = np.argsort(a, kind="stable")
         uniq, starts = np.unique(a[order], return_index=True)
-        s = np.zeros(n_clusters, dtype=np.float64)
+        s = np.zeros(n_clusters, dtype=np.int64)
         if len(uniq):
-            s[uniq] = np.add.reduceat(cos[order], starts)
+            s[uniq] = np.add.reduceat(ci[order], starts)
         return pa.table(
-            {"n": pa.array([n], type=pa.list_(pa.float64())),
-             "s": pa.array([s], type=pa.list_(pa.float64()))}
+            {"n": pa.array([n], type=pa.list_(pa.int64())),
+             "s": pa.array([s], type=pa.list_(pa.int64()))}
         )
 
-    nf, s = tree_fold_partials(
+    ni, si = tree_fold_partials(
         assigned.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         cols=("n", "s"),
         shapes=((n_clusters,), (n_clusters,)),
+        exact=True,
     )
-    n = np.rint(nf).astype(np.int64)
+    n = ni.astype(np.int64)
+    s = si.astype(np.float64) / _COS_SCALE
     with np.errstate(invalid="ignore"):
         mean_cos = np.where(n > 0, s / np.maximum(n, 1), 0.0)
     return pa.table(

@@ -320,6 +320,14 @@ def test_distributed_kmeans_matches_local_lloyd(ray_session, tmp_path):
     C = kmeans_fit(ds, n_clusters=4, seed=7, iters=8)
     C2 = kmeans_fit(rd.read_parquet(f), n_clusters=4, seed=7, iters=8)
     assert np.array_equal(C, C2)  # deterministic
+    # the fixed-point integer fold makes the fit independent of block
+    # structure — a deliberately different split must be BIT-identical
+    # (this is the regression test for the load-dependent ulp flake)
+    C3 = kmeans_fit(
+        rd.read_parquet(f, override_num_blocks=7), n_clusters=4, seed=7,
+        iters=8,
+    )
+    assert np.array_equal(C, C3)
 
     # local Lloyd from the same scattered-sample init
     Cl = _normalize(
@@ -342,13 +350,15 @@ def test_distributed_kmeans_matches_local_lloyd(ray_session, tmp_path):
     a_loc = np.argmax(m @ Cl.T, axis=1)
     bd = np.bincount(a_dist, minlength=4).tolist()
     bl = np.bincount(a_loc, minlength=4).tolist()
-    # Distributed partial sums reassociate float64 adds across blocks
-    # (block structure varies with suite-wide object-store pressure), so a
-    # point sitting essentially ON a cluster boundary may flip — and one
-    # flip mid-run nudges the affected centroids by ~1/cluster_size, so
-    # bit-equal sizes are NOT guaranteed.  The contract that IS stable:
-    # the two runs converge to the same solution — at most a couple of
-    # boundary flips and an identical k-means objective.
+    # The distributed fit sums 2^-30-quantized fixed-point elements while
+    # the local model sums raw float64 means, so a point sitting
+    # essentially ON a cluster boundary may flip — and one flip mid-run
+    # nudges the affected centroids by ~1/cluster_size, so bit-equal
+    # sizes are NOT guaranteed vs the LOCAL model.  (Distributed-vs-
+    # distributed IS bit-equal — asserted above across block layouts.)
+    # The contract that is stable here: both converge to the same
+    # solution — at most a couple of boundary flips and an identical
+    # k-means objective.
     flips = int((a_dist != a_loc).sum())
     obj_d = float(np.max(m @ C.T, axis=1).mean())
     obj_l = float(np.max(m @ Cl.T, axis=1).mean())
