@@ -2929,9 +2929,17 @@ def _q_user_counts_countsketch(sf_dir: str):
         key_col="user_id",
     )
     sk = sketch_from_bytes(blob)
-    top = pa.concat_tables(
-        __import__("ray").get(exact_topk(ds, "user_id", 20).to_arrow_refs())
-    )
+    blocks = [
+        t for t in __import__("ray").get(
+            exact_topk(ds, "user_id", 20).to_arrow_refs()
+        )
+        if t.num_rows > 0  # sort+limit emits schema-less empty blocks
+    ]
+    if not blocks:
+        return pa.table({"user_id": pa.array([], type=pa.int64()),
+                         "exact_count": pa.array([], type=pa.int64()),
+                         "est_count": pa.array([], type=pa.float64())})
+    top = pa.concat_tables(blocks)
     est = sk.estimate_counts(top.column("user_id"))
     return pa.table({"user_id": top.column("user_id"),
                      "exact_count": top.column("count"),
