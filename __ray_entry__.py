@@ -1153,11 +1153,16 @@ def _q_corpus_filter_flags(sf_dir: str):
 
             if b.num_rows == 0:
                 return gates_schema.empty_table()
-            gq = gopher_quality_batch(b)  # tokened docs only
+            # ONE tokenize pass shared by all three per-doc kernels (the
+            # regex tokenizer dominates this stage's cost)
+            from hksketch.text.tokenize import tokenize_column
+
+            toks = tokenize_column(b.column("text"), with_doc_index=True)
+            gq = gopher_quality_batch(b, toks=toks)  # tokened docs only
             if gq.num_rows == 0:
                 return gates_schema.empty_table()
-            lmq = self.lm(b)  # same tokened-doc subset
-            lang_ok = pc.equal(lang_id_batch(b.column("text")),
+            lmq = self.lm(b, toks=toks)  # same tokened-doc subset
+            lang_ok = pc.equal(lang_id_batch(b.column("text"), toks=toks),
                                b.column("lang").combine_chunks())
             per_row = pl.DataFrame(
                 {"doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
@@ -2929,12 +2934,9 @@ def _q_user_counts_countsketch(sf_dir: str):
         key_col="user_id",
     )
     sk = sketch_from_bytes(blob)
-    blocks = [
-        t for t in __import__("ray").get(
-            exact_topk(ds, "user_id", 20).to_arrow_refs()
-        )
-        if t.num_rows > 0  # sort+limit emits schema-less empty blocks
-    ]
+    from hksketch.pipelines.ops import collect_blocks
+
+    blocks = collect_blocks(exact_topk(ds, "user_id", 20))
     if not blocks:
         return pa.table({"user_id": pa.array([], type=pa.int64()),
                          "exact_count": pa.array([], type=pa.int64()),
@@ -3371,6 +3373,109 @@ WITH doc_toks AS (
 )
 """
 
+# shared CTE chains (ONE copy each, like the generated lang-ID SQL, so the
+# standalone oracles and the corpus_filter_flags composite cannot drift)
+
+# Gopher repetition metrics: ordered token lists → word stats → bigram
+# max / duplicate-trigram multiplicity → per-doc metric columns
+_GOPHER_CTES = """gtl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+),
+gbase AS (SELECT doc_id, toks FROM gtl WHERE len(toks) > 0),
+gwords AS (SELECT doc_id, unnest(toks) AS w FROM gbase),
+gwstat AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT w) AS BIGINT) AS nd,
+         CAST(sum(length(w)) AS BIGINT) AS chars
+  FROM gwords GROUP BY doc_id
+),
+gbmax AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM gbase)
+        GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+gtdup AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS g
+              FROM gbase)
+        GROUP BY 1, 2)
+  WHERE c >= 2 GROUP BY doc_id
+),
+gscore AS (
+  SELECT w.doc_id, w.n AS n_words,
+         CAST(w.chars AS DOUBLE) / CAST(w.n AS DOUBLE) AS mean_word_chars,
+         CAST(w.n - w.nd AS DOUBLE) / CAST(w.n AS DOUBLE) AS dup_word_frac,
+         CASE WHEN w.n >= 2
+              THEN CAST(coalesce(b.mx, 0) AS DOUBLE)
+                   / CAST(w.n - 1 AS DOUBLE)
+              ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN w.n >= 3
+              THEN CAST(coalesce(t.dup, 0) AS DOUBLE)
+                   / CAST(w.n - 2 AS DOUBLE)
+              ELSE 0.0 END AS dup_trigram_frac
+  FROM gwstat w
+  LEFT JOIN gbmax b USING (doc_id)
+  LEFT JOIN gtdup t USING (doc_id)
+)"""
+
+_GOPHER_FLAG_EXPR = """(n_words BETWEEN 50 AND 100000
+        AND mean_word_chars >= 3.0 AND mean_word_chars <= 10.0
+        AND top_bigram_frac <= 0.20 AND dup_trigram_frac <= 0.30)"""
+
+# Unigram-LM perplexity: corpus totals → capped vocab → micro-unit
+# log-prob model (+OOV) → per-doc integer NLL sums → milli-rounded ppl.
+# Requires ``doc_toks`` (``_TOKENS_DOC_CTE``) earlier in the WITH chain.
+_LM_CTES = """ltot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t,
+         CAST(count(DISTINCT token) AS DOUBLE) AS v
+  FROM doc_toks
+),
+lcounts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM doc_toks GROUP BY token
+),
+lvocab AS (
+  SELECT token, c FROM lcounts ORDER BY c DESC, token ASC LIMIT 65536
+),
+lmodel AS (
+  SELECT token,
+         CAST(floor(ln((CAST(c AS DOUBLE) + 1.0) / (t + v + 1.0)) * 1e6
+                    + 0.5) AS BIGINT) AS logp
+  FROM lvocab, ltot
+),
+loov AS (
+  SELECT CAST(floor(ln(1.0 / (t + v + 1.0)) * 1e6 + 0.5) AS BIGINT) AS logp
+  FROM ltot
+),
+lmsc AS (
+  SELECT dt.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(coalesce(m.logp, (SELECT logp FROM loov))) AS s
+  FROM doc_toks dt LEFT JOIN lmodel m ON m.token = dt.token
+  GROUP BY dt.doc_id
+),
+lmq AS (
+  SELECT doc_id, n_tokens, CAST(-s AS BIGINT) AS nll_micro,
+         floor(exp((-CAST(s AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE))
+               * 1000.0 + 0.5) / 1000.0 AS ppl_milli
+  FROM lmsc
+)"""
+
 _TOPK_TOKENS_SQL = (
     _TOKENS_CTE
     + """
@@ -3383,105 +3488,19 @@ LIMIT 100
 
 
 def _corpus_filter_sql() -> str:
-    """Oracle for ``corpus_filter_flags``: the gopher-flag, LM-perplexity,
-    lang-agreement and first-dup CTE chains composed into one statement.
-    The lang-ID subquery nests the generated stopword SQL so the two rules
-    cannot drift; the LM and gopher arithmetic are the same expression
-    shapes as their standalone oracles."""
+    """Oracle for ``corpus_filter_flags``: the SHARED gopher / LM CTE
+    chains (`_GOPHER_CTES` / `_LM_CTES` — one copy each, same strings the
+    standalone oracles are built from) composed with the generated
+    stopword lang-ID SQL, a ``quantile_disc`` median gate and the
+    min-doc-id dup winner."""
     return (
         "WITH "
         + _TOKENS_DOC_CTE.strip()[len("WITH "):]
+        + ",\n"
+        + _GOPHER_CTES
+        + ",\n"
+        + _LM_CTES
         + """,
-tl AS (
-  SELECT doc_id,
-         list_filter(
-           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
-                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
-           t -> t IS NOT NULL) AS toks
-  FROM documents
-),
-base AS (SELECT doc_id, toks FROM tl WHERE len(toks) > 0),
-wstat AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
-         CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
-         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
-           AS chars
-  FROM base
-),
-bmax AS (
-  SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
-  FROM (SELECT doc_id, g, count(*) AS c
-        FROM (SELECT doc_id,
-                     unnest(list_transform(
-                       generate_series(1, greatest(len(toks) - 1, 0)),
-                       i -> toks[i] || ' ' || toks[i+1])) AS g
-              FROM base)
-        GROUP BY 1, 2)
-  GROUP BY doc_id
-),
-tdup AS (
-  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup
-  FROM (SELECT doc_id, g, count(*) AS c
-        FROM (SELECT doc_id,
-                     unnest(list_transform(
-                       generate_series(1, greatest(len(toks) - 2, 0)),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                       AS g
-              FROM base)
-        GROUP BY 1, 2)
-  WHERE c >= 2 GROUP BY doc_id
-),
-gq AS (
-  SELECT w.doc_id,
-         (w.n BETWEEN 50 AND 100000
-          AND CAST(w.chars AS DOUBLE) / CAST(w.n AS DOUBLE) >= 3.0
-          AND CAST(w.chars AS DOUBLE) / CAST(w.n AS DOUBLE) <= 10.0
-          AND (CASE WHEN w.n >= 2
-                    THEN CAST(coalesce(b.mx, 0) AS DOUBLE)
-                         / CAST(w.n - 1 AS DOUBLE)
-                    ELSE 0.0 END) <= 0.20
-          AND (CASE WHEN w.n >= 3
-                    THEN CAST(coalesce(t.dup, 0) AS DOUBLE)
-                         / CAST(w.n - 2 AS DOUBLE)
-                    ELSE 0.0 END) <= 0.30) AS gopher_ok
-  FROM wstat w
-  LEFT JOIN bmax b USING (doc_id)
-  LEFT JOIN tdup t USING (doc_id)
-),
-tot AS (
-  SELECT CAST(count(*) AS DOUBLE) AS t,
-         CAST(count(DISTINCT token) AS DOUBLE) AS v
-  FROM doc_toks
-),
-tcounts AS (
-  SELECT token, CAST(count(*) AS BIGINT) AS c FROM doc_toks GROUP BY token
-),
-vocab AS (
-  SELECT token, c FROM tcounts ORDER BY c DESC, token ASC LIMIT 65536
-),
-model AS (
-  SELECT token,
-         CAST(floor(ln((CAST(c AS DOUBLE) + 1.0) / (t + v + 1.0)) * 1e6
-                    + 0.5) AS BIGINT) AS logp
-  FROM vocab, tot
-),
-oov AS (
-  SELECT CAST(floor(ln(1.0 / (t + v + 1.0)) * 1e6 + 0.5) AS BIGINT) AS logp
-  FROM tot
-),
-lmsc AS (
-  SELECT dt.doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         sum(coalesce(m.logp, (SELECT logp FROM oov))) AS s
-  FROM doc_toks dt LEFT JOIN model m ON m.token = dt.token
-  GROUP BY dt.doc_id
-),
-lmq AS (
-  SELECT doc_id,
-         floor(exp((-CAST(s AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE))
-               * 1000.0 + 0.5) / 1000.0 AS ppl_milli
-  FROM lmsc
-),
 med AS (SELECT quantile_disc(ppl_milli, 0.5) AS m FROM lmq),
 dmin AS (SELECT text, min(doc_id) AS md FROM documents GROUP BY text),
 lp AS ("""
@@ -3490,10 +3509,12 @@ lp AS ("""
 flags AS (
   SELECT g.doc_id,
          (l.lang_pred = d.lang) AS lang_ok,
-         g.gopher_ok,
+         """
+        + _GOPHER_FLAG_EXPR
+        + """ AS gopher_ok,
          (q.ppl_milli <= m.m) AS ppl_ok,
          (d.doc_id = dm.md) AS first_dup
-  FROM gq g
+  FROM gscore g
   JOIN lmq q USING (doc_id)
   JOIN documents d ON d.doc_id = g.doc_id
   JOIN lp l ON l.doc_id = g.doc_id
@@ -3871,103 +3892,22 @@ FROM stats
 ORDER BY tfidf DESC, token ASC
 LIMIT 50
 """,
-        "gopher_quality": """
-WITH tl AS (
-  SELECT doc_id,
-         list_filter(
-           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
-                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
-           t -> t IS NOT NULL) AS toks
-  FROM documents
-),
-base AS (SELECT doc_id, toks FROM tl WHERE len(toks) > 0),
-words AS (SELECT doc_id, unnest(toks) AS w FROM base),
-wstat AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-         CAST(count(DISTINCT w) AS BIGINT) AS nd,
-         CAST(sum(length(w)) AS BIGINT) AS chars
-  FROM words GROUP BY doc_id
-),
-bg AS (
-  SELECT doc_id,
-         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-                               i -> toks[i] || ' ' || toks[i+1])) AS g
-  FROM base
-),
-bmax AS (
-  SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
-  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id
-),
-tg AS (
-  SELECT doc_id,
-         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
-  FROM base
-),
-tdup AS (
-  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup
-  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
-  WHERE c >= 2 GROUP BY doc_id
-),
-scored AS (
-  SELECT w.doc_id, w.n AS n_words,
-         CAST(w.chars AS DOUBLE) / CAST(w.n AS DOUBLE) AS mean_word_chars,
-         CAST(w.n - w.nd AS DOUBLE) / CAST(w.n AS DOUBLE) AS dup_word_frac,
-         CASE WHEN w.n >= 2
-              THEN CAST(coalesce(b.mx, 0) AS DOUBLE)
-                   / CAST(w.n - 1 AS DOUBLE)
-              ELSE 0.0 END AS top_bigram_frac,
-         CASE WHEN w.n >= 3
-              THEN CAST(coalesce(t.dup, 0) AS DOUBLE)
-                   / CAST(w.n - 2 AS DOUBLE)
-              ELSE 0.0 END AS dup_trigram_frac
-  FROM wstat w
-  LEFT JOIN bmax b USING (doc_id)
-  LEFT JOIN tdup t USING (doc_id)
-)
+        "gopher_quality": "WITH "
+        + _GOPHER_CTES
+        + """
 SELECT doc_id, n_words, mean_word_chars, dup_word_frac, top_bigram_frac,
        dup_trigram_frac,
-       (n_words BETWEEN 50 AND 100000
-        AND mean_word_chars >= 3.0 AND mean_word_chars <= 10.0
-        AND top_bigram_frac <= 0.20 AND dup_trigram_frac <= 0.30)
-         AS gopher_pass
-FROM scored ORDER BY doc_id
+       """
+        + _GOPHER_FLAG_EXPR
+        + """ AS gopher_pass
+FROM gscore ORDER BY doc_id
 """,
-        "lm_perplexity": _TOKENS_DOC_CTE
+        "lm_perplexity": _TOKENS_DOC_CTE.rstrip()
+        + ",\n"
+        + _LM_CTES
         + """
-, tot AS (
-  SELECT CAST(count(*) AS DOUBLE) AS t,
-         CAST(count(DISTINCT token) AS DOUBLE) AS v
-  FROM doc_toks
-),
-counts AS (
-  SELECT token, CAST(count(*) AS BIGINT) AS c FROM doc_toks GROUP BY token
-),
-vocab AS (
-  SELECT token, c FROM counts ORDER BY c DESC, token ASC LIMIT 65536
-),
-model AS (
-  SELECT token,
-         CAST(floor(ln((CAST(c AS DOUBLE) + 1.0) / (t + v + 1.0)) * 1e6
-                    + 0.5) AS BIGINT) AS logp
-  FROM vocab, tot
-),
-oov AS (
-  SELECT CAST(floor(ln(1.0 / (t + v + 1.0)) * 1e6 + 0.5) AS BIGINT) AS logp
-  FROM tot
-),
-scored AS (
-  SELECT dt.doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         sum(coalesce(m.logp, (SELECT logp FROM oov))) AS s
-  FROM doc_toks dt LEFT JOIN model m ON m.token = dt.token
-  GROUP BY dt.doc_id
-)
-SELECT doc_id, n_tokens,
-       CAST(-s AS BIGINT) AS nll_micro,
-       floor(exp((-CAST(s AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE))
-             * 1000.0 + 0.5) / 1000.0 AS ppl_milli
-FROM scored ORDER BY doc_id
+SELECT doc_id, n_tokens, nll_micro, ppl_milli
+FROM lmq ORDER BY doc_id
 """,
         "bpe_token_totals": r"""
 SELECT source,

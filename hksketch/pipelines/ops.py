@@ -71,6 +71,17 @@ def _batch_counts(key_col: str, weight_col: Optional[str], out: str):
     return fn
 
 
+def collect_blocks(ds) -> list[pa.Table]:
+    """``ray.get`` every block of a BOUNDED result, dropping the
+    schema-less empty blocks that sort / limit / repartition emit (an
+    empty block carries no columns, so ``pa.concat_tables`` over the raw
+    refs raises ArrowInvalid).  Returns ``[]`` when nothing remains —
+    callers supply their own typed empty table for that base case."""
+    import ray
+
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+
+
 def exact_counts(
     ds,
     key_col: str,

@@ -25,7 +25,7 @@ STOPWORDS = {
 }
 
 
-def lang_id_batch(texts: pa.Array) -> pa.Array:
+def lang_id_batch(texts: pa.Array, toks: pa.Table | None = None) -> pa.Array:
     """Heuristic language per document: CJK-char share → ``zh``; else the
     language whose stopword set covers the largest token share; ``und``
     when nothing matches.
@@ -40,7 +40,8 @@ def lang_id_batch(texts: pa.Array) -> pa.Array:
     except Exception:  # pragma: no cover - no-polars deployments
         return _lang_id_batch_reference(texts)
 
-    toks = tokenize_column(texts, with_doc_index=True)
+    if toks is None:  # callers fusing several kernels pass one shared pass
+        toks = tokenize_column(texts, with_doc_index=True)
     n = len(texts)
     langs = list(STOPWORDS)
     df = pl.from_arrow(toks)
@@ -293,7 +294,8 @@ def bpe_token_counts(texts: "pa.Array | pa.ChunkedArray") -> np.ndarray:
 
 
 def gopher_quality_batch(
-    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    toks: pa.Table | None = None,
 ) -> pa.Table:
     """Gopher-style repetition/quality signals (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", Table A1 repetition filters), adapted to
@@ -321,7 +323,8 @@ def gopher_quality_batch(
     )
     if batch.num_rows == 0:
         return schema.empty_table()
-    toks = tokenize_column(batch.column(text_col), with_doc_index=True)
+    if toks is None:  # fused callers share one tokenize pass
+        toks = tokenize_column(batch.column(text_col), with_doc_index=True)
     if toks.num_rows == 0:
         return schema.empty_table()
     didx = toks.column("doc_idx").to_numpy()

@@ -111,7 +111,11 @@ def train_unigram_lm(
                 "total": 0, "vocab": 0, "seed": seed}
     total = int(counts.sum("c"))
     top = counts.sort(["c", "token"], descending=[True, False]).limit(vocab_cap)
-    tt = pa.concat_tables(ray.get(top.to_arrow_refs())).combine_chunks()
+    from ..pipelines.ops import collect_blocks
+
+    # sort+limit can emit schema-less empty blocks — filter before concat
+    # (vocab > 0 here, so at least one non-empty block exists)
+    tt = pa.concat_tables(collect_blocks(top)).combine_chunks()
     toks = tt.column("token")
     c = tt.column("c").to_numpy().astype(np.int64)
     lp = _logp_micro(c, total, vocab)
@@ -141,12 +145,14 @@ class LMScore:
         self.text_col = text_col
         self.id_col = id_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, toks: pa.Table | None = None) -> pa.Table:
         from ..hashing import hash_array
 
         if batch.num_rows == 0:
             return _SCORE_SCHEMA.empty_table()
-        toks = tokenize_column(batch.column(self.text_col), with_doc_index=True)
+        if toks is None:  # fused callers share one tokenize pass
+            toks = tokenize_column(batch.column(self.text_col),
+                                   with_doc_index=True)
         didx = toks.column("doc_idx").to_numpy()
         n = batch.num_rows
         th = hash_array(toks.column("token"), self.seed)
