@@ -1188,7 +1188,13 @@ def _q_corpus_filter_flags(sf_dir: str):
     winners = G.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="min_id")
     )
-    joined = hash_join(G, winners, on="content_hash")
+    # winners sits behind the groupby's all-to-all: pass its known schema
+    # so hash_join's .schema() probe doesn't execute that shuffle twice
+    joined = hash_join(
+        G, winners, on="content_hash",
+        rschema=pa.schema([("content_hash", pa.int64()),
+                           ("min_id", pa.int64())]),
+    )
 
     def finish(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -2914,6 +2920,158 @@ def _q_second_moment_users_ams(sf_dir: str):
     return pa.table({"f2_est": pa.array([round(est, 2)], type=pa.float64())})
 
 
+def _q_q5_region_revenue(sf_dir: str):
+    """TPC-H q5-shaped local-supplier volume: revenue per nation for
+    region ASIA, order year 1996, customer and supplier in the SAME
+    nation — the full 6-table join chain with each join at its
+    scale-appropriate shape: region→nation pruning and the supplier
+    (suppkey → nationkey) map as driver-held broadcast dims (``ray.put``
+    once; the standard q5 small-side broadcast — swap to ``hash_join``
+    if supplier outgrows memory), orders year-filtered at the batch then
+    hash-joined (big-big, ONE shuffle) with the region's customers,
+    lineitem reduced per batch against the broadcast supplier map and
+    hash-joined with the order→nation side.  Revenue follows the q1
+    integer-cents discipline (4-decimal units summed as int64, ONE final
+    division) so the oracle hash-matches bit-for-bit."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    empty = pa.table({"n_name": pa.array([], type=pa.string()),
+                      "revenue": pa.array([], type=pa.float64())})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = reg.filter(pc.equal(reg.column("r_name"), "ASIA")).column(
+        "r_regionkey"
+    )
+    nfilt = nat.filter(pc.is_in(nat.column("n_regionkey"), value_set=rkeys))
+    if nfilt.num_rows == 0:
+        return empty
+    nkeys = nfilt.column("n_nationkey").to_numpy()
+    names = {int(k): v for k, v in
+             zip(nkeys, nfilt.column("n_name").to_pylist())}
+    nkey_set = pa.array(sorted(names), type=pa.int64())
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup.column("s_nationkey"), value_set=nkey_set))
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    sn = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    order = np.argsort(sk)
+    sup_ref = ray.put((sk[order], sn[order]))
+    if len(sk) == 0:
+        return empty
+
+    t0 = datetime.datetime(1996, 1, 1)
+    t1 = datetime.datetime(1997, 1, 1)
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), pa.scalar(t0)),
+                    pc.less(b.column("o_orderdate"), pa.scalar(t1)))
+        b = b.filter(m)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey")})
+
+    def cust_f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("c_nationkey"), value_set=nkey_set))
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_nationkey": b.column("c_nationkey")})
+
+    i64 = pa.int64()
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+    cust = read_table(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(cust_f, batch_format="pyarrow", zero_copy_batch=True)
+    # explicit schemas: each side is a mapped dataset (and oc below sits
+    # behind the join's all-to-all) — letting hash_join probe .schema()
+    # would execute the inner join twice
+    oc = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        lschema=pa.schema([("o_orderkey", i64), ("o_custkey", i64)]),
+        rschema=pa.schema([("c_custkey", i64), ("c_nationkey", i64)]),
+    )
+
+    def li_reduce(b: pa.Table, _ref=sup_ref) -> pa.Table:
+        skk, snn = ray.get(_ref)
+        out_schema = pa.schema([("l_orderkey", pa.int64()),
+                                ("s_nationkey", pa.int64()),
+                                ("rev4", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        keys = b.column("l_suppkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(skk, keys)
+        pos_c = np.minimum(pos, max(len(skk) - 1, 0))
+        hit = skk[pos_c] == keys
+        b = b.filter(pa.array(hit))
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        rev4 = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(b.column("l_extendedprice"),
+                                pc.subtract(pa.scalar(1.0),
+                                            b.column("l_discount"))),
+                    pa.scalar(10000.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "s_nationkey": pa.array(snn[pos_c[hit]]),
+                         "rev4": rev4})
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_reduce, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(
+        li, oc, on="l_orderkey", right_on="o_orderkey",
+        lschema=pa.schema([("l_orderkey", i64), ("s_nationkey", i64),
+                           ("rev4", i64)]),
+        rschema=pa.schema([("o_custkey", i64), ("o_orderkey", i64),
+                           ("c_nationkey", i64)]),
+    )
+
+    def local_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("s_nationkey"),
+                              b.column("c_nationkey")))
+        return pa.table({"s_nationkey": b.column("s_nationkey"),
+                         "rev4": b.column("rev4")})
+
+    agg = (
+        j.map_batches(local_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_nationkey")
+        .aggregate(Sum("rev4", alias_name="rev4"))
+    )
+    from hksketch.pipelines.ops import collect_blocks
+
+    blocks = collect_blocks(agg)  # ≤ one row per nation in the region
+    if not blocks:
+        return empty
+    t = pa.concat_tables(blocks)
+    rev = t.column("rev4").to_numpy().astype(np.int64) / 10000.0
+    out = pa.table(
+        {"n_name": pa.array([names[int(k)] for k in
+                             t.column("s_nationkey").to_pylist()]),
+         "revenue": pa.array(rev, type=pa.float64())}
+    )
+    order2 = pc.sort_indices(
+        out, sort_keys=[("revenue", "descending"), ("n_name", "ascending")]
+    )
+    return out.take(order2)
+
+
 def _q_user_counts_countsketch(sf_dir: str):
     """Count-Sketch point frequencies (Charikar et al. ICALP'02) from the
     SAME distributed AMS state as the F2 query — unbiased signed estimates
@@ -3299,6 +3457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_accuracy_report": _q_sketch_accuracy_report,
         "second_moment_users_ams": _q_second_moment_users_ams,
         "user_counts_countsketch": _q_user_counts_countsketch,
+        "q5_region_revenue": _q_q5_region_revenue,
         "join_size_users_daypair": _q_join_size_users_daypair,
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "docs_without_label3": _q_docs_without_label3,
@@ -3589,6 +3748,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
         "corpus_filter_flags": _corpus_filter_sql(),
+        "q5_region_revenue": """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
         "lang_confusion": (
             "WITH pred AS (" + _lang_id_sql() + ")\n"
             "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n\n"

@@ -43,12 +43,20 @@ def hash_join(
     how: str = "inner",
     shards: int | str = "auto",
     suffix: str = "_r",
+    lschema=None,
+    rschema=None,
 ):
     """Equi-join two Datasets on an int64 key; returns a Dataset.
 
     ``how``: ``"inner"`` or ``"left"``.  Right-side columns whose names
     clash with left-side ones get ``suffix``.  The key appears once, named
     ``on``.
+
+    ``lschema`` / ``rschema``: pass the side's known ``pa.Schema`` to skip
+    the ``Dataset.schema()`` probe.  This matters when a side sits behind
+    an all-to-all (e.g. the output of another ``hash_join``): Ray can only
+    infer that schema by RUNNING the whole shuffle, so chained joins
+    without an explicit schema execute the inner join twice.
     """
     import ray.data as rd
 
@@ -58,8 +66,8 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = lschema or left.schema()
+    rschema = rschema or right.schema()
     if lschema is None or rschema is None:
         # a fully-empty MAPPED dataset has no schema to join on; the caller
         # must materialize a typed empty table (rd.from_arrow(empty_table))
