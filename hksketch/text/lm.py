@@ -53,6 +53,33 @@ def _logp_micro(counts: np.ndarray, total: int, vocab: int) -> np.ndarray:
     return np.floor(x * 1e6 + 0.5).astype(np.int64)
 
 
+def scattered_doc_sample(ds, id_col: str = "doc_id", keep_1_in: int = 100):
+    """Deterministic hash-of-id sample for LM training at corpus scale.
+
+    CCNet trains its LM on a reference subset, not the whole crawl;
+    training the unigram model on a 1-in-``keep_1_in`` scattered sample
+    cuts the training scan to ~1/k of the corpus while the scoring pass
+    stays full.  Hash-scattered (splitmix-family ``hash_array``), so the
+    sample is unbiased w.r.t. storage order — the same discipline as the
+    IVF centroid sampling, whose head-sample-bias test shows why
+    ``limit(n)`` is wrong here.  NOT used by the oracle-gated query (the
+    SQL mirror needs the exact full-corpus model); this is the documented
+    scale path for 10^12-doc runs."""
+    from ..hashing import hash_array
+
+    if keep_1_in < 1:
+        raise ValueError(f"keep_1_in must be >= 1, got {keep_1_in}")
+    mod = np.uint64(keep_1_in)
+
+    def pick(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        h = hash_array(b.column(id_col), 0x5A3F)
+        return b.filter(pa.array(h % mod == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def train_unigram_lm(
     ds,
     text_col: str = "text",
