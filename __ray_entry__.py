@@ -20,6 +20,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SEED = 12345
 
 
+def _disc_price_4dp(ext, disc):
+    """``round(ext * (1 - disc) * 10000)`` half-away-from-zero as int64 —
+    THE discounted-revenue expression (4-decimal integer units).  One copy
+    shared by the q1 and q5 queries so neither can drift from the oracle's
+    ``round(l_extendedprice * (1 - l_discount) * 10000)`` (pyarrow's
+    ``half_towards_infinity`` == DuckDB ``round`` for this sign pattern)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(
+        pc.round(
+            pc.multiply(
+                pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc)),
+                pa.scalar(10000.0),
+            ),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -341,7 +362,7 @@ def _q_q1_pricing_summary(sf_dir: str):
                 "qty_c": cents(b.column("l_quantity"), 100),
                 "base_c": cents(ext, 100),
                 "disc_c": cents(disc, 100),
-                "dp4": cents(pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc)), 10000),
+                "dp4": _disc_price_4dp(ext, disc),
             }
         )
 
@@ -2965,10 +2986,10 @@ def _q_q5_region_revenue(sf_dir: str):
     sup = sup.filter(pc.is_in(sup.column("s_nationkey"), value_set=nkey_set))
     sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
     sn = sup.column("s_nationkey").to_numpy().astype(np.int64)
-    order = np.argsort(sk)
-    sup_ref = ray.put((sk[order], sn[order]))
     if len(sk) == 0:
         return empty
+    order = np.argsort(sk)
+    sup_ref = ray.put((sk[order], sn[order]))
 
     t0 = datetime.datetime(1996, 1, 1)
     t1 = datetime.datetime(1997, 1, 1)
@@ -3015,18 +3036,8 @@ def _q_q5_region_revenue(sf_dir: str):
         b = b.filter(pa.array(hit))
         if b.num_rows == 0:
             return out_schema.empty_table()
-        rev4 = pc.cast(
-            pc.round(
-                pc.multiply(
-                    pc.multiply(b.column("l_extendedprice"),
-                                pc.subtract(pa.scalar(1.0),
-                                            b.column("l_discount"))),
-                    pa.scalar(10000.0),
-                ),
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
+        rev4 = _disc_price_4dp(b.column("l_extendedprice"),
+                               b.column("l_discount"))
         return pa.table({"l_orderkey": b.column("l_orderkey"),
                          "s_nationkey": pa.array(snn[pos_c[hit]]),
                          "rev4": rev4})

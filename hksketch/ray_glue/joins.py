@@ -66,8 +66,10 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
-    lschema = lschema or left.schema()
-    rschema = rschema or right.schema()
+    if lschema is None:  # `or` would discard a zero-field schema (falsy)
+        lschema = left.schema()
+    if rschema is None:
+        rschema = right.schema()
     if lschema is None or rschema is None:
         # a fully-empty MAPPED dataset has no schema to join on; the caller
         # must materialize a typed empty table (rd.from_arrow(empty_table))

@@ -2200,10 +2200,12 @@ def test_lm_sample_trained_model_scores_full_corpus(ray_session):
     # Spearman by hand (no scipy in this container): Pearson over ranks.
     # The fixture corpus is near-uniform word soup from one shared vocab,
     # so per-doc ppl spreads are narrow and a half-corpus model reshuffles
-    # mid-ranks; 0.73 observed (deterministic) — the gate guards against
-    # the sample path breaking outright, not against fixture noise.
+    # mid-ranks; 0.73 observed with the current hash backend.  The gate
+    # guards against the sample path breaking outright (rho ≈ 0) — kept
+    # loose because the sampled doc SET depends on hash_array's backend,
+    # which may change values across polars versions.
     rho = full["ppl_milli"].rank().corr(samp["ppl_milli"].rank())
-    assert rho > 0.7, rho
+    assert rho > 0.5, rho
     # storage-order independence: different block split, same sample ids
     resplit = rd.read_parquet(f"{sf}/documents.parquet",
                               columns=["doc_id", "text"],
