@@ -2217,3 +2217,61 @@ def test_lm_sample_trained_model_scores_full_corpus(ray_session):
         for r in scattered_doc_sample(resplit, keep_1_in=2).take_all()
     )
     assert ids_a == ids_b
+
+
+def test_hash_join_schema_bypass_avoids_shuffle_reexecution(ray_session):
+    """Ray infers a post-all-to-all dataset's schema by RUNNING the
+    shuffle, so joining a groupby output without passing rschema executes
+    the upstream map twice; with the known schema it runs once.  Results
+    must be identical either way."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hksketch.ray_glue.joins import hash_join
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(range(64), pa.int64()),
+                  "v": pa.array(range(64), pa.int64())})
+    )
+
+    def run(with_schema: bool):
+        c = Counter.remote()
+
+        def tap(b: pa.Table) -> pa.Table:
+            ray.get(c.inc.remote())
+            return b
+
+        base = rd.from_arrow(
+            pa.table({"k": pa.array([i % 8 for i in range(64)], pa.int64()),
+                      "w": pa.array(range(64), pa.int64())})
+        )
+        right = base.map_batches(
+            tap, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("k").aggregate(Sum("w", alias_name="w"))
+        kw = {}
+        if with_schema:
+            kw["rschema"] = pa.schema([("k", pa.int64()),
+                                       ("w", pa.int64())])
+        out = hash_join(left, right, on="k", **kw).to_pandas()
+        return out.sort_values(["k", "v"]).reset_index(drop=True), ray.get(
+            c.get.remote()
+        )
+
+    out_with, n_with = run(True)
+    out_without, n_without = run(False)
+    assert out_with.equals(out_without)
+    assert n_with >= 1
+    # without the schema hint the tap stage ran a second full pass
+    assert n_without > n_with, (n_without, n_with)
