@@ -3371,6 +3371,446 @@ def _q_cms_heavy_change_users(sf_dir: str):
     )
 
 
+def _cents(col):
+    """``round(value * 100)`` half-away-from-zero as int64 — integer cents
+    keep every downstream sum order-independent and bit-exact under any
+    partitioning (same discipline as ``_disc_price_4dp``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(
+        pc.round(
+            pc.multiply(col, pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
+def _q_top_orders_per_segment(sf_dir: str):
+    """ROW_NUMBER window ⊕oracle: top-3 orders per market segment by total
+    price — big-big hash join (orders ⋈ customer) feeding ``grouped_topn``,
+    whose per-batch prune bounds the rank shuffle at n×groups×blocks rows
+    (the mergeable-top-k containment argument), never the joined table."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.windows import grouped_topn
+    from hksketch.ray_glue.joins import hash_join
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = hash_join(
+        orders,
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        lschema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+             ("o_totalprice", pa.float64())]
+        ),
+        rschema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+    )
+    out = grouped_topn(
+        j, group_col="c_mktsegment", order_col="o_totalprice",
+        id_col="o_orderkey", n=3, descending=True,
+    )
+    return out.sort(["c_mktsegment", "rank"])
+
+
+def _q_user_daily_spend_running(sf_dir: str):
+    """Keyed running-total window ⊕oracle — ``SUM(spend) OVER (PARTITION BY
+    user ORDER BY day)`` over purchase events in integer cents: per-batch
+    (user, day) combiner partials, ONE key-sharded shuffle, a lexsort +
+    reduceat + segment-rebased cumsum per shard
+    (``pipelines.windows.keyed_daily_running``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.windows import keyed_daily_running
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("purchase")))
+        return pa.table(
+            {"user_id": b.column("user_id"), "ts": b.column("ts"),
+             "spend_cents": _cents(b.column("value"))}
+        )
+
+    ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    out = keyed_daily_running(ds, "user_id", "ts", "spend_cents")
+    return out.sort(["user_id", "day"])
+
+
+def _q_revenue_7day_window(sf_dir: str):
+    """Trailing calendar-window sum ⊕oracle — ``SUM(revenue) OVER (ORDER BY
+    day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)`` over purchase revenue
+    in integer cents: distributed daily combine (calendar-bounded), then
+    the bounded ×7 explode to observed window ends
+    (``pipelines.windows.trailing_daily_sum``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.windows import trailing_daily_sum
+
+    ds = read_table(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("purchase")))
+        return pa.table(
+            {"ts": b.column("ts"), "revenue_cents": _cents(b.column("value"))}
+        )
+
+    ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return trailing_daily_sum(ds, "ts", "revenue_cents", window=7)
+
+
+def _q_error_only_user_days(sf_dir: str):
+    """Set-difference by aggregation ⊕oracle: (user, day) pairs with ≥1
+    error event and ZERO purchases that day (the EXCEPT question), top-20
+    by error count.  Per-batch polars flag partials → one grouped fold —
+    the anti-set never materializes, it falls out of the grouped flags
+    (the aggregation-based anti-join, vs ``docs_without_label3``'s
+    LEFT-join path)."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "day": pa.array([], type=pa.timestamp("us")),
+                 "n_error": pa.array([], type=pa.int64()),
+                 "n_purchase": pa.array([], type=pa.int64())}
+            )
+        t = pa.table(
+            {"user_id": b.column("user_id"),
+             "day": pc.floor_temporal(b.column("ts"), unit="day"),
+             "event_type": b.column("event_type")}
+        )
+        g = (
+            pl.from_arrow(t)
+            .group_by(["user_id", "day"])
+            .agg(
+                (pl.col("event_type") == "error").sum().cast(pl.Int64).alias("n_error"),
+                (pl.col("event_type") == "purchase").sum().cast(pl.Int64).alias("n_purchase"),
+            )
+        ).to_arrow()
+        return pa.table(
+            {"user_id": g.column("user_id").cast(pa.int64()),
+             "day": g.column("day").cast(pa.timestamp("us")),
+             "n_error": g.column("n_error").cast(pa.int64()),
+             "n_purchase": g.column("n_purchase").cast(pa.int64())}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby(["user_id", "day"]).aggregate(
+        Sum("n_error", alias_name="n_error"),
+        Sum("n_purchase", alias_name="n_purchase"),
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater(b.column("n_error"), pa.scalar(0)),
+                pc.equal(b.column("n_purchase"), pa.scalar(0)),
+            )
+        )
+        return b.select(["user_id", "day", "n_error"])
+
+    out = (
+        agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n_error", "user_id", "day"], descending=[True, False, False])
+        .limit(20)
+    )
+    empty = pa.table(
+        {"user_id": pa.array([], type=pa.int64()),
+         "day": pa.array([], type=pa.timestamp("us")),
+         "n_error": pa.array([], type=pa.int64())}
+    )
+    blocks = collect_blocks(out)
+    return pa.concat_tables(blocks).combine_chunks() if blocks else empty
+
+
+def _q_events_pivot_daily(sf_dir: str):
+    """Pivot/crosstab ⊕oracle: day × event-type count matrix with a FIXED
+    pivot-value set (schema known up front — the property that keeps a
+    pivot shardable); per-batch wide partials, one groupby
+    (``pipelines.ops.pivot_counts``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import pivot_counts, read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(b.column("ts"), unit="day"),
+             "event_type": b.column("event_type")}
+        )
+
+    ds = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    out = pivot_counts(
+        ds, "day", "event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+    return out.sort("day")
+
+
+def _q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP ⊕oracle: revenue by (returnflag, linestatus) plus
+    per-returnflag subtotals plus the grand total in ONE data pass — the
+    coarser levels are derived from the finest aggregate
+    (``pipelines.ops.rollup2_sums``), never a second scan."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table, rollup2_sums
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": b.column("l_returnflag"),
+             "l_linestatus": b.column("l_linestatus"),
+             "revenue_4dp": _disc_price_4dp(
+                 b.column("l_extendedprice"), b.column("l_discount")
+             )}
+        )
+
+    ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return rollup2_sums(ds, "l_returnflag", "l_linestatus", "revenue_4dp")
+
+
+def _q_length_quartile_counts(sf_dir: str):
+    """Data-driven NTILE-by-threshold ⊕oracle: document-length quartile
+    thresholds as distributed exact discrete quantiles (``quantile_disc``
+    semantics, block-pruned rank extraction — same machinery as
+    ``mad_anomalies``), broadcast into a streamed bucket-assign, then a
+    grouped count per (lang, quartile)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import exact_quantiles, grouped_count, read_table
+
+    ds = read_table(sf_dir, "documents", ["lang", "n_chars"])
+    q1, q2, q3 = (
+        int(v) for v in exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75])
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        n = b.column("n_chars")
+        quart = pc.add(
+            pc.add(
+                pc.cast(pc.greater(n, pa.scalar(q1)), pa.int64()),
+                pc.cast(pc.greater(n, pa.scalar(q2)), pa.int64()),
+            ),
+            pc.add(
+                pc.cast(pc.greater(n, pa.scalar(q3)), pa.int64()),
+                pa.scalar(1, type=pa.int64()),
+            ),
+        )
+        return pa.table({"lang": b.column("lang"), "quartile": quart})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_count(assigned, ["lang", "quartile"], count_name="n_docs")
+    return out.sort(["lang", "quartile"])
+
+
+def _q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H q6 shape ⊕oracle: pruned-column read + row filter + global sum
+    — the no-shuffle scan-aggregate baseline (discount revenue over a
+    shipdate year / discount band / quantity cap, integer ten-thousandths)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(b.column("l_shipdate"), pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b.column("l_discount"), pa.scalar(0.05)),
+                    pc.less_equal(b.column("l_discount"), pa.scalar(0.07)),
+                ),
+                pc.less(b.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        b = b.filter(keep)
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(b.column("l_extendedprice"), b.column("l_discount")),
+                    pa.scalar(10000.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"discount_revenue_4dp": pa.array(
+                 [pc.sum(rev).as_py() or 0], type=pa.int64()),
+             "n_rows": pa.array([b.num_rows], type=pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    sums = partials.sum(["discount_revenue_4dp", "n_rows"])
+    n = sums["sum(n_rows)"]
+    rev = sums["sum(discount_revenue_4dp)"]
+    return pa.table(
+        {"discount_revenue_4dp": pa.array(
+             [rev if n else None], type=pa.int64()),
+         "n_rows": pa.array([n], type=pa.int64())}
+    )
+
+
+def _q_top_returned_customers(sf_dir: str):
+    """TPC-H q10 shape ⊕oracle: returned-item revenue per customer — fact-
+    side per-orderkey combiner, big-big hash join to orders, per-custkey
+    fold, top-20, then a bounded dimension lookup (20 keys) for
+    name/nation.  The joined fact rows never exceed the per-orderkey
+    partial count."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), pa.scalar("R")))
+        t = pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "revenue_4dp": _disc_price_4dp(
+                 b.column("l_extendedprice"), b.column("l_discount")
+             )}
+        )
+        if t.num_rows == 0:
+            return t
+        g = (
+            pl.from_arrow(t).group_by("l_orderkey")
+            .agg(pl.col("revenue_4dp").sum())
+        ).to_arrow()
+        return pa.table(
+            {"l_orderkey": g.column("l_orderkey").cast(pa.int64()),
+             "revenue_4dp": g.column("revenue_4dp").cast(pa.int64())}
+        )
+
+    li_pre = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = hash_join(
+        li_pre,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        lschema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_4dp", pa.int64())]
+        ),
+        rschema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"c_custkey": pa.array([], type=pa.int64()),
+                 "revenue_4dp": pa.array([], type=pa.int64())}
+            )
+        g = (
+            pl.from_arrow(b.select(["o_custkey", "revenue_4dp"]))
+            .group_by("o_custkey")
+            .agg(pl.col("revenue_4dp").sum())
+        ).to_arrow()
+        return pa.table(
+            {"c_custkey": g.column("o_custkey").cast(pa.int64()),
+             "revenue_4dp": g.column("revenue_4dp").cast(pa.int64())}
+        )
+
+    per_cust = (
+        j.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_4dp", alias_name="revenue_4dp"))
+    )
+    top = per_cust.sort(
+        ["revenue_4dp", "c_custkey"], descending=[True, False]
+    ).limit(20)
+    blocks = collect_blocks(top)
+    empty = pa.table(
+        {"c_custkey": pa.array([], type=pa.int64()),
+         "c_name": pa.array([], type=pa.string()),
+         "n_name": pa.array([], type=pa.string()),
+         "revenue_4dp": pa.array([], type=pa.int64())}
+    )
+    if not blocks:
+        return empty
+    top_t = pa.concat_tables(blocks).combine_chunks()
+    keys = top_t.column("c_custkey")
+    # bounded dimension lookup: ≤20 custkeys; nation is tiny by definition
+    cust = pa.concat_tables(
+        collect_blocks(
+            read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+            .map_batches(
+                lambda b: b.filter(pc.is_in(b.column("c_custkey"), value_set=keys)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        or [pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                      "c_name": pa.array([], type=pa.string()),
+                      "c_nationkey": pa.array([], type=pa.int32())})]
+    )
+    nation = pa.concat_tables(
+        collect_blocks(read_table(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    )
+    out = (
+        pl.from_arrow(top_t)
+        .join(pl.from_arrow(cust), on="c_custkey", how="inner")
+        .join(
+            pl.from_arrow(nation),
+            left_on="c_nationkey",
+            right_on="n_nationkey",
+            how="inner",
+        )
+        .sort(["revenue_4dp", "c_custkey"], descending=[True, False])
+        .select(["c_custkey", "c_name", "n_name", "revenue_4dp"])
+    )
+    return out.to_arrow().cast(empty.schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -3473,6 +3913,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "docs_without_label3": _q_docs_without_label3,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
+        "top_orders_per_segment": _q_top_orders_per_segment,
+        "user_daily_spend_running": _q_user_daily_spend_running,
+        "revenue_7day_window": _q_revenue_7day_window,
+        "error_only_user_days": _q_error_only_user_days,
+        "events_pivot_daily": _q_events_pivot_daily,
+        "revenue_rollup": _q_revenue_rollup,
+        "length_quartile_counts": _q_length_quartile_counts,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "top_returned_customers": _q_top_returned_customers,
     }
 
 
@@ -4431,5 +4880,110 @@ c AS (
 )
 SELECT user_id, CAST(abs(e - l) AS BIGINT) AS delta
 FROM c ORDER BY delta DESC, user_id ASC LIMIT 10
+""",
+        "top_orders_per_segment": """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+ORDER BY c_mktsegment, rank
+""",
+        "user_daily_spend_running": """
+WITH d AS (
+  SELECT user_id,
+         date_trunc('day', ts) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS spend_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, day
+)
+SELECT user_id, day, spend_cents,
+       SUM(spend_cents) OVER (
+         PARTITION BY user_id ORDER BY day
+       ) AS cum_spend_cents
+FROM d ORDER BY user_id, day
+""",
+        "revenue_7day_window": """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS dayn,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS revenue_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY dayn
+)
+SELECT make_timestamp(dayn * 86400000000) AS day,
+       revenue_cents,
+       SUM(revenue_cents) OVER (
+         ORDER BY dayn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS trailing_revenue_cents
+FROM daily ORDER BY day
+""",
+        "error_only_user_days": """
+SELECT user_id, day, n_error FROM (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+  FROM events GROUP BY user_id, day
+) WHERE n_error > 0 AND n_purchase = 0
+ORDER BY n_error DESC, user_id, day LIMIT 20
+""",
+        "events_pivot_daily": """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY day ORDER BY day
+""",
+        "revenue_rollup": """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         AS revenue_4dp,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+""",
+        "length_quartile_counts": """
+WITH t AS (
+  SELECT quantile_disc(n_chars, 0.25) AS q1,
+         quantile_disc(n_chars, 0.50) AS q2,
+         quantile_disc(n_chars, 0.75) AS q3
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN n_chars <= q1 THEN 1
+            WHEN n_chars <= q2 THEN 2
+            WHEN n_chars <= q3 THEN 3
+            ELSE 4 END AS quartile,
+       COUNT(*) AS n_docs
+FROM documents, t
+GROUP BY lang, quartile ORDER BY lang, quartile
+""",
+        "q6_forecast_revenue": """
+SELECT SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+         AS discount_revenue_4dp,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+        "top_returned_customers": """
+SELECT c_custkey, c_name, n_name, revenue_4dp FROM (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS revenue_4dp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+) r
+JOIN customer USING (c_custkey)
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_4dp DESC, c_custkey LIMIT 20
 """,
     }

@@ -259,6 +259,111 @@ def distinct_count_topk(
     return counts.sort([count_name, key_col], descending=[True, False]).limit(k)
 
 
+def pivot_counts(ds, row_col: str, col_col: str, values: list[str]):
+    """Crosstab: one row per ``row_col`` value, one ``n_<v>`` int64 count
+    column per pivot value (SQL ``COUNT(*) FILTER (WHERE col = v)``).
+
+    Distributed shape: the WIDE layout is built per batch (a polars
+    group_by over the batch — one partial row per (batch, row-key)), so the
+    shuffle carries partial crosstabs, never raw rows, and the pivot value
+    set fixes the schema up front (no data-dependent schema discovery —
+    the thing that makes naive pivots unshardable)."""
+    if not values:
+        raise ValueError("pivot_counts: values must be a non-empty list")
+    out_names = [f"n_{v}" for v in values]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {row_col: batch.column(row_col),
+                 **{o: pa.array([], type=pa.int64()) for o in out_names}}
+            )
+        df = pl.from_arrow(batch.select([row_col, col_col]))
+        g = df.group_by(row_col).agg(
+            [
+                (pl.col(col_col) == v).sum().cast(pl.Int64).alias(o)
+                for v, o in zip(values, out_names)
+            ]
+        )
+        t = g.to_arrow()
+        return pa.table(
+            {row_col: t.column(row_col).cast(batch.schema.field(row_col).type),
+             **{o: t.column(o).cast(pa.int64()) for o in out_names}}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby(row_col).aggregate(
+        *[Sum(o, alias_name=o) for o in out_names]
+    )
+
+
+def rollup2_sums(ds, col_a: str, col_b: str, amount_col: str) -> pa.Table:
+    """``GROUP BY ROLLUP(a, b)`` over an int64 amount: the finest (a, b)
+    level plus per-``a`` subtotals (b NULL) plus the grand total (both
+    NULL), with row counts — SQL ROLLUP semantics.
+
+    Distributed shape: ONE pass computes per-batch (a, b) partials, one
+    ``groupby`` folds them to the finest level; the coarser levels are
+    DERIVED from the finest aggregate (the standard rollup-from-cube
+    plan — no second scan of the data).  The finest level is bounded by
+    |a|×|b| group cardinality, so the derivation step is
+    cardinality-bounded, never data-bounded.
+
+    Returns a pyarrow Table[(a, b, amount, n_rows)] with nullable group
+    columns."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {col_a: batch.column(col_a), col_b: batch.column(col_b),
+                 amount_col: pa.array([], type=pa.int64()),
+                 "n_rows": pa.array([], type=pa.int64())}
+            )
+        g = (
+            pl.from_arrow(batch.select([col_a, col_b, amount_col]))
+            .group_by([col_a, col_b])
+            .agg(pl.col(amount_col).sum(), pl.len().cast(pl.Int64).alias("n_rows"))
+        ).to_arrow()
+        return pa.table(
+            {col_a: g.column(col_a).cast(batch.schema.field(col_a).type),
+             col_b: g.column(col_b).cast(batch.schema.field(col_b).type),
+             amount_col: g.column(amount_col).cast(pa.int64()),
+             "n_rows": g.column("n_rows").cast(pa.int64())}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    finest_ds = pre.groupby([col_a, col_b]).aggregate(
+        Sum(amount_col, alias_name=amount_col), Sum("n_rows", alias_name="n_rows")
+    )
+    blocks = collect_blocks(finest_ds)
+    if not blocks:
+        return pa.table(
+            {col_a: pa.array([None], type=pa.string()),
+             col_b: pa.array([None], type=pa.string()),
+             amount_col: pa.array([None], type=pa.int64()),
+             "n_rows": pa.array([0], type=pa.int64())}
+        )
+    finest = pa.concat_tables(blocks).combine_chunks()
+    df = pl.from_arrow(finest)
+    sub = df.group_by(col_a).agg(
+        pl.col(amount_col).sum(), pl.col("n_rows").sum()
+    ).with_columns(pl.lit(None, dtype=df.schema[col_b]).alias(col_b))
+    tot = df.select(
+        pl.lit(None, dtype=df.schema[col_a]).alias(col_a),
+        pl.lit(None, dtype=df.schema[col_b]).alias(col_b),
+        pl.col(amount_col).sum(),
+        pl.col("n_rows").sum(),
+    )
+    cols = [col_a, col_b, amount_col, "n_rows"]
+    out = pl.concat([df.select(cols), sub.select(cols), tot.select(cols)])
+    return out.to_arrow().cast(
+        pa.schema(
+            [(col_a, finest.schema.field(col_a).type),
+             (col_b, finest.schema.field(col_b).type),
+             (amount_col, pa.int64()), ("n_rows", pa.int64())]
+        )
+    )
+
+
 def tfidf_top_terms(ds, n_docs: int, k: int = 50, text_col: str = "text"):
     """Corpus-wide TF-IDF top-``k`` terms over a document table.
 

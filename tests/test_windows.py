@@ -1,0 +1,255 @@
+"""Window/rank operators: grouped_topn, keyed_daily_running,
+trailing_daily_sum, pivot_counts, rollup2_sums — each checked against a
+brute-force pandas/numpy recompute across multi-block inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _rand_events(n=4000, n_users=60, n_days=40, seed=3, neg=False):
+    rng = np.random.default_rng(seed)
+    uid = rng.integers(0, n_users, n).astype(np.int64)
+    day = rng.integers(0, n_days, n).astype(np.int64)
+    ts = day * _US_PER_DAY + rng.integers(0, _US_PER_DAY, n)
+    amt = rng.integers(-500 if neg else 1, 500, n).astype(np.int64)
+    return pa.table(
+        {
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "amount": pa.array(amt),
+        }
+    )
+
+
+def test_grouped_topn_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.windows import grouped_topn
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    t = pa.table(
+        {
+            "grp": pa.array(rng.integers(0, 8, n).astype(np.int64)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            # coarse values force ties → the id tie-break must decide
+            "val": pa.array(rng.integers(0, 20, n).astype(np.float64)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+    got = (
+        grouped_topn(ds, "grp", "val", "id", n=5)
+        .to_pandas()
+        .sort_values(["grp", "rank"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df = df.sort_values(["val", "id"], ascending=[False, True])
+    want = (
+        df.groupby("grp", sort=True)
+        .head(5)
+        .assign(rank=lambda d: d.groupby("grp").cumcount() + 1)
+        .sort_values(["grp", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got["grp"]) == list(want["grp"])
+    assert list(got["id"]) == list(want["id"])
+    assert list(got["rank"]) == list(want["rank"])
+    assert np.allclose(got["val"], want["val"])
+
+
+def test_grouped_topn_small_groups(ray_session):
+    """Groups with fewer than n rows return all their rows, ranked."""
+    import ray.data as rd
+
+    from hksketch.pipelines.windows import grouped_topn
+
+    t = pa.table(
+        {
+            "grp": pa.array([1, 1, 2], type=pa.int64()),
+            "id": pa.array([10, 11, 12], type=pa.int64()),
+            "val": pa.array([5.0, 7.0, 1.0]),
+        }
+    )
+    got = (
+        grouped_topn(rd.from_arrow(t), "grp", "val", "id", n=5)
+        .to_pandas()
+        .sort_values(["grp", "rank"])
+    )
+    assert list(got["id"]) == [11, 10, 12]
+    assert list(got["rank"]) == [1, 2, 1]
+
+
+def test_keyed_daily_running_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.windows import keyed_daily_running
+
+    t = _rand_events(neg=True)  # negative amounts exercise the sign-safe rebase
+    ds = rd.from_arrow(t).repartition(9)
+    got = (
+        keyed_daily_running(ds, "user_id", "ts", "amount", shards=8)
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["day"] = (df["ts"].astype("int64") // _US_PER_DAY) * _US_PER_DAY
+    daily = (
+        df.groupby(["user_id", "day"], as_index=False)["amount"]
+        .sum()
+        .sort_values(["user_id", "day"])
+    )
+    daily["cum_amount"] = daily.groupby("user_id")["amount"].cumsum()
+    daily["day"] = pd.to_datetime(daily["day"], unit="us")
+    want = daily.reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["day"].values == want["day"].values).all()
+    assert (got["amount"].values == want["amount"].values).all()
+    assert (got["cum_amount"].values == want["cum_amount"].values).all()
+
+
+def test_trailing_daily_sum_with_gap_days(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.windows import trailing_daily_sum
+
+    # days 0,1,2,9,10 — day 9's window [3..9] must NOT include days 0-2
+    days = np.array([0, 0, 1, 2, 9, 10, 10], dtype=np.int64)
+    amt = np.array([5, 7, 11, 13, 17, 19, 23], dtype=np.int64)
+    t = pa.table(
+        {
+            "ts": pa.array(days * _US_PER_DAY + 1234).cast(pa.timestamp("us")),
+            "amount": pa.array(amt),
+        }
+    )
+    got = (
+        trailing_daily_sum(rd.from_arrow(t).repartition(3), "ts", "amount", window=7)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    want_daily = {0: 12, 1: 11, 2: 13, 9: 17, 10: 42}
+    want_trail = {0: 12, 1: 23, 2: 36, 9: 17, 10: 59}
+    got_days = (got["day"].astype("int64") // _US_PER_DAY).tolist()
+    assert got_days == sorted(want_daily)
+    assert got["amount"].tolist() == [want_daily[d] for d in got_days]
+    assert got["trailing_amount"].tolist() == [want_trail[d] for d in got_days]
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.ops import pivot_counts
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    vals = ["a", "b", "c"]
+    t = pa.table(
+        {
+            "row": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+            "col": pa.array(
+                [vals[i] for i in rng.integers(0, 3, n)], type=pa.string()
+            ),
+        }
+    )
+    # include a pivot value absent from the data → all-zero column
+    got = (
+        pivot_counts(rd.from_arrow(t).repartition(5), "row", "col",
+                     values=["a", "b", "c", "zzz"])
+        .to_pandas()
+        .sort_values("row")
+        .reset_index(drop=True)
+    )
+    want = pd.crosstab(
+        t.to_pandas()["row"], t.to_pandas()["col"]
+    ).sort_index()
+    for v in vals:
+        assert got[f"n_{v}"].tolist() == want[v].tolist()
+    assert (got["n_zzz"] == 0).all()
+
+
+def test_rollup2_sums_matches_manual(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.ops import rollup2_sums
+
+    rng = np.random.default_rng(13)
+    n = 1500
+    a = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    b = np.array(["p", "q"])[rng.integers(0, 2, n)]
+    amt = rng.integers(0, 100, n).astype(np.int64)
+    t = pa.table(
+        {"a": pa.array(a, type=pa.string()),
+         "b": pa.array(b, type=pa.string()),
+         "amount": pa.array(amt)}
+    )
+    out = rollup2_sums(
+        rd.from_arrow(t).repartition(4), "a", "b", "amount"
+    ).to_pandas()
+    df = t.to_pandas()
+    # finest
+    fine = df.groupby(["a", "b"])["amount"].agg(["sum", "size"])
+    for (av, bv), row in fine.iterrows():
+        m = out[(out["a"] == av) & (out["b"] == bv)]
+        assert len(m) == 1
+        assert m["amount"].iloc[0] == row["sum"]
+        assert m["n_rows"].iloc[0] == row["size"]
+    # per-a subtotals (b null)
+    for av, row in df.groupby("a")["amount"].agg(["sum", "size"]).iterrows():
+        m = out[(out["a"] == av) & (out["b"].isna())]
+        assert len(m) == 1
+        assert m["amount"].iloc[0] == row["sum"]
+    # grand total
+    g = out[out["a"].isna() & out["b"].isna()]
+    assert len(g) == 1
+    assert g["amount"].iloc[0] == amt.sum()
+    assert g["n_rows"].iloc[0] == n
+    assert len(out) == len(fine) + df["a"].nunique() + 1
+
+
+def test_windows_empty_inputs(ray_session):
+    """Empty streams produce typed empty results, not crashes."""
+    import ray.data as rd
+
+    from hksketch.pipelines.ops import pivot_counts, rollup2_sums
+    from hksketch.pipelines.windows import (
+        grouped_topn,
+        keyed_daily_running,
+        trailing_daily_sum,
+    )
+
+    et = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "amount": pa.array([], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(et)
+    assert keyed_daily_running(ds, "user_id", "ts", "amount", shards=4).count() == 0
+    assert trailing_daily_sum(ds, "ts", "amount").count() == 0
+    gt = pa.table(
+        {"grp": pa.array([], type=pa.int64()),
+         "id": pa.array([], type=pa.int64()),
+         "val": pa.array([], type=pa.float64())}
+    )
+    assert grouped_topn(rd.from_arrow(gt), "grp", "val", "id", n=3).count() == 0
+    pt = pa.table(
+        {"row": pa.array([], type=pa.int64()),
+         "col": pa.array([], type=pa.string())}
+    )
+    assert pivot_counts(rd.from_arrow(pt), "row", "col", ["a"]).count() == 0
+    rt = pa.table(
+        {"a": pa.array([], type=pa.string()),
+         "b": pa.array([], type=pa.string()),
+         "amount": pa.array([], type=pa.int64())}
+    )
+    r = rollup2_sums(rd.from_arrow(rt), "a", "b", "amount")
+    assert r.num_rows == 1  # the grand-total row of the empty stream
+    assert r.column("n_rows")[0].as_py() == 0
