@@ -3387,6 +3387,19 @@ def _cents(col):
     )
 
 
+def _q_user_max_gap(sf_dir: str):
+    """Per-key LAG window ⊕oracle — ``MAX(ts - lag(ts) OVER (PARTITION BY
+    user ORDER BY ts))``: the max doesn't telescope like a gap sum, so it
+    needs the ordered per-key scan (``pipelines.sessions.max_gap``, same
+    one-shuffle shard shape as sessionize); single-event users surface
+    SQL's MAX-over-empty null."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.sessions import max_gap
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    return max_gap(ds, "user_id", "ts").sort("user_id")
+
+
 def _q_top_orders_per_segment(sf_dir: str):
     """ROW_NUMBER window ⊕oracle: top-3 orders per market segment by total
     price — big-big hash join (orders ⋈ customer) feeding ``grouped_topn``,
@@ -3913,6 +3926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "docs_without_label3": _q_docs_without_label3,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
+        "user_max_gap": _q_user_max_gap,
         "top_orders_per_segment": _q_top_orders_per_segment,
         "user_daily_spend_running": _q_user_daily_spend_running,
         "revenue_7day_window": _q_revenue_7day_window,
@@ -4880,6 +4894,17 @@ c AS (
 )
 SELECT user_id, CAST(abs(e - l) AS BIGINT) AS delta
 FROM c ORDER BY delta DESC, user_id ASC LIMIT 10
+""",
+        "user_max_gap": """
+SELECT user_id,
+       COUNT(prev) AS n_gaps,
+       MAX(epoch_us(ts) - epoch_us(prev)) AS max_gap_us
+FROM (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+GROUP BY user_id ORDER BY user_id
 """,
         "top_orders_per_segment": """
 SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (

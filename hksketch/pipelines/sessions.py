@@ -187,6 +187,62 @@ def last_event_before(
 _US_PER_DAY = 86_400_000_000
 
 
+def max_gap(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    shards: Union[int, str] = "auto",
+):
+    """Per-key LAG statistics: the number of consecutive-event gaps and the
+    LARGEST gap (``MAX(ts - lag(ts) OVER (PARTITION BY key ORDER BY ts))``)
+    in integer microseconds.  The max does not telescope the way a gap SUM
+    would, so it genuinely needs the ordered per-key scan — same ONE
+    key-sharded shuffle + lexsort + segment ``maximum.reduceat`` shape as
+    :func:`sessionize`.  Keys with a single event get ``n_gaps = 0`` and a
+    null ``max_gap_us`` (SQL MAX-over-empty semantics).
+
+    Returns a Dataset[(key_col, n_gaps:int64, max_gap_us:int64?)].
+    """
+    shards = _resolve_shards(ds, shards)
+    sharded = ds.map_batches(
+        _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key_col: pa.array([], type=pa.int64()),
+             "n_gaps": pa.array([], type=pa.int64()),
+             "max_gap_us": pa.array([], type=pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        keys, ts, _ = _sorted_arrays(g, key_col, ts_col)
+        uniq, starts = np.unique(keys, return_index=True)
+        counts = np.diff(np.append(starts, len(keys)))
+        gaps = ts[1:] - ts[:-1]
+        same = keys[1:] == keys[:-1]
+        # per-key max over its gap run: reduceat over the gap array with
+        # cross-key positions masked to -1 (gaps are ≥ 0 within a key)
+        masked = np.where(same, gaps, np.int64(-1))
+        has_gap = counts > 1
+        mx = np.full(len(uniq), -1, dtype=np.int64)
+        if masked.size:
+            # key i's gaps occupy masked[starts[i] : starts[i]+counts[i]-1];
+            # reduceat needs monotonically increasing offsets, so clamp the
+            # empty segments to their start and overwrite their result below
+            offs = np.minimum(starts, masked.size - 1)
+            seg_max = np.maximum.reduceat(masked, offs)
+            mx = np.where(has_gap, seg_max, np.int64(-1))
+        return pa.table(
+            {key_col: pa.array(uniq, type=pa.int64()),
+             "n_gaps": pa.array(counts - 1, type=pa.int64()),
+             "max_gap_us": pa.Array.from_pandas(
+                 mx, mask=~has_gap, type=pa.int64())}
+        )
+
+    return sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
+
+
 def daily_retention(
     ds,
     key_col: str = "user_id",

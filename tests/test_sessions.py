@@ -100,3 +100,55 @@ def test_shards_must_be_power_of_two():
 
     with pytest.raises(ValueError):
         _shard_fn("user_id", 10)
+
+
+def test_max_gap_matches_bruteforce(ray_session):
+    """Sharded lag scan == naive per-user max gap, incl. singleton users
+    (null max) and trailing-singleton reduceat edges."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hksketch.pipelines.sessions import max_gap
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    uid = rng.integers(0, 300, n)
+    secs = rng.integers(0, 10 * 86400, n)
+    rows = [(int(u), float(s), "x") for u, s in zip(uid, secs)]
+    # force singleton users, incl. ones hashing anywhere in the shard order
+    rows += [(10_001, 5.0, "x"), (10_002, 6.0, "x")]
+    t = _events(rows)
+    got = (
+        max_gap(rd.from_arrow(t).repartition(5), "user_id", "ts", shards=8)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    want = {}
+    for u, g in df.groupby("user_id"):
+        ts = np.sort(g["us"].to_numpy())
+        want[u] = (len(ts) - 1, int(np.diff(ts).max()) if len(ts) > 1 else None)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n_gaps, mx = want[r["user_id"]]
+        assert r["n_gaps"] == n_gaps
+        if mx is None:
+            assert pd.isna(r["max_gap_us"])
+        else:
+            assert r["max_gap_us"] == mx
+
+
+def test_max_gap_empty(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.sessions import max_gap
+
+    import pyarrow as pa
+
+    et = pa.table(
+        {"user_id": pa.array([], type=pa.int64()),
+         "ts": pa.array([], type=pa.timestamp("us"))}
+    )
+    assert max_gap(rd.from_arrow(et), "user_id", "ts", shards=4).count() == 0
