@@ -3387,6 +3387,161 @@ def _cents(col):
     )
 
 
+def _q_props_json_stats(sf_dir: str):
+    """JSON field analytics ⊕oracle: per event type, the sum/count of the
+    integer ``k`` field of the JSON ``props`` column — ONE vectorized
+    ``extract_regex`` kernel per batch (``text.analysis.json_int_field``),
+    never a per-row json.loads; missing fields propagate SQL nulls."""
+    import polars as pl
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.analysis import json_int_field
+
+    ds = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], type=pa.string()),
+                 "sum_k": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        k = json_int_field(b.column("props"), "k")
+        g = (
+            pl.from_arrow(pa.table({"event_type": b.column("event_type"), "k": k}))
+            .group_by("event_type")
+            .agg(pl.col("k").sum().alias("sum_k"),
+                 pl.len().cast(pl.Int64).alias("n"))
+        ).to_arrow()
+        return pa.table(
+            {"event_type": g.column("event_type").cast(pa.string()),
+             "sum_k": g.column("sum_k").cast(pa.int64()),
+             "n": g.column("n").cast(pa.int64())}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        pre.groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+        .sort("event_type")
+    )
+
+
+def _q_orders_above_customer_avg(sf_dir: str):
+    """Correlated-scalar-subquery shape ⊕oracle: orders priced above their
+    OWN customer's average order value, counted per priority.  The
+    customer averages are a distributed aggregate hash-joined back onto
+    the fact table (the decorrelated plan); the comparison
+    ``price > sum/n`` is done as integer cross-multiplication
+    ``price_cents * n > sum_cents`` — no float division, bit-exact under
+    any partitioning."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import grouped_count, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    orders = read_table(
+        sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b.column("o_custkey"),
+             "price_cents": _cents(b.column("o_totalprice")),
+             "o_orderpriority": b.column("o_orderpriority")}
+        )
+
+    facts = orders.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"o_custkey": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        g = (
+            pl.from_arrow(b.select(["o_custkey", "price_cents"]))
+            .group_by("o_custkey")
+            .agg(pl.col("price_cents").sum().alias("s"),
+                 pl.len().cast(pl.Int64).alias("n"))
+        ).to_arrow()
+        return pa.table(
+            {"o_custkey": g.column("o_custkey").cast(pa.int64()),
+             "s": g.column("s").cast(pa.int64()),
+             "n": g.column("n").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    cust_avg = (
+        facts.map_batches(agg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    j = hash_join(
+        facts,
+        cust_avg,
+        on="o_custkey",
+        lschema=pa.schema(
+            [("o_custkey", pa.int64()), ("price_cents", pa.int64()),
+             ("o_orderpriority", pa.string())]
+        ),
+        rschema=pa.schema(
+            [("o_custkey", pa.int64()), ("s", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        above = pc.greater(
+            pc.multiply(b.column("price_cents"), b.column("n")), b.column("s")
+        )
+        return b.filter(above).select(["o_orderpriority"])
+
+    above = j.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(above, ["o_orderpriority"], count_name="n_orders").sort(
+        "o_orderpriority"
+    )
+
+
+def _q_pack_documents(sf_dir: str):
+    """Sequence packing (pretraining-loader layout): documents hash-
+    sharded, canonically ordered, and assigned to 4096-token packs by the
+    concatenate-then-chunk rule (``pipelines.packing.pack_token_budget``)
+    using the S3-tokenizer token counts.  Deterministic function of
+    (ids, token counts, shards) — recompute-equality and budget-accounting
+    tests in tests/test_windows.py; no SQL analogue (rows-only gate)."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.packing import pack_token_budget
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        t = tokenize_column(b.column("text"), with_doc_index=True)
+        import numpy as np
+
+        counts = np.zeros(b.num_rows, dtype=np.int64)
+        if t.num_rows:
+            idx, c = np.unique(t.column("doc_idx").to_numpy(), return_counts=True)
+            counts[idx] = c
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "n_tokens": pa.array(counts, type=pa.int64())}
+        )
+
+    counted = ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+    out = pack_token_budget(counted, "doc_id", "n_tokens", budget=4096, shards=8)
+    return out.sort("doc_id")
+
+
 def _q_user_max_gap(sf_dir: str):
     """Per-key LAG window ⊕oracle — ``MAX(ts - lag(ts) OVER (PARTITION BY
     user ORDER BY ts))``: the max doesn't telescope like a gap sum, so it
@@ -3926,6 +4081,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "docs_without_label3": _q_docs_without_label3,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
+        "props_json_stats": _q_props_json_stats,
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
+        "pack_documents": _q_pack_documents,
         "user_max_gap": _q_user_max_gap,
         "top_orders_per_segment": _q_top_orders_per_segment,
         "user_daily_spend_running": _q_user_daily_spend_running,
@@ -4894,6 +5052,24 @@ c AS (
 )
 SELECT user_id, CAST(abs(e - l) AS BIGINT) AS delta
 FROM c ORDER BY delta DESC, user_id ASC LIMIT 10
+""",
+        "props_json_stats": """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "orders_above_customer_avg": """
+WITH ca AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders JOIN ca USING (o_custkey)
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n > s
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         "user_max_gap": """
 SELECT user_id,

@@ -398,3 +398,22 @@ def gopher_quality_batch(
          "dup_trigram_frac": pa.array(dup_trigram),
          "gopher_pass": pa.array(ok)}
     )
+
+
+def json_int_field(col, field: str):
+    """Vectorized integer-field extraction from a JSON-string column
+    (``json_extract(col, '$.field') :: BIGINT`` semantics for flat
+    objects): one pyarrow ``extract_regex`` kernel over the Arrow buffer —
+    no per-row json.loads.  Rows without the field (or with a non-integer
+    value) yield null, matching SQL json_extract's null propagation.
+
+    Top-level-field extraction by regex is exact for non-nested objects
+    (the common event-props shape); nested objects with a same-named inner
+    key would need a real parser — callers with nested payloads should
+    decode via polars ``str.json_decode`` instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pat = r'"' + field + r'"\s*:\s*(?P<v>-?\d+)'
+    m = pc.extract_regex(col, pattern=pat)
+    return pc.cast(pc.struct_field(m, "v"), pa.int64())

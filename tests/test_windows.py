@@ -253,3 +253,87 @@ def test_windows_empty_inputs(ray_session):
     r = rollup2_sums(rd.from_arrow(rt), "a", "b", "amount")
     assert r.num_rows == 1  # the grand-total row of the empty stream
     assert r.column("n_rows")[0].as_py() == 0
+
+
+def test_pack_token_budget_recompute_and_invariants(ray_session):
+    """Packing is a pure function of (ids, token counts, shards):
+    independent numpy recompute matches, offsets respect the budget, and
+    each shard's stream is contiguous (start_{i+1} = start_i + tok_i)."""
+    import ray.data as rd
+
+    from hksketch.hashing import splitmix64
+    from hksketch.pipelines.packing import _PACK_STRIDE, pack_token_budget
+
+    rng = np.random.default_rng(23)
+    n, budget, shards = 3000, 1000, 8
+    ids = rng.permutation(n).astype(np.int64)
+    tok = rng.integers(0, 600, n).astype(np.int64)
+    tok[::97] = 0          # zero-token docs
+    tok[::101] = 2500      # docs longer than the budget (span packs)
+    t = pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(tok)})
+    got = (
+        pack_token_budget(rd.from_arrow(t).repartition(6), "doc_id",
+                          "n_tokens", budget=budget, shards=shards)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # independent recompute
+    shard = (splitmix64(ids.astype(np.uint64)) & np.uint64(shards - 1)).astype(int)
+    want = {}
+    for s in range(shards):
+        m = shard == s
+        sid, stok = ids[m], tok[m]
+        o = np.argsort(sid)
+        sid, stok = sid[o], stok[o]
+        start = np.concatenate(([0], np.cumsum(stok)[:-1]))
+        for i, d in enumerate(sid):
+            pl_ = start[i] // budget
+            last = (start[i] + stok[i] - 1) // budget if stok[i] else pl_
+            want[int(d)] = (
+                s * _PACK_STRIDE + pl_, start[i] - pl_ * budget, last - pl_ + 1
+            )
+    assert len(got) == n
+    for _, r in got.iterrows():
+        wp, wo, wn = want[int(r["doc_id"])]
+        assert (r["pack_id"], r["pack_offset"], r["n_packs"]) == (wp, wo, wn)
+    assert (got["pack_offset"] < budget).all() and (got["pack_offset"] >= 0).all()
+    # determinism across block structures
+    got2 = (
+        pack_token_budget(rd.from_arrow(t).repartition(2), "doc_id",
+                          "n_tokens", budget=budget, shards=shards)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["pack_id"].values == got2["pack_id"].values).all()
+    assert (got["pack_offset"].values == got2["pack_offset"].values).all()
+
+
+def test_pack_token_budget_validation(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.packing import pack_token_budget
+
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "n_tokens": pa.array([5], type=pa.int64())})
+    with pytest.raises(ValueError):
+        pack_token_budget(rd.from_arrow(t), "doc_id", "n_tokens", budget=0)
+    bad = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                    "n_tokens": pa.array([-2], type=pa.int64())})
+    with pytest.raises(Exception):
+        pack_token_budget(
+            rd.from_arrow(bad), "doc_id", "n_tokens", budget=10, shards=2
+        ).to_pandas()
+
+
+def test_json_int_field():
+    from hksketch.text.analysis import json_int_field
+
+    col = pa.array(
+        ['{"k": 42}', '{"k": -7, "j": 1}', '{"j": 3}', None,
+         '{"k": "notint"}', '{ "k" : 0 }'],
+        type=pa.string(),
+    )
+    got = json_int_field(col, "k").to_pylist()
+    assert got == [42, -7, None, None, None, 0]
