@@ -3387,6 +3387,20 @@ def _cents(col):
     )
 
 
+def _q_source_profile_cosine(sf_dir: str):
+    """Group-profile similarity ⊕oracle: pairwise cosine between the
+    per-source token-count vectors, as SPARSE token-cogrouped dot products
+    (``sim.profiles``) — vocabulary never materializes as a dense vector
+    anywhere; same vectorized run + triu pair synthesis as the LSH bucket
+    scan.  Driver holds one row per source PAIR (G² bound, documented)."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.profiles import profile_cosine, profile_counts
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+    triples = profile_counts(ds, "source")
+    return profile_cosine(triples, "source", shards=64)
+
+
 def _q_props_json_stats(sf_dir: str):
     """JSON field analytics ⊕oracle: per event type, the sum/count of the
     integer ``k`` field of the JSON ``props`` column — ONE vectorized
@@ -4081,6 +4095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "docs_without_label3": _q_docs_without_label3,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
+        "source_profile_cosine": _q_source_profile_cosine,
         "props_json_stats": _q_props_json_stats,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "pack_documents": _q_pack_documents,
@@ -5052,6 +5067,28 @@ c AS (
 )
 SELECT user_id, CAST(abs(e - l) AS BIGINT) AS delta
 FROM c ORDER BY delta DESC, user_id ASC LIMIT 10
+""",
+        "source_profile_cosine": """
+WITH tok AS (
+  SELECT source, lower(tok) AS token
+  FROM (SELECT source, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
+  WHERE length(tok) <= 64
+), tc AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), n AS (
+  SELECT source, SUM(c * c) AS n2 FROM tc GROUP BY 1
+), d AS (
+  SELECT a.source AS source_a, b.source AS source_b, SUM(a.c * b.c) AS dot
+  FROM tc a JOIN tc b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 3)
+         AS cosine
+FROM d JOIN n na ON na.source = source_a JOIN n nb ON nb.source = source_b
+ORDER BY source_a, source_b
 """,
         "props_json_stats": """
 SELECT event_type,

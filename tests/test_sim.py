@@ -375,3 +375,50 @@ def test_distributed_kmeans_matches_local_lloyd(ray_session, tmp_path):
     # well-separated clusters → every cluster found, high cohesion
     assert min(sizes.column("n").to_pylist()) > 0
     assert min(sizes.column("mean_cos").to_pylist()) > 0.8
+
+
+def test_profile_cosine_matches_dense(ray_session):
+    """Sparse token-cogrouped dot products == dense numpy cosine over the
+    per-group token-count matrix, milli-rounded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.sim.profiles import profile_cosine, profile_counts
+
+    rng = np.random.default_rng(31)
+    # alphabetic-only words: the S3 tokenizer splits on non-letters, so a
+    # digit-suffixed vocab would collapse to one token
+    letters = "abcdefghij"
+    vocab = [f"tok{letters[i // 10]}{letters[i % 10]}" for i in range(50)]
+    srcs = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for s_i, s in enumerate(srcs):
+        for _ in range(40):
+            k = rng.integers(3, 30)
+            # skew each source's vocabulary so cosines differ
+            p = np.ones(50); p[s_i * 10:(s_i + 1) * 10] += 9
+            words = rng.choice(vocab, size=k, p=p / p.sum())
+            rows.append((s, " ".join(words)))
+    t = pa.table(
+        {"source": pa.array([r[0] for r in rows], type=pa.string()),
+         "text": pa.array([r[1] for r in rows], type=pa.string())}
+    )
+    triples = profile_counts(rd.from_arrow(t).repartition(5), "source")
+    got = profile_cosine(triples, "source", shards=16).to_pandas()
+    # dense truth
+    mat = np.zeros((len(srcs), len(vocab)))
+    for s, text in rows:
+        for w in text.split():
+            mat[srcs.index(s), vocab.index(w)] += 1
+    want = {}
+    for i in range(len(srcs)):
+        for j in range(len(srcs)):
+            a, b = sorted((srcs[i], srcs[j]))
+            if a < b:
+                ii, jj = srcs.index(a), srcs.index(b)
+                c = mat[ii] @ mat[jj] / np.sqrt((mat[ii] ** 2).sum() * (mat[jj] ** 2).sum())
+                want[(a, b)] = np.floor(c * 1000 + 0.5) / 1000
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert r["cosine"] == want[(r["source_a"], r["source_b"])]
