@@ -3387,6 +3387,25 @@ def _cents(col):
     )
 
 
+def _q_dataset_split_counts(sf_dir: str):
+    """Deterministic train/val/test split (rows-only; splitmix64 has no
+    SQL twin): per (source, split) doc counts of a 90/5/5 hash split —
+    stable across partitionings/retries/cluster sizes and under ratio
+    changes (monotone thresholds), zero shuffle for the assignment itself
+    (``pipelines.splits``); determinism + fraction tests in
+    tests/test_windows.py."""
+    from hksketch.pipelines.ops import grouped_count, read_table
+    from hksketch.pipelines.splits import assign_split
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"])
+    tagged = assign_split(
+        ds, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=SEED
+    )
+    return grouped_count(tagged, ["source", "split"], count_name="n_docs").sort(
+        ["source", "split"]
+    )
+
+
 def _q_source_profile_cosine(sf_dir: str):
     """Group-profile similarity ⊕oracle: pairwise cosine between the
     per-source token-count vectors, as SPARSE token-cogrouped dot products
@@ -4095,6 +4114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "docs_without_label3": _q_docs_without_label3,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
+        "dataset_split_counts": _q_dataset_split_counts,
         "source_profile_cosine": _q_source_profile_cosine,
         "props_json_stats": _q_props_json_stats,
         "orders_above_customer_avg": _q_orders_above_customer_avg,

@@ -17,3 +17,6 @@ __all__ = [
     "kmeans_assign",
     "kmeans_cluster_sizes",
 ]
+from .profiles import profile_cosine, profile_counts  # noqa: F401,E402
+
+__all__ += ["profile_counts", "profile_cosine"]

@@ -337,3 +337,50 @@ def test_json_int_field():
     )
     got = json_int_field(col, "k").to_pylist()
     assert got == [42, -7, None, None, None, 0]
+
+
+def test_assign_split_determinism_and_fractions(ray_session):
+    """Split assignment is a pure function of (id, seed): identical across
+    partitionings, splits are disjoint+exhaustive, fractions near target,
+    and growing a split keeps the smaller splits' members (monotone
+    thresholds)."""
+    import ray.data as rd
+
+    from hksketch.pipelines.splits import assign_split
+
+    n = 20000
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+
+    def counts(fr, parts, seed=7):
+        out = (
+            assign_split(rd.from_arrow(t).repartition(parts), "id", fr, seed=seed)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = counts(fr, 3)
+    b = counts(fr, 11)
+    assert (a["split"].values == b["split"].values).all()  # partition-invariant
+    vc = a["split"].value_counts()
+    assert abs(vc["train"] / n - 0.8) < 0.02
+    assert abs(vc["val"] / n - 0.1) < 0.01
+    assert abs(vc["test"] / n - 0.01 * 10) < 0.01
+    # different seed → different assignment (overwhelmingly)
+    c = counts(fr, 3, seed=8)
+    assert (a["split"].values != c["split"].values).any()
+    # monotone thresholds: growing train keeps every old train member
+    d = counts({"train": 0.9, "val": 0.05, "test": 0.05}, 3)
+    was_train = a["split"].values == "train"
+    assert (d["split"].values[was_train] == "train").all()
+
+
+def test_assign_split_validation():
+    from hksketch.pipelines.splits import split_thresholds
+
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 1.5, "b": -0.5})
