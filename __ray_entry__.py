@@ -3387,6 +3387,21 @@ def _cents(col):
     )
 
 
+def _q_skyline_orders(sf_dir: str):
+    """2-D Pareto skyline ⊕oracle: orders not strictly dominated on
+    (totalprice, orderdate) — the multi-criteria frontier.  Each batch is
+    reduced to its local frontier first (a batch-dominated point is
+    globally dominated — the top-n containment argument), so only
+    candidates move (``pipelines.windows.skyline2``)."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.windows import skyline2
+
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return skyline2(ds, "o_totalprice", "o_orderdate", "o_orderkey").sort(
+        "o_orderkey"
+    )
+
+
 def _q_dataset_split_counts(sf_dir: str):
     """Deterministic train/val/test split (rows-only; splitmix64 has no
     SQL twin): per (source, split) doc counts of a 90/5/5 hash split —
@@ -4114,6 +4129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_users_daypair_ams": _q_join_size_users_daypair_ams,
         "docs_without_label3": _q_docs_without_label3,
         "cms_heavy_change_users": _q_cms_heavy_change_users,
+        "skyline_orders": _q_skyline_orders,
         "dataset_split_counts": _q_dataset_split_counts,
         "source_profile_cosine": _q_source_profile_cosine,
         "props_json_stats": _q_props_json_stats,
@@ -5087,6 +5103,22 @@ c AS (
 )
 SELECT user_id, CAST(abs(e - l) AS BIGINT) AS delta
 FROM c ORDER BY delta DESC, user_id ASC LIMIT 10
+""",
+        "skyline_orders": """
+WITH g AS (
+  SELECT o_totalprice AS p, MAX(o_orderdate) AS gmax FROM orders GROUP BY 1
+), gg AS (
+  SELECT p, gmax,
+         MAX(gmax) OVER (
+           ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_prev
+  FROM g
+)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o
+JOIN gg ON o.o_totalprice = gg.p AND o.o_orderdate = gg.gmax
+WHERE gg.best_prev IS NULL OR gg.gmax > gg.best_prev
+ORDER BY o.o_orderkey
 """,
         "source_profile_cosine": """
 WITH tok AS (

@@ -89,6 +89,89 @@ def grouped_topn(
     return pruned.groupby(group_col).map_groups(rank_group, batch_format="pyarrow")
 
 
+def _skyline2_scan(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask of the 2-D maxima (Pareto skyline) under
+    strict dominance: p dominates q iff p ≥ q on both axes and > on at
+    least one.  Identical points do not dominate each other (all copies
+    survive, SQL NOT-EXISTS parity).  One sort + one per-group max — no
+    pairwise loop."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    order = np.lexsort((-y, -x))  # x desc, then y desc
+    xs, ys = x[order], y[order]
+    # equal-x groups; each group's max y is its first row (y desc within x)
+    new_grp = np.concatenate(([True], xs[1:] != xs[:-1]))
+    starts = np.flatnonzero(new_grp)
+    gmax = ys[starts]
+    # best y among all STRICTLY larger x = running max of previous groups
+    best_prev = np.concatenate(([-np.inf], np.maximum.accumulate(gmax)[:-1]))
+    grp_survives = gmax > best_prev
+    grp_idx = np.cumsum(new_grp) - 1
+    row_keep = grp_survives[grp_idx] & (ys == gmax[grp_idx])
+    keep[order] = row_keep
+    return keep
+
+
+def skyline2(ds, x_col: str, y_col: str, id_col: str):
+    """Distributed 2-D Pareto skyline (the multi-criteria "best trade-off"
+    operator): rows not strictly dominated on (x, y).
+
+    Scale shape: every batch reduces to its LOCAL skyline first (a point
+    dominated within its batch is dominated globally — the same
+    containment argument as the top-n prune), so only per-batch frontier
+    candidates move; the final pass runs the same scan over the
+    candidates.  The global frontier must fit one task — true of 2-D
+    frontiers over correlated web/business data (|skyline| ~ O(log n) for
+    independent axes); for anti-correlated axes with huge frontiers,
+    partition by an x-range prefilter first.
+
+    ``x_col``/``y_col`` must be orderable numerics/timestamps (compared
+    as int64 microseconds for timestamps).  Returns
+    Dataset[(id_col, x_col, y_col)].
+    """
+    def cast_cols(b: pa.Table):
+        def as64(col):
+            c = b.column(col)
+            if pa.types.is_timestamp(c.type):
+                c = c.cast(pa.int64())
+            return c.to_numpy(zero_copy_only=False)
+
+        return as64(x_col), as64(y_col)
+
+    def local(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, x_col, y_col])
+        if b.num_rows == 0:
+            return t
+        x, y = cast_cols(b)
+        return t.filter(pa.array(_skyline2_scan(x, y)))
+
+    cand = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    # global pass over the bounded candidate set as ONE group
+    cand = cand.map_batches(
+        lambda b: b.append_column("_g", pa.array(np.zeros(b.num_rows, np.int32))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.select([id_col, x_col, y_col])
+        if g.num_rows == 0:
+            return t
+        x, y = (
+            t.column(x_col), t.column(y_col)
+        )
+        xv = (x.cast(pa.int64()) if pa.types.is_timestamp(x.type) else x).to_numpy(
+            zero_copy_only=False
+        )
+        yv = (y.cast(pa.int64()) if pa.types.is_timestamp(y.type) else y).to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(_skyline2_scan(xv, yv)))
+
+    return cand.groupby("_g").map_groups(final, batch_format="pyarrow")
+
+
 def keyed_daily_running(
     ds,
     key_col: str,

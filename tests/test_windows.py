@@ -384,3 +384,50 @@ def test_assign_split_validation():
         split_thresholds({"a": 0.5, "b": 0.4})  # doesn't sum to 1
     with pytest.raises(ValueError):
         split_thresholds({"a": 1.5, "b": -0.5})
+
+
+def test_skyline2_matches_bruteforce(ray_session):
+    """Distributed 2-D skyline == O(n^2) dominance check, with ties on
+    both axes and duplicate points (all copies of an undominated point
+    survive)."""
+    import ray.data as rd
+
+    from hksketch.pipelines.windows import skyline2
+
+    rng = np.random.default_rng(41)
+    n = 1200
+    x = rng.integers(0, 40, n).astype(np.float64)  # coarse → many ties
+    y = rng.integers(0, 40, n).astype(np.int64)
+    # inject exact duplicates at an extreme point
+    x[0] = x[1] = 100.0
+    y[0] = y[1] = 1
+    t = pa.table(
+        {"id": pa.array(np.arange(n, dtype=np.int64)),
+         "x": pa.array(x), "y": pa.array(y)}
+    )
+    got = (
+        skyline2(rd.from_arrow(t).repartition(6), "x", "y", "id")
+        .to_pandas()
+        .sort_values("id")
+    )
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dominated[i] = bool(
+            np.any((x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i])))
+        )
+    want = set(np.flatnonzero(~dominated).tolist())
+    assert set(got["id"].tolist()) == want
+    assert {0, 1} <= want  # both duplicate extremes survive
+
+
+def test_skyline2_empty(ray_session):
+    import ray.data as rd
+
+    from hksketch.pipelines.windows import skyline2
+
+    t = pa.table(
+        {"id": pa.array([], type=pa.int64()),
+         "x": pa.array([], type=pa.float64()),
+         "y": pa.array([], type=pa.int64())}
+    )
+    assert skyline2(rd.from_arrow(t), "x", "y", "id").count() == 0
