@@ -131,20 +131,18 @@ def skyline2(ds, x_col: str, y_col: str, id_col: str):
     as int64 microseconds for timestamps).  Returns
     Dataset[(id_col, x_col, y_col)].
     """
-    def cast_cols(b: pa.Table):
-        def as64(col):
-            c = b.column(col)
-            if pa.types.is_timestamp(c.type):
-                c = c.cast(pa.int64())
-            return c.to_numpy(zero_copy_only=False)
-
-        return as64(x_col), as64(y_col)
+    def _as64(c: pa.ChunkedArray):
+        # any temporal type (timestamp, date32/64) → integer microseconds;
+        # numerics pass through
+        if pa.types.is_temporal(c.type):
+            c = c.cast(pa.timestamp("us")).cast(pa.int64())
+        return c.to_numpy(zero_copy_only=False)
 
     def local(b: pa.Table) -> pa.Table:
         t = b.select([id_col, x_col, y_col])
         if b.num_rows == 0:
             return t
-        x, y = cast_cols(b)
+        x, y = _as64(b.column(x_col)), _as64(b.column(y_col))
         return t.filter(pa.array(_skyline2_scan(x, y)))
 
     cand = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
@@ -158,15 +156,7 @@ def skyline2(ds, x_col: str, y_col: str, id_col: str):
         t = g.select([id_col, x_col, y_col])
         if g.num_rows == 0:
             return t
-        x, y = (
-            t.column(x_col), t.column(y_col)
-        )
-        xv = (x.cast(pa.int64()) if pa.types.is_timestamp(x.type) else x).to_numpy(
-            zero_copy_only=False
-        )
-        yv = (y.cast(pa.int64()) if pa.types.is_timestamp(y.type) else y).to_numpy(
-            zero_copy_only=False
-        )
+        xv, yv = _as64(t.column(x_col)), _as64(t.column(y_col))
         return t.filter(pa.array(_skyline2_scan(xv, yv)))
 
     return cand.groupby("_g").map_groups(final, batch_format="pyarrow")
