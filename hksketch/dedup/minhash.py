@@ -26,6 +26,13 @@ import pyarrow.compute as pc
 
 from ..hashing import hash_array, splitmix64
 from ..text.tokenize import tokenize_column
+from .runs import (
+    append_drop_sentinels,
+    cap_runs,
+    runs_from_new_mask,
+    strip_drop_sentinels,
+    triu_gather_indices,
+)
 
 U64 = np.uint64
 
@@ -222,65 +229,41 @@ def lsh_candidate_pairs(
         k, d = k[keep], d[keep]
         if len(k) == 0:
             return _empty
-        # vectorized bucket-run extraction: boundary diff → starts/sizes
-        change = np.flatnonzero(k[1:] != k[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        sizes = np.diff(np.concatenate((starts, [len(k)])))
-        multi = sizes >= 2
-        big = multi & (sizes > max_bucket_size)
-        use = multi & ~big
-        dropped_buckets = int(big.sum())
-        dropped_pairs = int((sizes[big] * (sizes[big] - 1) // 2).sum())
+        # shared bucket-run → triu pair kernel (dedup/runs.py)
+        starts, sizes = runs_from_new_mask(
+            np.concatenate(([True], k[1:] != k[:-1]))
+        )
+        use_starts, use_sizes, dropped_buckets, dropped_pairs = cap_runs(
+            starts, sizes, max_bucket_size
+        )
         if dropped_buckets:
             import logging
 
             logging.getLogger(__name__).warning(
                 "lsh_candidate_pairs: dropping %d bucket(s) larger than "
-                "max_bucket_size=%d (largest=%d, %d pairs skipped); members "
+                "max_bucket_size=%d (%d pairs skipped); members "
                 "still pair via their other bands",
-                dropped_buckets, max_bucket_size, int(sizes[big].max()),
-                dropped_pairs,
+                dropped_buckets, max_bucket_size, dropped_pairs,
             )
-        # pair synthesis: one triu_indices broadcast per DISTINCT bucket
-        # size (≤ max_bucket_size distinct sizes) — within a bucket ids are
-        # sorted-unique, so a < b by construction
-        out_a, out_b = [], []
-        use_sizes = sizes[use]
-        use_starts = starts[use]
-        for s in np.unique(use_sizes):
-            st = use_starts[use_sizes == s]
-            iu, ju = np.triu_indices(int(s), 1)
-            out_a.append(d[st[:, None] + iu[None, :]].ravel())
-            out_b.append(d[st[:, None] + ju[None, :]].ravel())
-        if not out_a and not dropped_buckets:
+        # within a bucket ids are sorted-unique, so a < b by construction
+        ia, ib = triu_gather_indices(use_starts, use_sizes)
+        if len(ia) == 0 and not dropped_buckets:
             return _empty
         out = pa.table(
-            {"a": pa.array(
-                np.concatenate(out_a) if out_a else np.empty(0, np.int64),
-                type=pa.int64()),
-             "b": pa.array(
-                np.concatenate(out_b) if out_b else np.empty(0, np.int64),
-                type=pa.int64())}
+            {"a": pa.array(d[ia], type=pa.int64()),
+             "b": pa.array(d[ib], type=pa.int64())}
         )
         if dropped_buckets:
-            # surface the drop to the driver: sentinel rows per shard
-            # (a=-1 → pairs dropped, a=-2 → buckets dropped); stripped and
-            # aggregated below
-            out = pa.concat_tables(
-                [out,
-                 pa.table({"a": pa.array([-1, -2], type=pa.int64()),
-                           "b": pa.array([dropped_pairs, dropped_buckets],
-                                         type=pa.int64())})]
-            )
+            # surface the drop to the driver: sentinel rows per shard,
+            # stripped and aggregated below
+            out = append_drop_sentinels(out, "b", dropped_pairs, dropped_buckets)
         return out
 
     got = sharded.groupby("shard").map_groups(pairs, batch_format="pandas").to_pandas()
     meta = {b"lsh_dropped_buckets": b"0", b"lsh_dropped_pairs": b"0"}
     if len(got) == 0 or "a" not in got.columns:  # zero collisions anywhere
         return _empty.replace_schema_metadata(meta)
-    sent = got["a"] < 0
-    n_dropped_pairs = int(got.loc[got["a"] == -1, "b"].sum())
-    n_dropped_buckets = int(got.loc[got["a"] == -2, "b"].sum())
+    got, n_dropped_pairs, n_dropped_buckets = strip_drop_sentinels(got, "b")
     if n_dropped_pairs or n_dropped_buckets:
         import logging
 
@@ -291,7 +274,6 @@ def lsh_candidate_pairs(
             "oversized bucket(s) (max_bucket_size=%d)",
             n_dropped_pairs, n_dropped_buckets, max_bucket_size,
         )
-        got = got[~sent]
     got = got.drop_duplicates().astype({"a": "int64", "b": "int64"})
     return pa.Table.from_pandas(
         got.sort_values(["a", "b"]).reset_index(drop=True), preserve_index=False

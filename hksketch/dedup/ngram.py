@@ -23,6 +23,12 @@ import numpy as np
 import pyarrow as pa
 
 from ..text.tokenize import tokenize_text
+from .runs import (
+    append_drop_sentinels,
+    cap_runs,
+    runs_from_new_mask,
+    triu_gather_indices,
+)
 
 U64 = np.uint64
 _MIX = U64(0x9E3779B97F4A7C15)
@@ -198,48 +204,35 @@ def ngram_jaccard_near_dupes(
         nd = grp["nd"].to_numpy()
         if len(k) == 0:
             return _EMPTY_PAIRS
-        # bucket boundary = hash OR string change (collision-proof)
-        newb = np.concatenate(([True], (k[1:] != k[:-1]) | (gg[1:] != gg[:-1])))
-        starts = np.flatnonzero(newb)
-        sizes = np.diff(np.concatenate((starts, [len(k)])))
-        multi = sizes >= 2
-        big = multi & (sizes > max_bucket_size)
-        use = multi & ~big
-        dropped_buckets = int(big.sum())
-        dropped_pairs = int((sizes[big] * (sizes[big] - 1) // 2).sum())
+        # bucket boundary = hash OR string change (collision-proof);
+        # shared bucket-run → triu pair kernel (dedup/runs.py)
+        starts, sizes = runs_from_new_mask(
+            np.concatenate(([True], (k[1:] != k[:-1]) | (gg[1:] != gg[:-1])))
+        )
+        use_starts, use_sizes, dropped_buckets, dropped_pairs = cap_runs(
+            starts, sizes, max_bucket_size
+        )
         if dropped_buckets:
             import logging
 
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_near_dupes: dropping %d shingle bucket(s) "
-                "larger than max_bucket_size=%d (largest=%d, %d pair "
+                "larger than max_bucket_size=%d (%d pair "
                 "contributions skipped) — intersection counts for the "
                 "affected pairs are now LOWER bounds",
-                dropped_buckets, max_bucket_size,
-                int(sizes[big].max()), dropped_pairs,
+                dropped_buckets, max_bucket_size, dropped_pairs,
             )
-        out_a, out_b, out_na, out_nb = [], [], [], []
-        use_sizes = sizes[use]
-        use_starts = starts[use]
-        for s in np.unique(use_sizes):
-            st = use_starts[use_sizes == s]
-            iu, ju = np.triu_indices(int(s), 1)
-            ia = (st[:, None] + iu[None, :]).ravel()
-            ib = (st[:, None] + ju[None, :]).ravel()
-            out_a.append(d[ia])
-            out_b.append(d[ib])
-            out_na.append(nd[ia])
-            out_nb.append(nd[ib])
-        if not out_a:
+        ia, ib = triu_gather_indices(use_starts, use_sizes)
+        if len(ia) == 0:
             if not dropped_buckets:
                 return _EMPTY_PAIRS
             a = np.empty(0, np.int64)
             b = c = na = nb = a
         else:
-            a = np.concatenate(out_a)
-            b = np.concatenate(out_b)
-            na = np.concatenate(out_na)
-            nb = np.concatenate(out_nb)
+            a = d[ia]
+            b = d[ib]
+            na = nd[ia]
+            nb = nd[ib]
             # pre-aggregate within the shard: one row per pair
             order = np.lexsort((b, a))
             a, b, na, nb = a[order], b[order], na[order], nb[order]
@@ -262,15 +255,7 @@ def ngram_jaccard_near_dupes(
             # sentinel rows (a=-1 → pairs, a=-2 → buckets): aggregated and
             # stripped into schema metadata at the driver, same contract as
             # lsh_candidate_pairs
-            t = pa.concat_tables(
-                [t,
-                 pa.table({"a": pa.array([-1, -2], type=pa.int64()),
-                           "b": pa.array([0, 0], type=pa.int64()),
-                           "c": pa.array([dropped_pairs, dropped_buckets],
-                                         type=pa.int64()),
-                           "na": pa.array([0, 0], type=pa.int64()),
-                           "nb": pa.array([0, 0], type=pa.int64())})]
-            )
+            t = append_drop_sentinels(t, "c", dropped_pairs, dropped_buckets)
         return t
 
     pair_partials = rows.groupby("shard").map_groups(

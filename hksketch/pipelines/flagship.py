@@ -118,6 +118,10 @@ def heavy_hitter_tokens(
             yield b
 
     (blob,) = tree_merge_many_streaming(_counting_iter(), ["sketch"])
+    if not blob:  # empty stream (all batches tokenized to zero partials)
+        from ..ray_glue.stages import make_sketch
+
+        blob = make_sketch(cfg).to_bytes()
     t = sketch_to_sorted_table(blob, "token", "count")
     thresh = int(np.ceil(phi * n_tokens))
     return t.filter(pc.greater_equal(t.column("count"), pa.scalar(thresh)))

@@ -336,9 +336,17 @@ def rollup2_sums(ds, col_a: str, col_b: str, amount_col: str) -> pa.Table:
     )
     blocks = collect_blocks(finest_ds)
     if not blocks:
+        # grand-total-only base case: group columns must keep the INPUT
+        # types (an int64/date group column typed string only in the empty
+        # case breaks schema-sensitive callers)
+        schema = ds.schema()
+        ty = {
+            name: t
+            for name, t in zip(schema.names, schema.types)
+        } if schema is not None else {}
         return pa.table(
-            {col_a: pa.array([None], type=pa.string()),
-             col_b: pa.array([None], type=pa.string()),
+            {col_a: pa.array([None], type=ty.get(col_a, pa.string())),
+             col_b: pa.array([None], type=ty.get(col_b, pa.string())),
              amount_col: pa.array([None], type=pa.int64()),
              "n_rows": pa.array([0], type=pa.int64())}
         )

@@ -34,7 +34,16 @@ def split_thresholds(fractions: dict[str, float]) -> tuple[list[str], np.ndarray
         raise ValueError(f"split fractions must sum to 1, got {fr.sum()!r}")
     cum = np.cumsum(fr)
     cum[-1] = 1.0  # close the last bucket exactly
-    thr = np.minimum((cum * float(2**64)), float(2**64) - 1).astype(np.uint64)
+    # Thresholds must be computed in INTEGER math: float(2**64) - 1 rounds
+    # back to 2**64 (not representable in float64), so a float-side clip is
+    # a no-op and casting 2**64 to uint64 is undefined (0 on x86), which
+    # would leave the array unsorted and misassign every record.
+    thr = np.array(
+        [min(int(round(float(c) * 2**64)), 2**64 - 1) for c in cum],
+        dtype=np.uint64,
+    )
+    if (np.diff(thr.astype(object)) < 0).any():
+        raise ValueError(f"split thresholds not monotone for {fractions}")
     return names, thr
 
 

@@ -319,11 +319,12 @@ def global_sketch(
         it = partials.iter_batches(batch_size=None, batch_format="pyarrow")
         (blob,) = tree_merge_many_streaming(it, ["sketch"])
         # zero partials (empty/filtered-away stream) → the sketch of the
-        # EMPTY stream, not None: callers deserialize unconditionally
-        return blob if blob is not None else make_sketch(cfg).to_bytes()
+        # EMPTY stream, not None/b"" (tree_merge_many_streaming signals an
+        # empty stream with b""): callers deserialize unconditionally
+        return blob if blob else make_sketch(cfg).to_bytes()
     out = partials.aggregate(MergeSketchBlobs(on="sketch", alias_name="sketch"))
     blob = None if out is None else out["sketch"]
-    return blob if blob is not None else make_sketch(cfg).to_bytes()
+    return blob if blob else make_sketch(cfg).to_bytes()
 
 
 def grouped_sketch(

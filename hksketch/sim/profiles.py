@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..dedup.runs import cap_runs, runs_from_new_mask, triu_gather_indices
 from ..hashing import hash_array, splitmix64
 
 U64 = np.uint64
@@ -117,24 +118,18 @@ def profile_cosine(triples, group_col: str, shards: int = 64) -> pa.Table:
         uniq_g, codes = np.unique(grp, return_inverse=True)
         order = np.lexsort((codes, th))
         th, codes, c = th[order], codes[order], c[order]
-        change = np.flatnonzero(th[1:] != th[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        sizes = np.diff(np.concatenate((starts, [len(th)])))
-        use_sizes, use_starts = sizes[sizes >= 2], starts[sizes >= 2]
-        out_a, out_b, out_d = [], [], []
-        for s in np.unique(use_sizes):
-            st = use_starts[use_sizes == s]
-            iu, ju = np.triu_indices(int(s), 1)
-            ia = st[:, None] + iu[None, :]
-            ib = st[:, None] + ju[None, :]
-            out_a.append(codes[ia].ravel())
-            out_b.append(codes[ib].ravel())
-            out_d.append((c[ia] * c[ib]).ravel())
-        if not out_a:
+        # shared token-run → triu pair kernel (dedup/runs.py); no cap —
+        # run length is bounded by the group count, not the corpus
+        starts, sizes = runs_from_new_mask(
+            np.concatenate(([True], th[1:] != th[:-1]))
+        )
+        use_starts, use_sizes, _, _ = cap_runs(starts, sizes, None)
+        ia, ib = triu_gather_indices(use_starts, use_sizes)
+        if len(ia) == 0:
             return pair_schema.empty_table()
-        a = np.concatenate(out_a)
-        bb = np.concatenate(out_b)
-        d = np.concatenate(out_d)
+        a = codes[ia]
+        bb = codes[ib]
+        d = c[ia] * c[ib]
         folded = (
             pl.DataFrame({"a": a, "b": bb, "d": d})
             .group_by(["a", "b"])

@@ -48,21 +48,30 @@ from .base import (
 )
 
 
-def _row_matrix(values: Any) -> np.ndarray:
+def _row_matrix(values: Any) -> tuple[np.ndarray, np.ndarray | None, int]:
     """Arrow list<float> column (Array/ChunkedArray) | ndarray | nested
-    lists → (n, dim) float64 matrix, null rows dropped."""
+    lists → ``(matrix, valid_idx, n_orig)``: (n, dim) float64 matrix with
+    null rows dropped, the kept rows' indices into the ORIGINAL column
+    (``None`` when nothing was dropped), and the original row count — so
+    callers can align per-row weights with the surviving rows."""
     if isinstance(values, np.ndarray):
-        return np.atleast_2d(np.asarray(values, dtype=np.float64))
+        m = np.atleast_2d(np.asarray(values, dtype=np.float64))
+        return m, None, len(m)
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         arr = (
             values.combine_chunks()
             if isinstance(values, pa.ChunkedArray)
             else values
         )
+        n_orig = len(arr)
+        valid = None
         if arr.null_count:
+            valid = np.flatnonzero(
+                arr.is_valid().to_numpy(zero_copy_only=False)
+            )
             arr = arr.drop_null()
         if len(arr) == 0:
-            return np.empty((0, 0))
+            return np.empty((0, 0)), valid, n_orig
         if not pa.types.is_list(arr.type) and not pa.types.is_fixed_size_list(
             arr.type
         ):
@@ -70,8 +79,9 @@ def _row_matrix(values: Any) -> np.ndarray:
                 f"FrequentDirections needs a list<float> column, got {arr.type}"
             )
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        return flat.reshape(len(arr), -1)
-    return np.atleast_2d(np.asarray(list(values), dtype=np.float64))
+        return flat.reshape(len(arr), -1), valid, n_orig
+    m = np.atleast_2d(np.asarray(list(values), dtype=np.float64))
+    return m, None, len(m)
 
 
 @register_sketch("frequent_directions")
@@ -105,13 +115,20 @@ class FrequentDirections:
     def add_batch(self, vectors: Any, weights: Any | None = None) -> None:
         """Append row vectors; ``weights`` scales each row's energy (a row
         with weight w enters as √w·row, the standard weighted-row form)."""
-        m = _row_matrix(vectors)
+        m, valid, n_orig = _row_matrix(vectors)
+        if weights is not None:
+            w = np.asarray(weights, dtype=np.float64)
+            if len(w) != n_orig:
+                raise BuilderError(
+                    f"weights length {len(w)} != row count {n_orig}"
+                )
+            if (w < 0).any():
+                raise BuilderError("row weights must be >= 0")
+            if valid is not None:  # null rows dropped — keep weights aligned
+                w = w[valid]
         if m.size == 0:
             return
         if weights is not None:
-            w = np.asarray(weights, dtype=np.float64)[: len(m)]
-            if (w < 0).any():
-                raise BuilderError("row weights must be >= 0")
             m = m * np.sqrt(w)[:, None]
         self._ensure_dim(m.shape[1])
         self.n_total += len(m)

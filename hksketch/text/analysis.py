@@ -410,10 +410,17 @@ def json_int_field(col, field: str):
     Top-level-field extraction by regex is exact for non-nested objects
     (the common event-props shape); nested objects with a same-named inner
     key would need a real parser — callers with nested payloads should
-    decode via polars ``str.json_decode`` instead."""
+    decode via polars ``str.json_decode`` instead.  The value must be a
+    bare JSON integer followed by ``,`` or ``}`` — floats and exponent
+    forms yield null (DuckDB's CAST(json AS BIGINT) instead truncates;
+    the shipped oracle only exercises integer-valued fields), and the
+    delimiter requirement keeps ``"k": 7`` QUOTED INSIDE a string value
+    from false-matching."""
+    import re
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    pat = r'"' + field + r'"\s*:\s*(?P<v>-?\d+)'
+    pat = r'"' + re.escape(field) + r'"\s*:\s*(?P<v>-?\d+)\s*[,}]'
     m = pc.extract_regex(col, pattern=pat)
     return pc.cast(pc.struct_field(m, "v"), pa.int64())

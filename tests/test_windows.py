@@ -386,6 +386,63 @@ def test_assign_split_validation():
         split_thresholds({"a": 1.5, "b": -0.5})
 
 
+def test_split_thresholds_integer_math():
+    """Regression: the final threshold is 2^64-1, computed in INTEGER math
+    (float(2^64)-1 rounds back to 2^64, whose uint64 cast is undefined and
+    yielded 0 on x86 — an unsorted array misassigning every record in 2-
+    and 5-way splits; 3/4-way shapes masked the bug)."""
+    from hksketch.pipelines.splits import split_thresholds
+
+    for fr in (
+        {"train": 0.8, "test": 0.2},
+        {"a": 0.2, "b": 0.2, "c": 0.2, "d": 0.2, "e": 0.2},
+        {"x": 0.5, "y": 0.5},
+    ):
+        names, thr = split_thresholds(fr)
+        as_int = thr.astype(object)
+        assert as_int[-1] == 2**64 - 1
+        assert all(as_int[i] < as_int[i + 1] for i in range(len(as_int) - 1))
+        # spot-check assignment: u = frac*2^64 lands in the right bucket
+        cum = 0.0
+        for want, f in fr.items():
+            u = np.uint64(min(int((cum + f / 2) * 2**64), 2**64 - 1))
+            idx = min(int(np.searchsorted(thr, u, side="right")), len(names) - 1)
+            assert names[idx] == want, (fr, want, names[idx])
+            cum += f
+
+
+def test_frequent_directions_null_row_weight_alignment():
+    """Regression: null vector rows must drop their weights too, and a
+    weight-length mismatch raises instead of silently truncating."""
+    from hksketch.sketch.base import BuilderError
+    from hksketch.sketch.fd import FrequentDirections
+
+    col = pa.array([[1.0, 0.0], None, [0.0, 1.0]], type=pa.list_(pa.float64()))
+    fd = FrequentDirections(4)
+    fd.add_batch(col, weights=[1.0, 5.0, 9.0])
+    assert abs(fd.frob_sq - 10.0) < 1e-12  # 1*1 + 9*1, NOT 1 + 5
+    with pytest.raises(BuilderError):
+        FrequentDirections(4).add_batch(col, weights=[1.0, 2.0])
+
+
+def test_global_sketch_empty_stream_yields_empty_sketch(ray_session):
+    """Regression: a dataset whose every batch is filtered away returns the
+    sketch of the EMPTY stream (deserializable), not b'' or None — on BOTH
+    merge paths."""
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import global_sketch
+    from hksketch.sketch.base import sketch_from_bytes
+
+    t = pa.table({"k": pa.array([], type=pa.string())})
+    cfg = sketch_config("bucketed", k=4, width=64, depth=2, decay=0.9, seed=1)
+    for via in ("driver", "aggregate"):
+        blob = global_sketch(rd.from_arrow(t), cfg, "k", merge_via=via)
+        sk = sketch_from_bytes(blob)
+        assert sk.list() == []
+
+
 def test_skyline2_matches_bruteforce(ray_session):
     """Distributed 2-D skyline == O(n^2) dominance check, with ties on
     both axes and duplicate points (all copies of an undominated point
