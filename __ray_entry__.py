@@ -4027,6 +4027,122 @@ def _q_top_returned_customers(sf_dir: str):
     return out.to_arrow().cast(empty.schema)
 
 
+def _q_source_capped_docs(sf_dir: str):
+    """Per-group document cap ⊕oracle (the crawl-pipeline domain quota:
+    "keep at most 30 docs per source", deterministic hash-ranked so the
+    kept set is stable across runs and cluster sizes).  Distributed shape
+    (`pipelines/caps.py`): a per-batch combiner prunes each batch to its
+    own top-30 per group BEFORE the shuffle, so the exchange carries ≤ 30
+    rows per (batch, group) no matter how hot the group — the per-group
+    top-N pushdown.  SQL parity: QUALIFY row_number() OVER
+    (PARTITION BY source ORDER BY rank, doc_id) <= 30."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.caps import cap_per_group
+    from hksketch.pipelines.ops import collect_blocks, read_table
+
+    ds = read_table(sf_dir, "documents", ["source", "doc_id"])
+    out = cap_per_group(ds, "source", "doc_id", n=30)
+    blocks = collect_blocks(out)
+    empty = pa.table(
+        {"source": pa.array([], type=pa.string()),
+         "doc_id": pa.array([], type=pa.int64()),
+         "rank": pa.array([], type=pa.int64())}
+    )
+    t = pa.concat_tables(blocks or [empty]).combine_chunks()
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        t, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+    )
+    return t.take(order)
+
+
+def _q_top_user_drilldown(sf_dir: str):
+    """Sketch-driven drill-down ⊕oracle (the production two-phase pattern:
+    a HeavyKeeper pass finds the hot keys, then ONE exact pass computes
+    detailed per-key stats for just those keys — never a full groupby over
+    every key).  Phase 1 reuses the flagship global-sketch plan (no
+    shuffle, tree merge); phase 2 broadcasts the 10 surviving ids inside
+    the closure and pre-aggregates per (user, day) per batch, so the only
+    shuffle carries ≤ 10 users × days rows.  Value sums are frozen to
+    int64 millis per row (order-independent, hash-exact vs SQL)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.flagship import topk_keys_sketch
+    from hksketch.pipelines.ops import collect_blocks, read_table
+
+    top = topk_keys_sketch(sf_dir, "events", "user_id", k=10, seed=SEED)
+    ids = pa.array(top.column("user_id").to_numpy(), type=pa.int64())
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table(
+            {"user_id": pa.array([], type=pa.int64()),
+             "day": pa.array([], type=pa.date32()),
+             "n": pa.array([], type=pa.int64()),
+             "value_milli": pa.array([], type=pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        b = b.filter(pc.is_in(b.column("user_id"), value_set=ids))
+        if b.num_rows == 0:
+            return empty
+        day = pc.cast(b.column("ts"), pa.date32())
+        vm = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0)), pa.int64())
+        g = (
+            pl.from_arrow(
+                pa.table({"user_id": b.column("user_id"), "day": day,
+                          "value_milli": vm})
+            )
+            .group_by(["user_id", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("n"),
+                 pl.col("value_milli").sum())
+        ).to_arrow()
+        return pa.table(
+            {"user_id": g.column("user_id").cast(pa.int64()),
+             "day": g.column("day").cast(pa.date32()),
+             "n": g.column("n").cast(pa.int64()),
+             "value_milli": g.column("value_milli").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("value_milli", alias_name="value_milli"))
+    )
+    blocks = collect_blocks(per_day)
+    empty = pa.table(
+        {"user_id": pa.array([], type=pa.int64()),
+         "n_events": pa.array([], type=pa.int64()),
+         "n_days": pa.array([], type=pa.int64()),
+         "value_milli": pa.array([], type=pa.int64())}
+    )
+    if not blocks:
+        return empty
+    import polars as pl
+
+    t = pa.concat_tables(blocks).combine_chunks()  # ≤ 10 users × #days rows
+    out = (
+        pl.from_arrow(t)
+        .group_by("user_id")
+        .agg(pl.col("n").sum().alias("n_events"),
+             pl.len().cast(pl.Int64).alias("n_days"),
+             pl.col("value_milli").sum())
+        .sort("user_id")
+        .select(["user_id", "n_events", "n_days", "value_milli"])
+    )
+    return out.to_arrow().cast(empty.schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -4145,6 +4261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quartile_counts": _q_length_quartile_counts,
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "top_returned_customers": _q_top_returned_customers,
+        "source_capped_docs": _q_source_capped_docs,
+        "top_user_drilldown": _q_top_user_drilldown,
     }
 
 
@@ -5275,5 +5393,29 @@ SELECT c_custkey, c_name, n_name, revenue_4dp FROM (
 JOIN customer USING (c_custkey)
 JOIN nation ON c_nationkey = n_nationkey
 ORDER BY revenue_4dp DESC, c_custkey LIMIT 20
+""",
+        "source_capped_docs": """
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         (doc_id * 1103515245 + 12345) % 2147483648 AS rank,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 30
+ORDER BY source, doc_id
+""",
+        "top_user_drilldown": """
+WITH top AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+  ORDER BY n DESC, user_id LIMIT 10
+)
+SELECT e.user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(e.ts AS DATE)) AS n_days,
+       SUM(CAST(round(e.value * 1000) AS BIGINT)) AS value_milli
+FROM events e JOIN top t USING (user_id)
+GROUP BY e.user_id ORDER BY e.user_id
 """,
     }

@@ -1,0 +1,106 @@
+"""Deterministic per-group document caps (domain quotas).
+
+The crawl-pipeline policy "keep at most N documents per host" (used by
+every Common-Crawl-derived corpus to stop boilerplate-heavy domains from
+dominating the training mix), as a bounded-shuffle Ray Data operator:
+
+- **Rank, don't sample**: each row gets a deterministic rank that is a
+  pure function of its id, and the N smallest ranks per group survive —
+  stable across runs, partitionings, and cluster sizes, and monotone in N
+  (raising the cap keeps every previously-kept doc, the same property as
+  ``pipelines/splits.py``).
+- **Bounded shuffle (the scale story)**: a per-batch combiner prunes each
+  batch to its own top-N per group BEFORE the shuffle, so the exchange
+  carries at most N rows per (batch, group) — the per-group partial
+  top-N pushdown — and the final per-group selection touches ≤ N×#batches
+  rows per group regardless of how hot the group is.
+
+The default rank is an LCG ``(id*1103515245 + 12345) mod 2^31`` rather
+than ``hashing.splitmix64`` ONLY so the DuckDB oracle can express the
+identical integer arithmetic without uint64 emulation; production use at
+web scale should pass ``rank_fn=splitmix64`` (same operator shape, better
+mixing).  Ties rank→id so the kept set is total-order deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+LCG_MULT = 1103515245
+LCG_ADD = 12345
+LCG_MOD = 2147483648  # 2^31
+
+
+def lcg_rank(ids: np.ndarray) -> np.ndarray:
+    """Default deterministic rank; exactly mirrored by the SQL expression
+    ``(id * 1103515245 + 12345) % 2147483648`` (no overflow for
+    id < 2^63 / 1103515245 ≈ 8.4e9 — fine at fixture scales; pass
+    splitmix64 beyond that)."""
+    return (ids.astype(np.int64) * LCG_MULT + LCG_ADD) % LCG_MOD
+
+
+def _prune_topn(
+    groups: np.ndarray, ids: np.ndarray, ranks: np.ndarray, n: int
+) -> np.ndarray:
+    """Row indices of the ≤ n smallest (rank, id) rows per group —
+    one lexsort + run-position arithmetic, no Python loop over groups."""
+    codes = groups
+    if groups.dtype.kind in ("O", "U", "S"):
+        _, codes = np.unique(groups, return_inverse=True)
+    order = np.lexsort((ids, ranks, codes))
+    gc = codes[order]
+    new = np.concatenate(([True], gc[1:] != gc[:-1]))
+    starts = np.flatnonzero(new)
+    # position of each row within its group run
+    pos = np.arange(len(gc)) - np.repeat(starts, np.diff(
+        np.concatenate((starts, [len(gc)]))
+    ))
+    return order[pos < n]
+
+
+def cap_per_group(
+    ds,
+    group_col: str,
+    id_col: str,
+    n: int,
+    rank_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+):
+    """Dataset → Dataset[(group_col, id_col, rank)] of the ≤ ``n``
+    surviving rows per group.  SQL parity:
+    ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY rank, id) <= n``.
+    """
+    if n < 1:
+        raise ValueError(f"cap n must be >= 1, got {n}")
+    rank = rank_fn or lcg_rank
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        i = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        r = rank(i)
+        if len(i):
+            keep = _prune_topn(g, i, r, n)
+            g, i, r = g[keep], i[keep], r[keep]
+        return pa.table(
+            {group_col: pa.array(g, type=b.schema.field(group_col).type),
+             id_col: pa.array(i, type=pa.int64()),
+             "rank": pa.array(r, type=pa.int64())}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(grp: "pd.DataFrame") -> pa.Table:
+        g = grp[group_col].to_numpy()
+        i = grp[id_col].to_numpy().astype(np.int64)
+        r = grp["rank"].to_numpy().astype(np.int64)
+        keep = _prune_topn(g, i, r, n)
+        t = pa.table(
+            {group_col: pa.array(g[keep]),
+             id_col: pa.array(i[keep], type=pa.int64()),
+             "rank": pa.array(r[keep], type=pa.int64())}
+        )
+        return t
+
+    return pre.groupby(group_col).map_groups(final, batch_format="pandas")

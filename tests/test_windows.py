@@ -488,3 +488,53 @@ def test_skyline2_empty(ray_session):
          "y": pa.array([], type=pa.int64())}
     )
     assert skyline2(rd.from_arrow(t), "x", "y", "id").count() == 0
+
+
+def test_cap_per_group_matches_bruteforce(ray_session):
+    """cap_per_group == SQL QUALIFY row_number() <= n semantics: smallest
+    (rank, id) per group survive; partition-invariant; monotone in n
+    (raising the cap keeps every previously-kept row); per-batch combiner
+    emits ≤ n rows per (batch, group)."""
+    import ray.data as rd
+
+    from hksketch.pipelines.caps import cap_per_group, lcg_rank
+
+    rng = np.random.default_rng(5)
+    n_rows = 5000
+    ids = rng.permutation(n_rows).astype(np.int64)
+    groups = np.array([f"g{int(v)}" for v in rng.integers(0, 7, n_rows)])
+    t = pa.table({"grp": pa.array(groups), "id": pa.array(ids)})
+
+    def brute(n):
+        r = lcg_rank(ids)
+        kept = []
+        for g in np.unique(groups):
+            m = groups == g
+            order = np.lexsort((ids[m], r[m]))
+            kept += list(zip([g] * min(n, m.sum()), ids[m][order][:n]))
+        return set(kept)
+
+    def run(n, parts):
+        out = (
+            cap_per_group(rd.from_arrow(t).repartition(parts), "grp", "id", n)
+            .to_pandas()
+        )
+        return set(zip(out["grp"], out["id"]))
+
+    got8 = run(8, 5)
+    assert got8 == brute(8)
+    assert run(8, 13) == got8  # partition-invariant
+    got20 = run(20, 5)
+    assert got20 == brute(20)
+    assert got8 <= got20  # monotone in n
+
+    # the combiner bound: a single batch never emits more than n per group
+    from hksketch.pipelines.caps import _prune_topn
+
+    keep = _prune_topn(groups, ids, lcg_rank(ids), 8)
+    kept_groups = groups[keep]
+    _, counts = np.unique(kept_groups, return_counts=True)
+    assert (counts <= 8).all()
+
+    with pytest.raises(ValueError):
+        cap_per_group(rd.from_arrow(t), "grp", "id", 0)
