@@ -745,6 +745,26 @@ def _q_duplicated_spans(sf_dir: str):
     return duplicated_span_stats(ds, "text", "doc_id", w=8).sort("doc_id")
 
 
+def _q_split_contamination(sf_dir: str):
+    """Train→eval decontamination ⊕oracle (Brown et al. NeurIPS'20 appx. C
+    / Lee et al. ACL'22): per EVAL-split doc, the fraction of its 8-token
+    windows that also occur in any TRAIN-split doc.  Split membership is
+    the LCG rank (top ~10% of ranks = eval) so the oracle mirrors the
+    assignment exactly; production would pass splits.assign_split's
+    splitmix64 through ``is_eval_fn`` unchanged.  One window-sharded
+    shuffle, per-shard run-scans, one IEEE division — hash-exact
+    (``dedup.spans.split_contamination_stats``)."""
+    from hksketch.dedup.spans import split_contamination_stats
+    from hksketch.pipelines.caps import lcg_rank
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = split_contamination_stats(
+        ds, lambda ids: lcg_rank(ids) >= 1932735283, "text", "doc_id", w=8
+    )
+    return out.sort("doc_id")
+
+
 def _q_top_bigrams(sf_dir: str):
     """Top-50 word bigrams (adjacent token pairs within a document) —
     the co-occurrence statistic collocation/boilerplate analysis needs.
@@ -4263,6 +4283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_returned_customers": _q_top_returned_customers,
         "source_capped_docs": _q_source_capped_docs,
         "top_user_drilldown": _q_top_user_drilldown,
+        "split_contamination": _q_split_contamination,
     }
 
 
@@ -5417,5 +5438,40 @@ SELECT e.user_id,
        SUM(CAST(round(e.value * 1000) AS BIGINT)) AS value_milli
 FROM events e JOIN top t USING (user_id)
 GROUP BY e.user_id ORDER BY e.user_id
+""",
+        "split_contamination": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), split AS (
+  SELECT doc_id,
+         ((doc_id * 1103515245 + 12345) % 2147483648) >= 1932735283 AS is_eval
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                     toks[i+6] || ' ' || toks[i+7])) AS w
+  FROM tl
+), trainw AS (
+  SELECT DISTINCT w FROM win JOIN split USING (doc_id) WHERE NOT is_eval
+)
+SELECT win.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN trainw.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contam_windows,
+       CAST(sum(CASE WHEN trainw.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS contam_frac
+FROM win
+JOIN split USING (doc_id)
+LEFT JOIN trainw ON win.w = trainw.w
+WHERE is_eval
+GROUP BY win.doc_id
+ORDER BY win.doc_id
 """,
     }

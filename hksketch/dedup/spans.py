@@ -143,3 +143,140 @@ def duplicated_span_stats(
         return batch.append_column("dup_frac", pa.array(frac, type=pa.float64()))
 
     return per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_contamination_stats(
+    ds,
+    is_eval_fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    shards: int | str = "auto",
+):
+    """Train→eval decontamination (the pre-release step of every LLM data
+    pipeline, per Brown et al. NeurIPS'20 appx. C / Lee et al. ACL'22):
+    for each EVAL-split document, how many of its exact ``w``-token
+    windows also occur anywhere in the TRAIN split.
+
+    ``is_eval_fn(ids: int64 ndarray) -> bool ndarray`` decides membership
+    as a pure function of the id (use ``pipelines.splits`` machinery; the
+    driver query uses the LCG rank so the SQL oracle can mirror it
+    exactly).  Returns a Dataset of
+    ``(doc_id, n_windows, n_contam_windows, contam_frac)`` over eval docs
+    with ≥ 1 window; a window occurrence is contaminated when its exact
+    string occurs ≥ 1 time in the train split (eval-internal duplicates do
+    NOT count).
+
+    Same one-shuffle shape as ``duplicated_span_stats``: window rows carry
+    an ``is_eval`` flag, per-shard run-scans mark eval rows whose window
+    run contains any train row, per-(doc, shard) partials fold, one small
+    ``groupby(doc_id).sum`` finishes.  The driver never sees a window row.
+    """
+    import polars as pl
+
+    from ..ray_glue.partitioning import auto_shards, estimate_rows
+    from ..text.tokenize import tokenize_column
+
+    if shards == "auto":
+        est = estimate_rows(ds)
+        shards = auto_shards(
+            ds,
+            target_rows_per_shard=2_000_000,
+            min_shards=64,
+            rows_hint=None if est is None else est * 64,
+        )
+    shards = int(shards)
+    if shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two (got {shards})")
+
+    flagged_empty = _PARTIAL_EMPTY.append_column(
+        "is_eval", pa.array([], type=pa.bool_())
+    )
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks_t = tokenize_column(
+            batch.column(text_col).combine_chunks(), with_doc_index=True
+        )
+        toks = toks_t.column("token").to_numpy(zero_copy_only=False)
+        didx = toks_t.column("doc_idx").to_numpy(zero_copy_only=False)
+        if len(toks) >= w:
+            valid = didx[: len(didx) - w + 1] == didx[w - 1 :]
+            idx = np.flatnonzero(valid)
+        else:
+            idx = np.empty(0, dtype=np.int64)
+        if len(idx) == 0:
+            return flagged_empty
+        g = toks[idx]
+        for j in range(1, w):
+            g = g + " "
+            g = g + toks[idx + j]
+        s = pl.Series(g, dtype=pl.String)
+        key = s.hash(seed=1).to_numpy().astype(np.uint64)
+        win_ids = ids[didx[idx]]
+        return pa.table(
+            {"shard": pa.array((key & U64(shards - 1)).astype(np.int32)),
+             "key": pa.array(key, type=pa.uint64()),
+             "g": pa.array(s.to_arrow().cast(pa.large_string())),
+             "doc_id": pa.array(win_ids, type=pa.int64()),
+             "is_eval": pa.array(
+                 np.asarray(is_eval_fn(win_ids), dtype=bool))}
+        )
+
+    rows = ds.map_batches(window_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_stats(grp) -> pa.Table:
+        out_empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "n_part": pa.array([], type=pa.int64()),
+             "contam_part": pa.array([], type=pa.int64())}
+        )
+        if not len(grp):
+            return out_empty
+        df = pl.from_pandas(grp[["key", "g", "doc_id", "is_eval"]]).sort(
+            ["key", "g"]
+        )
+        key = df["key"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        ev = df["is_eval"].to_numpy().astype(bool)
+        g_new = (df["g"] != df["g"].shift(1)).fill_null(True).to_numpy()
+        new = np.concatenate(([True], key[1:] != key[:-1])) | g_new
+        run_id = np.cumsum(new) - 1
+        # a run is contaminating when ANY of its rows is a train window
+        train_in_run = np.bincount(run_id, weights=(~ev).astype(np.float64)) > 0
+        contam = train_in_run[run_id] & ev
+        doc_e = doc[ev]
+        if len(doc_e) == 0:
+            return out_empty
+        contam_e = contam[ev]
+        order2 = np.argsort(doc_e, kind="stable")
+        doc_e, contam_e = doc_e[order2], contam_e[order2]
+        starts = np.flatnonzero(
+            np.concatenate(([True], doc_e[1:] != doc_e[:-1]))
+        )
+        n_part = np.diff(np.concatenate((starts, [len(doc_e)])))
+        contam_part = np.add.reduceat(contam_e.astype(np.int64), starts)
+        return pa.table(
+            {"doc_id": pa.array(doc_e[starts], type=pa.int64()),
+             "n_part": pa.array(n_part, type=pa.int64()),
+             "contam_part": pa.array(contam_part, type=pa.int64())}
+        )
+
+    partials = rows.groupby("shard").map_groups(shard_stats, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    per_doc = partials.groupby("doc_id").aggregate(
+        Sum("n_part", alias_name="n_windows"),
+        Sum("contam_part", alias_name="n_contam_windows"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_windows").to_numpy()
+        d = batch.column("n_contam_windows").to_numpy()
+        frac = d.astype(np.float64) / n.astype(np.float64)
+        return batch.append_column(
+            "contam_frac", pa.array(frac, type=pa.float64())
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -202,3 +202,58 @@ def test_minhash_verify_exact_on_duplicate_cluster(ray_session, tmp_path):
         want = 1.0 if union == 0 else inter / union
         assert abs(j - want) < 1e-12, (a, b, j, want)
         assert want >= 0.5
+
+
+def test_split_contamination_constructed(ray_session):
+    """Eval doc sharing an 8-token passage with a train doc is flagged;
+    eval-internal duplicates do NOT count; train docs never appear."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.dedup.spans import split_contamination_stats
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    filler = "one two three four five six seven eight nine ten"
+    docs = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+         "text": pa.array(
+             [passage + " " + filler,            # train, holds the passage
+              filler + " " + passage,            # eval: contaminated tail
+              "uniq words nobody else repeats here at all okay fine yes",
+              passage + " " + passage]           # eval: dup passage inside
+         )}
+    )
+    # ids 1,2,3 are eval; 0 is train
+    out = (
+        split_contamination_stats(
+            rd.from_arrow(docs).repartition(2),
+            is_eval_fn=lambda ids: ids > 0,
+            w=8, shards=64,
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert set(out.index) == {1, 2, 3}
+    # doc 1: 18 tokens -> 11 windows; shared with train doc 0: the pure
+    # passage window + the 3 pure-filler windows (both docs contain the
+    # 10-token filler run) = 4
+    assert out.loc[1, "n_windows"] == 11
+    assert out.loc[1, "n_contam_windows"] == 4
+    # doc 2: unique text, zero contamination
+    assert out.loc[2, "n_contam_windows"] == 0
+    # doc 3: the repeated passage matches TRAIN doc 0, so its two exact
+    # passage windows are contaminated via doc 0 (not via self-dup);
+    # windows spanning the two copies exist only in doc 3 -> clean
+    assert out.loc[3, "n_windows"] == 9
+    assert out.loc[3, "n_contam_windows"] == 2
+
+    # with doc 0 made eval too, doc 3's passage windows lose their train
+    # source: eval-internal duplication must not count
+    out2 = (
+        split_contamination_stats(
+            rd.from_arrow(docs), is_eval_fn=lambda ids: ids >= 0,
+            w=8, shards=64,
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert (out2["n_contam_windows"] == 0).all()
