@@ -4047,6 +4047,87 @@ def _q_top_returned_customers(sf_dir: str):
     return out.to_arrow().cast(empty.schema)
 
 
+def _q_q18_large_volume_orders(sf_dir: str):
+    """TPC-H q18 shape ⊕oracle (HAVING-filtered aggregate → semi-join):
+    orders whose total line quantity exceeds 300, with customer detail.
+    Distributed plan: ONE combiner-shuffled groupby sums quantities per
+    order (per-batch polars pre-agg, `ops.exact_counts`), the > 300 filter
+    leaves only the heavy-order tail (bounded by construction — the
+    HAVING threshold IS the bound), and orders/customer are pruned by
+    broadcast `is_in` semi-joins; the three tiny survivors join on the
+    driver.  Quantities cast to int64 per row so sums are exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import polars as pl
+
+    from hksketch.pipelines.ops import collect_blocks, exact_counts, read_table
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "qty": pc.cast(b.column("l_quantity"), pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    sums = exact_counts(li, "l_orderkey", weight_col="qty", count_name="sum_qty")
+    big = sums.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"), pa.scalar(300))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    empty = pa.table(
+        {"c_custkey": pa.array([], type=pa.int64()),
+         "c_name": pa.array([], type=pa.string()),
+         "o_orderkey": pa.array([], type=pa.int64()),
+         "o_orderdate": pa.array([], type=pa.timestamp("us")),
+         "o_totalprice": pa.array([], type=pa.float64()),
+         "sum_qty": pa.array([], type=pa.int64())}
+    )
+    blocks = collect_blocks(big)
+    if not blocks:
+        return empty
+    big_t = pa.concat_tables(blocks).combine_chunks()
+    okeys = big_t.column("l_orderkey")
+    orders = pa.concat_tables(
+        collect_blocks(
+            read_table(
+                sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+            ).map_batches(
+                lambda b: b.filter(pc.is_in(b.column("o_orderkey"), value_set=okeys)),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+        or [pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                      "o_custkey": pa.array([], type=pa.int64()),
+                      "o_totalprice": pa.array([], type=pa.float64()),
+                      "o_orderdate": pa.array([], type=pa.timestamp("us"))})]
+    )
+    ckeys = orders.column("o_custkey")
+    cust = pa.concat_tables(
+        collect_blocks(
+            read_table(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+                lambda b: b.filter(pc.is_in(b.column("c_custkey"), value_set=ckeys)),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+        or [pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                      "c_name": pa.array([], type=pa.string())})]
+    )
+    out = (
+        pl.from_arrow(big_t)
+        .join(pl.from_arrow(orders), left_on="l_orderkey", right_on="o_orderkey")
+        .join(pl.from_arrow(cust), left_on="o_custkey", right_on="c_custkey")
+        .rename({"l_orderkey": "o_orderkey", "o_custkey": "c_custkey"})
+        .sort(["o_totalprice", "o_orderdate", "o_orderkey"],
+              descending=[True, False, False])
+        .head(50)
+        .select(["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                 "o_totalprice", "sum_qty"])
+    )
+    return out.to_arrow().cast(empty.schema)
+
+
 def _q_source_capped_docs(sf_dir: str):
     """Per-group document cap ⊕oracle (the crawl-pipeline domain quota:
     "keep at most 30 docs per source", deterministic hash-ranked so the
@@ -4284,6 +4365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_capped_docs": _q_source_capped_docs,
         "top_user_drilldown": _q_top_user_drilldown,
         "split_contamination": _q_split_contamination,
+        "q18_large_volume_orders": _q_q18_large_volume_orders,
     }
 
 
@@ -5473,5 +5555,18 @@ LEFT JOIN trainw ON win.w = trainw.w
 WHERE is_eval
 GROUP BY win.doc_id
 ORDER BY win.doc_id
+""",
+        "q18_large_volume_orders": """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 50
 """,
     }
