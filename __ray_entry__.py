@@ -4244,6 +4244,423 @@ def _q_top_user_drilldown(sf_dir: str):
     return out.to_arrow().cast(empty.schema)
 
 
+def _q_q13_customer_distribution(sf_dir: str):
+    """TPC-H q13 shape ⊕oracle (distribution of orders per customer,
+    including zero-order customers — the LEFT-join histogram).  Distributed
+    plan: ONE combiner shuffle counts orders per custkey
+    (`ops.exact_counts`), a SECOND tiny shuffle histograms those counts
+    (key cardinality = distinct order-count values, bounded by the max
+    orders a customer has), and the zero bucket is pure arithmetic —
+    ``count(customer) − count(custkeys with ≥1 order)`` — so the customer
+    table is never joined, only counted."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import collect_blocks, exact_counts, read_table
+
+    per_cust = exact_counts(
+        read_table(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+        count_name="c_count",
+    )
+    hist = exact_counts(per_cust, "c_count", count_name="custdist")
+    blocks = collect_blocks(hist)
+    n_customers = read_table(sf_dir, "customer", ["c_custkey"]).count()
+    empty = pa.table(
+        {"c_count": pa.array([], type=pa.int64()),
+         "custdist": pa.array([], type=pa.int64())}
+    )
+    t = pa.concat_tables(
+        [b.select(["c_count", "custdist"]).cast(empty.schema) for b in blocks]
+        or [empty]
+    ).combine_chunks()
+    n_with_orders = sum(t.column("custdist").to_pylist())
+    zero = n_customers - n_with_orders
+    if zero > 0:
+        t = pa.concat_tables(
+            [t, pa.table({"c_count": pa.array([0], type=pa.int64()),
+                          "custdist": pa.array([zero], type=pa.int64())})]
+        )
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        t, sort_keys=[("custdist", "descending"), ("c_count", "descending")]
+    )
+    return t.take(order)
+
+
+def _q_q14_promo_revenue(sf_dir: str):
+    """TPC-H q14 shape ⊕oracle (promo revenue share for one ship month).
+    Distributed plan: lineitem is filtered + pre-aggregated PER PARTKEY in
+    the map stage (the combiner bounds the join input at distinct partkeys
+    per batch), then ONE big-big `hash_join` attaches ``p_type`` — part is
+    a fact-sized table at crawl scale, so no broadcast — and conditional
+    integer sums reduce to a single row.  The percentage is computed from
+    the two int64 sums with the same float expression the SQL uses
+    (identical operands → identical IEEE result)."""
+    import datetime
+    import math
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    lo = datetime.datetime(1996, 3, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_partkey": pa.array([], type=pa.int64()),
+             "revenue_4dp": pa.array([], type=pa.int64()),
+             "n_rows": pa.array([], type=pa.int64())}
+        )
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(b.column("l_shipdate"), pa.scalar(hi)),
+            )
+        )
+        if b.num_rows == 0:
+            return empty
+        t = pa.table(
+            {"l_partkey": b.column("l_partkey"),
+             "revenue_4dp": _disc_price_4dp(
+                 b.column("l_extendedprice"), b.column("l_discount")
+             )}
+        )
+        g = (
+            pl.from_arrow(t).group_by("l_partkey")
+            .agg(pl.col("revenue_4dp").sum(),
+                 pl.len().cast(pl.Int64).alias("n_rows"))
+        ).to_arrow()
+        return g.select(["l_partkey", "revenue_4dp", "n_rows"]).cast(empty.schema)
+
+    li_pre = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    part = read_table(sf_dir, "part", ["p_partkey", "p_type"])
+    j = hash_join(
+        li_pre, part, on="l_partkey", right_on="p_partkey",
+        lschema=pa.schema(
+            [("l_partkey", pa.int64()), ("revenue_4dp", pa.int64()),
+             ("n_rows", pa.int64())]
+        ),
+        rschema=pa.schema([("p_partkey", pa.int64()), ("p_type", pa.string())]),
+    )
+
+    def sums(b: pa.Table) -> pa.Table:
+        promo = pc.if_else(
+            pc.equal(b.column("p_type"), pa.scalar("PROMO")),
+            b.column("revenue_4dp"), pa.scalar(0, type=pa.int64()),
+        )
+        return pa.table(
+            {"promo_revenue_4dp": pa.array(
+                 [pc.sum(promo).as_py() or 0], type=pa.int64()),
+             "total_revenue_4dp": pa.array(
+                 [pc.sum(b.column("revenue_4dp")).as_py() or 0], type=pa.int64()),
+             "n_rows": pa.array(
+                 [pc.sum(b.column("n_rows")).as_py() or 0], type=pa.int64())}
+        )
+
+    s = j.map_batches(sums, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["promo_revenue_4dp", "total_revenue_4dp", "n_rows"]
+    )
+    n = (s or {}).get("sum(n_rows)") or 0
+    promo = (s or {}).get("sum(promo_revenue_4dp)") or 0
+    total = (s or {}).get("sum(total_revenue_4dp)") or 0
+    if n == 0 or total == 0:
+        return pa.table(
+            {"promo_revenue_4dp": pa.array(
+                 [promo if n else None], type=pa.int64()),
+             "total_revenue_4dp": pa.array(
+                 [total if n else None], type=pa.int64()),
+             "promo_pct_milli": pa.array([None], type=pa.int64()),
+             "n_rows": pa.array([n], type=pa.int64())}
+        )
+    # same shape as SQL round(100000.0 * promo / total): left-assoc double
+    # multiply then divide, half-away-from-zero (operands positive)
+    pct_milli = int(math.floor((100000.0 * promo) / total + 0.5))
+    return pa.table(
+        {"promo_revenue_4dp": pa.array([promo], type=pa.int64()),
+         "total_revenue_4dp": pa.array([total], type=pa.int64()),
+         "promo_pct_milli": pa.array([pct_milli], type=pa.int64()),
+         "n_rows": pa.array([n], type=pa.int64())}
+    )
+
+
+def _q_q15_top_supplier(sf_dir: str):
+    """TPC-H q15 shape ⊕oracle (argmax with ties: supplier(s) with maximum
+    quarterly revenue).  Distributed plan: per-suppkey combiner partials →
+    ONE groupby sum → dataset `max()` of the revenue column (no
+    materialization) → equality filter leaves only the winners (ties all
+    kept, as in the spec) → bounded dimension lookup for the winners'
+    names."""
+    import datetime
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, exact_counts, read_table
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def to_rev(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(b.column("l_shipdate"), pa.scalar(hi)),
+            )
+        )
+        return pa.table(
+            {"s_suppkey": b.column("l_suppkey"),
+             "rev": _disc_price_4dp(
+                 b.column("l_extendedprice"), b.column("l_discount")
+             )}
+        )
+
+    rev = li.map_batches(to_rev, batch_format="pyarrow", zero_copy_batch=True)
+    per_supp = exact_counts(
+        rev, "s_suppkey", weight_col="rev", count_name="total_revenue_4dp"
+    )
+    empty = pa.table(
+        {"s_suppkey": pa.array([], type=pa.int64()),
+         "s_name": pa.array([], type=pa.string()),
+         "total_revenue_4dp": pa.array([], type=pa.int64())}
+    )
+    per_supp = per_supp.materialize()  # small: one row per supplier
+    if per_supp.count() == 0:
+        return empty
+    best = per_supp.max("total_revenue_4dp")
+    winners = per_supp.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("total_revenue_4dp"), pa.scalar(best))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    blocks = collect_blocks(winners)
+    if not blocks:
+        return empty
+    win_t = pa.concat_tables(blocks).combine_chunks()
+    keys = win_t.column("s_suppkey")
+    supp = pa.concat_tables(
+        collect_blocks(
+            read_table(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+                lambda b: b.filter(pc.is_in(b.column("s_suppkey"), value_set=keys)),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+        or [pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                      "s_name": pa.array([], type=pa.string())})]
+    )
+    out = (
+        pl.from_arrow(win_t)
+        .join(pl.from_arrow(supp), on="s_suppkey", how="inner")
+        .sort("s_suppkey")
+        .select(["s_suppkey", "s_name", "total_revenue_4dp"])
+    )
+    return out.to_arrow().cast(empty.schema)
+
+
+def _q_q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H q17 shape ⊕oracle (revenue from small-quantity orders of one
+    brand's parts — the decorrelated AVG subquery).  Distributed plan: the
+    brand's partkeys are a broadcast filter set (one brand = a small,
+    documented fraction of part); the filtered fact rows pre-aggregate per
+    partkey (sum_qty, cnt) in ONE combiner shuffle; a big-big `hash_join`
+    attaches the per-part aggregate back to the filtered rows; the
+    ``qty < 0.2 * avg`` predicate is the integer cross-multiplication
+    ``5 * qty * cnt < sum_qty`` — no float division, bit-exact under any
+    partitioning."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    brand = "Brand#4"
+    pk_blocks = collect_blocks(
+        read_table(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("p_brand"), pa.scalar(brand))
+            ).select(["p_partkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    empty = pa.table(
+        {"total_price_4dp": pa.array([None], type=pa.int64()),
+         "n_rows": pa.array([0], type=pa.int64())}
+    )
+    if not pk_blocks:
+        return empty
+    pkeys = pa.concat_tables(pk_blocks).column("p_partkey").combine_chunks()
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def flt(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("l_partkey"), value_set=pkeys))
+        return pa.table(
+            {"l_partkey": b.column("l_partkey"),
+             "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+             "price_4dp": pc.cast(
+                 pc.round(pc.multiply(b.column("l_extendedprice"), 10000.0),
+                          round_mode="half_towards_infinity"),
+                 pa.int64(),
+             )}
+        )
+
+    rows = li.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        empty_p = pa.table(
+            {"l_partkey": pa.array([], type=pa.int64()),
+             "sq": pa.array([], type=pa.int64()),
+             "c": pa.array([], type=pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty_p
+        g = (
+            pl.from_arrow(b.select(["l_partkey", "qty"]))
+            .group_by("l_partkey")
+            .agg(pl.col("qty").sum().alias("sq"),
+                 pl.len().cast(pl.Int64).alias("c"))
+        ).to_arrow()
+        return g.select(["l_partkey", "sq", "c"]).cast(empty_p.schema)
+
+    from ray.data.aggregate import Sum
+
+    per_part = (
+        rows.map_batches(agg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("c", alias_name="c"))
+    )
+    j = hash_join(
+        rows, per_part, on="l_partkey",
+        lschema=pa.schema(
+            [("l_partkey", pa.int64()), ("qty", pa.int64()),
+             ("price_4dp", pa.int64())]
+        ),
+        rschema=pa.schema(
+            [("l_partkey", pa.int64()), ("sq", pa.int64()), ("c", pa.int64())]
+        ),
+    )
+
+    def cond_sum(b: pa.Table) -> pa.Table:
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        sq = b.column("sq").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        keep = 5 * qty * c < sq
+        price = b.column("price_4dp").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"total_price_4dp": pa.array(
+                 [int(price[keep].sum())], type=pa.int64()),
+             "n_rows": pa.array([int(keep.sum())], type=pa.int64())}
+        )
+
+    s = j.map_batches(cond_sum, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["total_price_4dp", "n_rows"]
+    )
+    n = s["sum(n_rows)"]
+    return pa.table(
+        {"total_price_4dp": pa.array(
+             [s["sum(total_price_4dp)"] if n else None], type=pa.int64()),
+         "n_rows": pa.array([n], type=pa.int64())}
+    )
+
+
+def _q_q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H q19 shape ⊕oracle (disjunction of brand × size × quantity
+    branches).  Distributed plan: the part side filters to the three
+    branch brands and broadcasts (partkey → branch bitmask) as two sorted
+    numpy arrays (a documented small side: 3 of 25 brands); each lineitem
+    batch resolves its partkeys with ONE searchsorted, evaluates the three
+    quantity bands vectorized against the mask, and emits one partial sum
+    row.  No shuffle at all — scan-side semi-join + global sum."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+
+    branches = [
+        ("Brand#1", 1, 10, 1, 20),
+        ("Brand#2", 1, 20, 10, 30),
+        ("Brand#3", 1, 30, 20, 40),
+    ]
+    part_blocks = collect_blocks(
+        read_table(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+            lambda b: b.filter(
+                pc.is_in(
+                    b.column("p_brand"),
+                    value_set=pa.array([br[0] for br in branches]),
+                )
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    empty = pa.table(
+        {"revenue_4dp": pa.array([None], type=pa.int64()),
+         "n_rows": pa.array([0], type=pa.int64())}
+    )
+    if not part_blocks:
+        return empty
+    pt = pa.concat_tables(part_blocks).combine_chunks()
+    pk = pt.column("p_partkey").to_numpy(zero_copy_only=False)
+    pbrand = pt.column("p_brand").to_pylist()
+    psize = pt.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+    mask = np.zeros(len(pk), dtype=np.int64)
+    for bit, (br, slo, shi, _, _) in enumerate(branches):
+        hit = np.array([x == br for x in pbrand]) & (psize >= slo) & (psize <= shi)
+        mask |= hit.astype(np.int64) << bit
+    order = np.argsort(pk, kind="stable")
+    pk_sorted, mask_sorted = pk[order], mask[order]
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_sorted, keys)
+        pos_c = np.minimum(pos, len(pk_sorted) - 1)
+        found = pk_sorted[pos_c] == keys
+        m = np.where(found, mask_sorted[pos_c], 0)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(keys), dtype=bool)
+        for bit, (_, _, _, qlo, qhi) in enumerate(branches):
+            keep |= ((m >> bit) & 1).astype(bool) & (qty >= qlo) & (qty <= qhi)
+        b = b.filter(pa.array(keep))
+        rev = _disc_price_4dp(b.column("l_extendedprice"), b.column("l_discount"))
+        return pa.table(
+            {"revenue_4dp": pa.array(
+                 [pc.sum(rev).as_py() or 0], type=pa.int64()),
+             "n_rows": pa.array([b.num_rows], type=pa.int64())}
+        )
+
+    s = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["revenue_4dp", "n_rows"]
+    )
+    n = s["sum(n_rows)"]
+    return pa.table(
+        {"revenue_4dp": pa.array(
+             [s["sum(revenue_4dp)"] if n else None], type=pa.int64()),
+         "n_rows": pa.array([n], type=pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -4366,6 +4783,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_drilldown": _q_top_user_drilldown,
         "split_contamination": _q_split_contamination,
         "q18_large_volume_orders": _q_q18_large_volume_orders,
+        "q13_customer_distribution": _q_q13_customer_distribution,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
     }
 
 
@@ -5568,5 +5990,74 @@ JOIN orders o ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
 LIMIT 50
+""",
+        "q13_customer_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        "q14_promo_revenue": """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_revenue_4dp,
+       CAST(SUM(rev) AS BIGINT) AS total_revenue_4dp,
+       CAST(round(100000.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                  / SUM(rev)) AS BIGINT) AS promo_pct_milli,
+       COUNT(*) AS n_rows
+FROM j
+""",
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT)
+           AS total_revenue_4dp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_4dp
+FROM rev r JOIN supplier s USING (s_suppkey)
+WHERE r.total_revenue_4dp = (SELECT max(total_revenue_4dp) FROM rev)
+ORDER BY s.s_suppkey
+""",
+        "q17_small_quantity_revenue": """
+WITH rows_b AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 10000) AS BIGINT) AS price_4dp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4'
+), agg AS (
+  SELECT l_partkey, SUM(qty) AS sq, CAST(count(*) AS BIGINT) AS c
+  FROM rows_b GROUP BY l_partkey
+)
+SELECT CAST(SUM(r.price_4dp) AS BIGINT) AS total_price_4dp,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM rows_b r JOIN agg a ON r.l_partkey = a.l_partkey
+WHERE 5 * r.qty * a.c < a.sq
+""",
+        "q19_disjunctive_revenue": """
+SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT)) AS BIGINT)
+         AS revenue_4dp,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        AND l_quantity BETWEEN 20 AND 40)
 """,
     }
