@@ -4661,6 +4661,178 @@ def _q_q19_disjunctive_revenue(sf_dir: str):
     )
 
 
+def _q_q7_volume_shipping(sf_dir: str):
+    """TPC-H q7 shape ⊕oracle (bilateral shipping volume between two
+    nations, by year) — the deepest join chain in the repo: THREE chained
+    big-big `hash_join`s (lineitem⋈supplier, ⋈orders, ⋈customer), each
+    followed by a per-batch combiner that re-keys and pre-aggregates
+    before the next shuffle, so exchange volume shrinks monotonically
+    down the chain.  Nation is the only broadcast side (25 rows by
+    definition); supplier/customer are filtered to the two nations at
+    their map stage but still join via the sharded path — at crawl scale
+    either could be fact-sized.  Explicit lschema/rschema on every join
+    so no upstream shuffle re-executes (`ray_glue/joins.py`)."""
+    import datetime
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    nation_a, nation_b = "NATION_3", "NATION_7"
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    nation = pa.concat_tables(
+        collect_blocks(read_table(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    )
+    names = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist())
+    )
+    keys = [k for k, v in names.items() if v in (nation_a, nation_b)]
+    empty = pa.table(
+        {"supp_nation": pa.array([], type=pa.string()),
+         "cust_nation": pa.array([], type=pa.string()),
+         "l_year": pa.array([], type=pa.int64()),
+         "revenue_4dp": pa.array([], type=pa.int64()),
+         "n_rows": pa.array([], type=pa.int64())}
+    )
+    if len(keys) < 2:
+        return empty
+    key_set = pa.array(keys, type=pa.int64())
+
+    def li_map(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(b.column("l_shipdate"), pa.scalar(hi)),
+            )
+        )
+        return pa.table(
+            {"l_suppkey": b.column("l_suppkey"),
+             "l_orderkey": b.column("l_orderkey"),
+             "l_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+             "rev": _disc_price_4dp(
+                 b.column("l_extendedprice"), b.column("l_discount")),
+             "n": pa.array([1] * b.num_rows, type=pa.int64())}
+        )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_map, batch_format="pyarrow", zero_copy_batch=True)
+
+    def nk_filter(key_col: str, nk_col: str, out_nk: str):
+        def fn(b: pa.Table) -> pa.Table:
+            nk = pc.cast(b.column(nk_col), pa.int64())
+            t = pa.table({key_col: pc.cast(b.column(key_col), pa.int64()),
+                          out_nk: nk})
+            return t.filter(pc.is_in(nk, value_set=key_set))
+
+        return fn
+
+    supp = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        nk_filter("s_suppkey", "s_nationkey", "supp_nk"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = hash_join(
+        li, supp, on="l_suppkey", right_on="s_suppkey",
+        lschema=pa.schema(
+            [("l_suppkey", pa.int64()), ("l_orderkey", pa.int64()),
+             ("l_year", pa.int64()), ("rev", pa.int64()), ("n", pa.int64())]
+        ),
+        rschema=pa.schema([("s_suppkey", pa.int64()), ("supp_nk", pa.int64())]),
+    )
+
+    def pre_agg(key_cols: list[str]):
+        fields = [(c, pa.int64()) for c in key_cols] + [
+            ("rev", pa.int64()), ("n", pa.int64())
+        ]
+        schema = pa.schema(fields)
+
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return schema.empty_table()
+            g = (
+                pl.from_arrow(b.select(key_cols + ["rev", "n"]))
+                .group_by(key_cols)
+                .agg(pl.col("rev").sum(), pl.col("n").sum())
+            ).to_arrow()
+            return g.select([f.name for f in schema]).cast(schema)
+
+        return fn
+
+    s1 = j1.map_batches(
+        pre_agg(["l_orderkey", "supp_nk", "l_year"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j2 = hash_join(
+        s1, orders, on="l_orderkey", right_on="o_orderkey",
+        lschema=pa.schema(
+            [("l_orderkey", pa.int64()), ("supp_nk", pa.int64()),
+             ("l_year", pa.int64()), ("rev", pa.int64()), ("n", pa.int64())]
+        ),
+        rschema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+    s2 = j2.map_batches(
+        pre_agg(["o_custkey", "supp_nk", "l_year"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        nk_filter("c_custkey", "c_nationkey", "cust_nk"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j3 = hash_join(
+        s2, cust, on="o_custkey", right_on="c_custkey",
+        lschema=pa.schema(
+            [("o_custkey", pa.int64()), ("supp_nk", pa.int64()),
+             ("l_year", pa.int64()), ("rev", pa.int64()), ("n", pa.int64())]
+        ),
+        rschema=pa.schema([("c_custkey", pa.int64()), ("cust_nk", pa.int64())]),
+    )
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.not_equal(b.column("supp_nk"), b.column("cust_nk"))
+        )
+        return b.select(["supp_nk", "cust_nk", "l_year", "rev", "n"])
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        j3.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["supp_nk", "cust_nk", "l_year"])
+        .aggregate(Sum("rev", alias_name="revenue_4dp"),
+                   Sum("n", alias_name="n_rows"))
+    )
+    blocks = collect_blocks(grouped)
+    if not blocks:
+        return empty
+    t = pa.concat_tables(
+        [b.select(["supp_nk", "cust_nk", "l_year", "revenue_4dp", "n_rows"])
+         for b in blocks]
+    ).combine_chunks()
+    supp_names = pa.array([names[k] for k in t.column("supp_nk").to_pylist()])
+    cust_names = pa.array([names[k] for k in t.column("cust_nk").to_pylist()])
+    out = pa.table(
+        {"supp_nation": supp_names,
+         "cust_nation": cust_names,
+         "l_year": t.column("l_year").cast(pa.int64()),
+         "revenue_4dp": t.column("revenue_4dp").cast(pa.int64()),
+         "n_rows": t.column("n_rows").cast(pa.int64())}
+    )
+    order = pc.sort_indices(
+        out,
+        sort_keys=[("supp_nation", "ascending"), ("cust_nation", "ascending"),
+                   ("l_year", "ascending")],
+    )
+    return out.take(order)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -4788,6 +4960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": _q_q15_top_supplier,
         "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q7_volume_shipping": _q_q7_volume_shipping,
     }
 
 
@@ -6059,5 +6232,28 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
         AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
         AND l_quantity BETWEEN 20 AND 40)
+""",
+        "q7_volume_shipping": """
+WITH j AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS BIGINT) AS revenue_4dp,
+       COUNT(*) AS n_rows
+FROM j GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
 """,
     }

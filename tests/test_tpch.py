@@ -22,6 +22,7 @@ QUERIES = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
+    "q7_volume_shipping",
 ]
 
 
