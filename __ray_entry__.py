@@ -4833,6 +4833,51 @@ def _q_q7_volume_shipping(sf_dir: str):
     return out.take(order)
 
 
+def _q_semdedup_prune(sf_dir: str):
+    """SemDeDup semantic dedup summary (Abbas et al. arXiv:2303.09540) —
+    k-means the embedding space, mark within-cluster ε-ball duplicates,
+    keep the lowest id per ball.  No SQL oracle (k-means is not
+    SQL-expressible) but the output is BIT-deterministic for the fixed
+    seed; injected-duplicate exactness, determinism, completeness and
+    strict-threshold tests in `tests/test_semdedup_pq.py`.  Per-cluster
+    (cluster, n_rows, n_dups) — the driver never sees an embedding."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.semdedup import semdedup_flags, semdedup_summary
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    flags = semdedup_flags(ds, n_clusters=8, threshold=0.95, seed=7)
+    return semdedup_summary(flags)
+
+
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. TPAMI'11) with exact
+    re-rank — the compressed-scan scale path: codes are 16 bytes/vector
+    (vs 512 for raw float64), ADC scores them with uint8 gathers, and a
+    bounded shortlist re-ranks against raw vectors (≤ k·mult·q rows
+    read).  Rows-only (codebooks are k-means state); recall ≥ 0.8 vs the
+    exact oracle + rerank-score exactness asserted in
+    `tests/test_semdedup_pq.py`."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.pq import pq_encode, pq_search_rerank, pq_train
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = t.filter(pc.less(t.column("vec_id"), 3))
+    order = np.argsort(qrows.column("vec_id").to_numpy())
+    Q = np.stack(
+        [np.asarray(qrows.column("embedding")[int(i)].as_py()) for i in order]
+    )
+    qids = qrows.column("vec_id").to_numpy()[order].tolist()
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=16, ksub=16)
+    codes = pq_encode(ds, books)
+    out = pq_search_rerank(ds, codes, books, Q, qids, k=5, shortlist_mult=8)
+    return out.select(["query_id", "rank", "vec_id", "score"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -4961,6 +5006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         "q7_volume_shipping": _q_q7_volume_shipping,
+        "semdedup_prune": _q_semdedup_prune,
+        "knn_pq": _q_knn_pq,
     }
 
 
