@@ -4878,6 +4878,111 @@ def _q_knn_pq(sf_dir: str):
     return out.select(["query_id", "rank", "vec_id", "score"])
 
 
+def _q_type_token_ratio(sf_dir: str):
+    """Per-document type/token ratio ⊕oracle (the lexical-diversity
+    quality signal) — embarrassingly parallel: ONE tokenize per batch
+    (the S3 tokenizer, byte-identical to the SQL mirror's
+    regexp/lower/len-filter), n_tokens via bincount, n_types via a polars
+    per-doc n_unique; no shuffle at all.  ``ttr_milli`` is
+    ``round(1000·types/tokens)`` computed as the identical float
+    expression both sides (small-int division), null for empty docs."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def ttr(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "n_tokens": pa.array([], type=pa.int64()),
+             "n_types": pa.array([], type=pa.int64()),
+             "ttr_milli": pa.array([], type=pa.int64())}
+        )
+        if n == 0:
+            return empty
+        toks = tokenize_column(b.column("text"), with_doc_index=True)
+        idx = toks.column("doc_idx").to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(idx, minlength=n).astype(np.int64)
+        n_types = np.zeros(n, dtype=np.int64)
+        if toks.num_rows:
+            g = (
+                pl.from_arrow(toks).group_by("doc_idx")
+                .agg(pl.col("token").n_unique().cast(pl.Int64).alias("u"))
+            )
+            n_types[g["doc_idx"].to_numpy()] = g["u"].to_numpy()
+        # identical float expression to the SQL: 1000.0 * types / tokens,
+        # half-away (operands non-negative → floor(x + 0.5))
+        safe = np.maximum(n_tokens, 1)
+        ttr_m = np.floor((1000.0 * n_types) / safe + 0.5).astype(np.int64)
+        return pa.table(
+            {"doc_id": b.column("doc_id").cast(pa.int64()),
+             "n_tokens": pa.array(n_tokens),
+             "n_types": pa.array(n_types),
+             "ttr_milli": pa.array(ttr_m, mask=n_tokens == 0)}
+        )
+
+    out = ds.map_batches(ttr, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("doc_id")
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Corpus Zipf-law slope ⊕oracle: least-squares slope of
+    log(frequency) vs log(rank) over the top-1000 tokens — the classic
+    corpus-health statistic (natural text ≈ −1; boilerplate or synthetic
+    spam drifts off).  Distributed part is ONE combiner-shuffled token
+    count + sort/limit (`ops.exact_topk`); the driver sees 1000 rows.
+    Cross-engine exactness: per-term logs freeze to int64 micro-units
+    (floor(ln·1e6 + 0.5), both sides), all sums are exact integers, and
+    the final slope is ONE identical float expression of those integers,
+    milli-rounded half-away."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_topk, read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    tokens = ds.map_batches(
+        lambda b: tokenize_column(b.column("text")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    top = exact_topk(tokens, "token", 1000)
+    rows = top.to_pandas()
+    n = len(rows)
+    if n < 2:
+        return pa.table(
+            {"n_terms": pa.array([n], type=pa.int64()),
+             "slope_milli": pa.array([None], type=pa.int64())}
+        )
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    cnts = rows["count"].to_numpy().astype(np.float64)
+    x = np.floor(np.log(ranks) * 1_000_000 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cnts) * 1_000_000 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = float(n) * float(sxx) - float(sx) * float(sx)
+    if den == 0.0:
+        return pa.table(
+            {"n_terms": pa.array([n], type=pa.int64()),
+             "slope_milli": pa.array([None], type=pa.int64())}
+        )
+    r = (num / den) * 1000.0
+    slope_milli = int(math.copysign(math.floor(abs(r) + 0.5), r))
+    return pa.table(
+        {"n_terms": pa.array([n], type=pa.int64()),
+         "slope_milli": pa.array([slope_milli], type=pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5008,6 +5113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": _q_q7_volume_shipping,
         "semdedup_prune": _q_semdedup_prune,
         "knn_pq": _q_knn_pq,
+        "type_token_ratio": _q_type_token_ratio,
+        "zipf_slope": _q_zipf_slope,
     }
 
 
@@ -6302,5 +6409,52 @@ SELECT supp_nation, cust_nation, l_year,
        COUNT(*) AS n_rows
 FROM j GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
+""",
+        "type_token_ratio": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CASE WHEN len(toks) > 0
+            THEN CAST(floor(1000.0 * len(list_distinct(toks)) / len(toks)
+                            + 0.5) AS BIGINT)
+       END AS ttr_milli
+FROM tl ORDER BY doc_id
+""",
+        "zipf_slope": """
+WITH toks AS (
+  SELECT lower(tok) AS token
+  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM documents)
+  WHERE length(tok) <= 64
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+  FROM counts
+), xy AS (
+  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked WHERE r <= 1000
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CASE WHEN count(*) >= 2
+             AND (CAST(count(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) <> 0
+            THEN CAST(round(
+              (CAST(count(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE)
+               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+                 - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+              * 1000) AS BIGINT)
+       END AS slope_milli
+FROM xy
 """,
     }
