@@ -4983,6 +4983,42 @@ def _q_zipf_slope(sf_dir: str):
     )
 
 
+def _q_source_token_budget_sample(sf_dir: str):
+    """Training-mix construction ⊕oracle hash-exact: per source, keep
+    documents in deterministic hash-rank order until the source's
+    character budget (3000) is spent — the "sample each source to its
+    target token share" step of every data-mixing recipe.  Distributed
+    shape (`pipelines/caps.budget_per_group`): the per-batch combiner
+    applies the budget rule batch-locally BEFORE the shuffle (safe by the
+    running-weight containment argument), so the exchange carries a
+    budget-bounded row count per (batch, group).  SQL parity: running
+    SUM OVER (PARTITION BY source ORDER BY rank, doc_id) <= 3000."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.caps import budget_per_group
+    from hksketch.pipelines.ops import collect_blocks, read_table
+
+    ds = read_table(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+    out = budget_per_group(ds, "source", "doc_id", "n_chars", budget=3000)
+    blocks = collect_blocks(out)
+    empty = pa.table(
+        {"source": pa.array([], type=pa.string()),
+         "doc_id": pa.array([], type=pa.int64()),
+         "rank": pa.array([], type=pa.int64()),
+         "n_chars": pa.array([], type=pa.int64())}
+    )
+    t = pa.concat_tables(
+        [b.select(["source", "doc_id", "rank", "n_chars"]).cast(empty.schema)
+         for b in blocks] or [empty]
+    ).combine_chunks()
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5115,6 +5151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": _q_knn_pq,
         "type_token_ratio": _q_type_token_ratio,
         "zipf_slope": _q_zipf_slope,
+        "source_token_budget_sample": _q_source_token_budget_sample,
     }
 
 
@@ -6456,5 +6493,17 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
               * 1000) AS BIGINT)
        END AS slope_milli
 FROM xy
+""",
+        "source_token_budget_sample": """
+SELECT source, doc_id, rank, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         (doc_id * 1103515245 + 12345) % 2147483648 AS rank,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+) WHERE cum <= 3000
+ORDER BY source, doc_id
 """,
     }

@@ -104,3 +104,94 @@ def cap_per_group(
         return t
 
     return pre.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+def _prune_budget(
+    groups: np.ndarray,
+    ids: np.ndarray,
+    ranks: np.ndarray,
+    weights: np.ndarray,
+    budget: int,
+) -> np.ndarray:
+    """Row indices whose per-group inclusive running weight (in (rank, id)
+    order) is ≤ budget — one lexsort + segment-rebased cumsum."""
+    codes = groups
+    if groups.dtype.kind in ("O", "U", "S"):
+        _, codes = np.unique(groups, return_inverse=True)
+    order = np.lexsort((ids, ranks, codes))
+    gc = codes[order]
+    w = weights[order]
+    new = np.concatenate(([True], gc[1:] != gc[:-1]))
+    starts = np.flatnonzero(new)
+    cs = np.cumsum(w)
+    base = np.zeros(len(gc), dtype=cs.dtype)
+    base[new] = np.concatenate(([0], cs[starts[1:] - 1]))
+    seg_cs = cs - np.maximum.accumulate(base)
+    return order[seg_cs <= budget]
+
+
+def budget_per_group(
+    ds,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    rank_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+):
+    """Per-group WEIGHT budget (the training-mix construction primitive:
+    "take documents per source, in deterministic rank order, until the
+    source's token budget is spent").  Keeps rows whose inclusive running
+    weight in (rank, id) order is ≤ ``budget``; deterministic across
+    partitionings and monotone in the budget.
+
+    Scale shape: a per-batch combiner applies the SAME rule batch-locally
+    BEFORE the shuffle — safe because the global running weight at any
+    row is ≥ the batch-local running weight over that batch's
+    earlier-ranked rows (weights are validated non-negative), so any row
+    over budget locally is over budget globally.  The exchange therefore
+    carries at most ceil(budget / min positive weight) rows per (batch,
+    group) however hot the group.  SQL parity:
+    ``SUM(w) OVER (PARTITION BY g ORDER BY rank, id
+    ROWS UNBOUNDED PRECEDING) <= budget``.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    rank = rank_fn or lcg_rank
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        i = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError(
+                f"budget_per_group requires non-negative {weight_col!r} "
+                f"(the batch-local prune's containment argument fails "
+                f"otherwise); got min {w.min()}"
+            )
+        r = rank(i)
+        if len(i):
+            keep = _prune_budget(g, i, r, w, budget)
+            g, i, r, w = g[keep], i[keep], r[keep], w[keep]
+        return pa.table(
+            {group_col: pa.array(g, type=b.schema.field(group_col).type),
+             id_col: pa.array(i, type=pa.int64()),
+             "rank": pa.array(r, type=pa.int64()),
+             weight_col: pa.array(w, type=pa.int64())}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(grp: "pd.DataFrame") -> pa.Table:
+        g = grp[group_col].to_numpy()
+        i = grp[id_col].to_numpy().astype(np.int64)
+        r = grp["rank"].to_numpy().astype(np.int64)
+        w = grp[weight_col].to_numpy().astype(np.int64)
+        keep = _prune_budget(g, i, r, w, budget)
+        return pa.table(
+            {group_col: pa.array(g[keep]),
+             id_col: pa.array(i[keep], type=pa.int64()),
+             "rank": pa.array(r[keep], type=pa.int64()),
+             weight_col: pa.array(w[keep], type=pa.int64())}
+        )
+
+    return pre.groupby(group_col).map_groups(final, batch_format="pandas")
