@@ -5019,6 +5019,342 @@ def _q_source_token_budget_sample(sf_dir: str):
     )
 
 
+def _q_q8_market_share(sf_dir: str):
+    """TPC-H q8 shape ⊕oracle (one nation's market share of a part type
+    inside one region's customer orders, by order year).  Distributed
+    plan: lineitem pre-filters scan-side against two DOCUMENTED broadcast
+    sets — the part keys of the type (1/6 of part) and the target
+    nation's supplier keys (1/25 of supplier, numerator flag only) — then
+    TWO chained big-big `hash_join`s (⋈orders for year+custkey,
+    ⋈customer for nationkey) with a per-batch combiner between them; the
+    region's nation set is a tiny broadcast filter after the last join.
+    The share is round(1000·num/den) from two int64 sums — the identical
+    float expression both sides."""
+    import math
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    part_type, region_name, target_nation = "ECONOMY", "ASIA", "NATION_7"
+
+    nation = pa.concat_tables(
+        collect_blocks(
+            read_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+        )
+    )
+    region = pa.concat_tables(
+        collect_blocks(read_table(sf_dir, "region", ["r_regionkey", "r_name"]))
+    )
+    rkeys = region.filter(
+        pc.equal(region.column("r_name"), pa.scalar(region_name))
+    ).column("r_regionkey")
+    region_nations = pa.array(
+        nation.filter(
+            pc.is_in(nation.column("n_regionkey"), value_set=rkeys)
+        ).column("n_nationkey").to_pylist(),
+        type=pa.int64(),
+    )
+    tkeys = nation.filter(
+        pc.equal(nation.column("n_name"), pa.scalar(target_nation))
+    ).column("n_nationkey")
+
+    empty = pa.table(
+        {"o_year": pa.array([], type=pa.int64()),
+         "target_revenue_4dp": pa.array([], type=pa.int64()),
+         "total_revenue_4dp": pa.array([], type=pa.int64()),
+         "share_milli": pa.array([], type=pa.int64())}
+    )
+    if len(region_nations) == 0 or len(tkeys) == 0:
+        return empty
+
+    pkeys = pa.concat_tables(
+        collect_blocks(
+            read_table(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+                lambda b: b.filter(
+                    pc.equal(b.column("p_type"), pa.scalar(part_type))
+                ).select(["p_partkey"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+        or [pa.table({"p_partkey": pa.array([], type=pa.int64())})]
+    ).column("p_partkey").combine_chunks()
+    skeys = pa.concat_tables(
+        collect_blocks(
+            read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+                lambda b: b.filter(
+                    pc.is_in(
+                        pc.cast(b.column("s_nationkey"), pa.int64()),
+                        value_set=tkeys.combine_chunks().cast(pa.int64()),
+                    )
+                ).select(["s_suppkey"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+        or [pa.table({"s_suppkey": pa.array([], type=pa.int64())})]
+    ).column("s_suppkey").combine_chunks()
+    if len(pkeys) == 0:
+        return empty
+
+    def li_map(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("l_partkey"), value_set=pkeys))
+        rev = _disc_price_4dp(b.column("l_extendedprice"), b.column("l_discount"))
+        is_t = pc.is_in(b.column("l_suppkey"), value_set=skeys)
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "rev": rev,
+             "trev": pc.if_else(is_t, rev, pa.scalar(0, type=pa.int64()))}
+        )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_map, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pre1(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("l_orderkey", pa.int64()), ("rev", pa.int64()), ("trev", pa.int64())]
+        )
+        if b.num_rows == 0:
+            return schema.empty_table()
+        g = (
+            pl.from_arrow(b).group_by("l_orderkey")
+            .agg(pl.col("rev").sum(), pl.col("trev").sum())
+        ).to_arrow()
+        return g.select(["l_orderkey", "rev", "trev"]).cast(schema)
+
+    li_pre = li.map_batches(pre1, batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_map(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "o_custkey": b.column("o_custkey"),
+             "o_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64())}
+        )
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_map, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(
+        li_pre, orders, on="l_orderkey", right_on="o_orderkey",
+        lschema=pa.schema(
+            [("l_orderkey", pa.int64()), ("rev", pa.int64()), ("trev", pa.int64())]
+        ),
+        rschema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_year", pa.int64())]
+        ),
+    )
+
+    def pre2(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("o_custkey", pa.int64()), ("o_year", pa.int64()),
+             ("rev", pa.int64()), ("trev", pa.int64())]
+        )
+        if b.num_rows == 0:
+            return schema.empty_table()
+        g = (
+            pl.from_arrow(b.select(["o_custkey", "o_year", "rev", "trev"]))
+            .group_by(["o_custkey", "o_year"])
+            .agg(pl.col("rev").sum(), pl.col("trev").sum())
+        ).to_arrow()
+        return g.select(["o_custkey", "o_year", "rev", "trev"]).cast(schema)
+
+    s2 = j1.map_batches(pre2, batch_format="pyarrow", zero_copy_batch=True)
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+             "cust_nk": pc.cast(b.column("c_nationkey"), pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = hash_join(
+        s2, cust, on="o_custkey", right_on="c_custkey",
+        lschema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_year", pa.int64()),
+             ("rev", pa.int64()), ("trev", pa.int64())]
+        ),
+        rschema=pa.schema([("c_custkey", pa.int64()), ("cust_nk", pa.int64())]),
+    )
+
+    def region_sum(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("o_year", pa.int64()), ("total_revenue_4dp", pa.int64()),
+             ("target_revenue_4dp", pa.int64())]
+        )
+        b = b.filter(pc.is_in(b.column("cust_nk"), value_set=region_nations))
+        if b.num_rows == 0:
+            return schema.empty_table()
+        g = (
+            pl.from_arrow(b.select(["o_year", "rev", "trev"]))
+            .group_by("o_year")
+            .agg(pl.col("rev").sum().alias("total_revenue_4dp"),
+                 pl.col("trev").sum().alias("target_revenue_4dp"))
+        ).to_arrow()
+        return g.select(
+            ["o_year", "total_revenue_4dp", "target_revenue_4dp"]
+        ).cast(schema)
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        j2.map_batches(region_sum, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .aggregate(Sum("total_revenue_4dp", alias_name="total_revenue_4dp"),
+                   Sum("target_revenue_4dp", alias_name="target_revenue_4dp"))
+    )
+    blocks = collect_blocks(grouped)
+    if not blocks:
+        return empty
+    t = pa.concat_tables(
+        [b.select(["o_year", "total_revenue_4dp", "target_revenue_4dp"])
+         for b in blocks]
+    ).combine_chunks()
+    years = t.column("o_year").to_pylist()
+    tot = t.column("total_revenue_4dp").to_pylist()
+    tgt = t.column("target_revenue_4dp").to_pylist()
+    share = [
+        (int(math.floor((1000.0 * g) / d + 0.5)) if d else None)
+        for g, d in zip(tgt, tot)
+    ]
+    out = pa.table(
+        {"o_year": pa.array(years, type=pa.int64()),
+         "target_revenue_4dp": pa.array(tgt, type=pa.int64()),
+         "total_revenue_4dp": pa.array(tot, type=pa.int64()),
+         "share_milli": pa.array(share, type=pa.int64())}
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("o_year", "ascending")]))
+
+
+def _q_q22_waiting_customers(sf_dir: str):
+    """TPC-H q22 shape ⊕oracle (above-average-balance customers with NO
+    recent orders, counted per nation — the scalar-subquery + anti-join
+    composition).  Distributed plan: the positive-balance average is two
+    integer global sums (cents, count) broadcast into the filter; the
+    anti-join is the LEFT `hash_join` against per-custkey order counts in
+    the window (combiner-shuffled), keeping only null matches; the final
+    per-nation count+sum is a tiny grouped fold.  Balance comparison is
+    integer cross-multiplication (`bal_cents · n > sum_cents`) — no float
+    division anywhere."""
+    import datetime
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, exact_counts, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    lo = datetime.datetime(1998, 1, 1)
+
+    cust = read_table(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("c_acctbal"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        pos = pc.greater(cents, pa.scalar(0, type=pa.int64()))
+        kept = pc.if_else(pos, cents, pa.scalar(0, type=pa.int64()))
+        return pa.table(
+            {"sum_cents": pa.array(
+                 [pc.sum(kept).as_py() or 0], type=pa.int64()),
+             "n_pos": pa.array(
+                 [pc.sum(pc.cast(pos, pa.int64())).as_py() or 0],
+                 type=pa.int64())}
+        )
+
+    s = cust.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["sum_cents", "n_pos"])
+    sum_cents = (s or {}).get("sum(sum_cents)") or 0
+    n_pos = (s or {}).get("sum(n_pos)") or 0
+    empty = pa.table(
+        {"c_nationkey": pa.array([], type=pa.int64()),
+         "n_customers": pa.array([], type=pa.int64()),
+         "total_acctbal_cents": pa.array([], type=pa.int64())}
+    )
+    if n_pos == 0:
+        return empty
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("c_acctbal"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        # bal > avg  ⇔  bal_cents · n_pos > sum_cents  (exact ints)
+        keep = pc.greater(
+            pc.multiply(cents, pa.scalar(n_pos, type=pa.int64())),
+            pa.scalar(sum_cents, type=pa.int64()),
+        )
+        t = pa.table(
+            {"c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+             "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+             "bal_cents": cents}
+        )
+        return t.filter(keep)
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    per_cust = exact_counts(orders, "o_custkey", count_name="n_orders")
+    j = hash_join(
+        rich_ds, per_cust, on="c_custkey", right_on="o_custkey", how="left",
+        lschema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int64()),
+             ("bal_cents", pa.int64())]
+        ),
+        rschema=pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())]),
+    )
+
+    def anti_fold(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("c_nationkey", pa.int64()), ("n_customers", pa.int64()),
+             ("total_acctbal_cents", pa.int64())]
+        )
+        b = b.filter(pc.is_null(b.column("n_orders")))
+        if b.num_rows == 0:
+            return schema.empty_table()
+        g = (
+            pl.from_arrow(b.select(["c_nationkey", "bal_cents"]))
+            .group_by("c_nationkey")
+            .agg(pl.len().cast(pl.Int64).alias("n_customers"),
+                 pl.col("bal_cents").sum().alias("total_acctbal_cents"))
+        ).to_arrow()
+        return g.select(
+            ["c_nationkey", "n_customers", "total_acctbal_cents"]
+        ).cast(schema)
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        j.map_batches(anti_fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("total_acctbal_cents", alias_name="total_acctbal_cents"))
+    )
+    blocks = collect_blocks(grouped)
+    if not blocks:
+        return empty
+    t = pa.concat_tables(
+        [b.select(["c_nationkey", "n_customers", "total_acctbal_cents"])
+         .cast(empty.schema) for b in blocks]
+    ).combine_chunks()
+    return t.take(pc.sort_indices(t, sort_keys=[("c_nationkey", "ascending")]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5152,6 +5488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,
         "zipf_slope": _q_zipf_slope,
         "source_token_budget_sample": _q_source_token_budget_sample,
+        "q8_market_share": _q_q8_market_share,
+        "q22_waiting_customers": _q_q22_waiting_customers,
     }
 
 
@@ -6505,5 +6843,56 @@ SELECT source, doc_id, rank, n_chars FROM (
   FROM documents
 ) WHERE cum <= 3000
 ORDER BY source, doc_id
+""",
+        "q8_market_share": """
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev,
+         CASE WHEN s_nationkey IN
+                (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+              THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)
+              ELSE 0 END AS trev
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE c_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+)
+SELECT o_year,
+       CAST(SUM(trev) AS BIGINT) AS target_revenue_4dp,
+       CAST(SUM(rev) AS BIGINT) AS total_revenue_4dp,
+       CASE WHEN SUM(rev) <> 0
+            THEN CAST(floor(1000.0 * SUM(trev) / SUM(rev) + 0.5) AS BIGINT)
+       END AS share_milli
+FROM j GROUP BY o_year ORDER BY o_year
+""",
+        "q22_waiting_customers": """
+WITH bal AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), stats AS (
+  SELECT CAST(SUM(CASE WHEN bal_cents > 0 THEN bal_cents ELSE 0 END)
+              AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) FILTER (bal_cents > 0) AS BIGINT) AS n_pos
+  FROM bal
+), rich AS (
+  SELECT b.* FROM bal b, stats s
+  WHERE b.bal_cents * s.n_pos > s.sum_cents
+), active AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_acctbal_cents
+FROM rich LEFT JOIN active ON c_custkey = o_custkey
+WHERE o_custkey IS NULL
+GROUP BY c_nationkey ORDER BY c_nationkey
 """,
     }

@@ -23,6 +23,8 @@ QUERIES = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
+    "q22_waiting_customers",
 ]
 
 
