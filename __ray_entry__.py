@@ -5355,6 +5355,39 @@ def _q_q22_waiting_customers(sf_dir: str):
     return t.take(pc.sort_indices(t, sort_keys=[("c_nationkey", "ascending")]))
 
 
+def _q_event_type_transitions(sf_dir: str):
+    """Per-user event-type transition matrix ⊕oracle (the clickstream
+    Markov statistic: counts of consecutive (prev → next) event pairs per
+    user, ordered by (ts, event_id)).  ONE key-sharded shuffle + per-shard
+    lexsort (`pipelines/sessions.transition_counts`); pair counts
+    pre-aggregate per shard so the final exchange is vocabulary²-bounded.
+    Equal-timestamp ordering is pinned by the event_id tie-break on both
+    sides (constructed-case test)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+    from hksketch.pipelines.sessions import transition_counts
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    out = transition_counts(ds)
+    blocks = collect_blocks(out)
+    empty = pa.table(
+        {"prev_type": pa.array([], type=pa.string()),
+         "next_type": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+    t = pa.concat_tables(
+        [b.select(["prev_type", "next_type", "n"]).cast(empty.schema)
+         for b in blocks] or [empty]
+    ).combine_chunks()
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("prev_type", "ascending"), ("next_type", "ascending")]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5490,6 +5523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_budget_sample": _q_source_token_budget_sample,
         "q8_market_share": _q_q8_market_share,
         "q22_waiting_customers": _q_q22_waiting_customers,
+        "event_type_transitions": _q_event_type_transitions,
     }
 
 
@@ -6894,5 +6928,16 @@ SELECT c_nationkey,
 FROM rich LEFT JOIN active ON c_custkey = o_custkey
 WHERE o_custkey IS NULL
 GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+        "event_type_transitions": """
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
 """,
     }

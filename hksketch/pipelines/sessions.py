@@ -243,6 +243,70 @@ def max_gap(
     return sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
 
 
+def transition_counts(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    shards: Union[int, str] = "auto",
+):
+    """Consecutive-event transition counts per key — the clickstream
+    Markov matrix: ``COUNT(*) GROUP BY (LAG(type) OVER (PARTITION BY key
+    ORDER BY ts, id), type)``.  Unlike :func:`max_gap`, equal timestamps
+    DO change the answer here (which event comes first decides the
+    pair), so the within-key order carries the ``id_col`` tie-break and
+    the lexsort includes it — pinned by an equal-ts test.
+
+    Shape: ONE key-sharded shuffle; per shard one lexsort orders
+    (key, ts, id); cross-key boundaries drop; the per-shard (prev, next)
+    pair counts pre-aggregate (vocabulary², tiny) before the final
+    groupby.  Returns Dataset[(prev_type, next_type, n)].
+    """
+    import polars as pl
+
+    shards = _resolve_shards(ds, shards)
+    sharded = ds.map_batches(
+        _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+    empty = pa.table(
+        {"prev_type": pa.array([], type=pa.string()),
+         "next_type": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        keys = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+            .to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, ts, keys))
+        same = keys[order][1:] == keys[order][:-1]
+        if not same.any():
+            return empty
+        types = g.column(type_col).combine_chunks().take(pa.array(order))
+        prev = types.slice(0, len(types) - 1).filter(pa.array(same))
+        nxt = types.slice(1).filter(pa.array(same))
+        t = (
+            pl.from_arrow(pa.table({"prev_type": prev, "next_type": nxt}))
+            .group_by(["prev_type", "next_type"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        ).to_arrow()
+        return t.select(["prev_type", "next_type", "n"]).cast(empty.schema)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def daily_retention(
     ds,
     key_col: str = "user_id",

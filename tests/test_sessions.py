@@ -152,3 +152,46 @@ def test_max_gap_empty(ray_session):
          "ts": pa.array([], type=pa.timestamp("us"))}
     )
     assert max_gap(rd.from_arrow(et), "user_id", "ts", shards=4).count() == 0
+
+
+def test_transition_counts_equal_ts_tiebreak(ray_session):
+    """Equal timestamps order by event_id — the pair direction flips if
+    the tie-break is wrong; verified against DuckDB's LAG window."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.pipelines.sessions import transition_counts
+
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = pa.table(
+        {"event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+         "user_id": pa.array([7, 7, 7, 8, 8, 9], type=pa.int64()),
+         "ts": pa.array([ts0, ts0, ts0 + 10, ts0 + 5, ts0 + 5, ts0]),
+         "event_type": pa.array(["a", "b", "c", "x", "y", "solo"])}
+    )
+    got = (
+        transition_counts(rd.from_arrow(rows).repartition(3), shards=4)
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", rows)
+    want = con.sql("""
+        WITH seq AS (
+          SELECT event_type, LAG(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    assert got["prev_type"].tolist() == want["prev_type"].tolist()
+    assert got["next_type"].tolist() == want["next_type"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    # the equal-ts pairs specifically: (a→b) for user 7, (x→y) for user 8
+    pairs = set(zip(got["prev_type"], got["next_type"]))
+    assert ("a", "b") in pairs and ("x", "y") in pairs
+    assert ("b", "a") not in pairs and ("y", "x") not in pairs
