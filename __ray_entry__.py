@@ -5388,6 +5388,75 @@ def _q_event_type_transitions(sf_dir: str):
     )
 
 
+def _q_supplier_pagerank(sf_dir: str):
+    """Distributed PageRank over the customer↔supplier purchase graph
+    (the host-authority statistic of web pipelines, run on the star
+    schema's real bipartite graph).  Edge build: ONE big-big hash_join
+    (lineitem⋈orders) + a pair-combiner dedup; then 6 synchronous
+    iterations of join+groupby with int64 fixed-point ranks
+    (`pipelines/graph.pagerank`) — bit-deterministic under any
+    partitioning, asserted equal to a single-process recompute in
+    `tests/test_graph.py` (hence no_oracle but exact).  Returns the
+    top-20 nodes by rank."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.graph import pagerank
+    from hksketch.pipelines.ops import collect_blocks, grouped_count, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        lschema=pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        rschema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+    pairs = grouped_count(j, ["o_custkey", "l_suppkey"], count_name="_n")
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        # node ids: customer → 2·key, supplier → 2·key+1 (disjoint ranges)
+        import numpy as np
+
+        c = b.column("o_custkey").to_numpy(zero_copy_only=False) * 2
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table(
+            {"src": pa.array(np.concatenate([c, s]), type=pa.int64()),
+             "dst": pa.array(np.concatenate([s, c]), type=pa.int64())}
+        )
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranks = pagerank(edges, damping_permille=850, iters=4)
+    if isinstance(ranks, pa.Table):  # empty-graph base case
+        top = ranks
+    else:
+        blocks = collect_blocks(
+            ranks.sort(["rank_micro", "node"], descending=[True, False]).limit(20)
+        )
+        empty = pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "rank_micro": pa.array([], type=pa.int64())}
+        )
+        top = pa.concat_tables(
+            [b.select(["node", "rank_micro"]).cast(empty.schema)
+             for b in blocks] or [empty]
+        ).combine_chunks()
+    node = top.column("node")
+    kind = pc.if_else(
+        pc.equal(pc.bit_wise_and(node, pa.scalar(1, type=pa.int64())),
+                 pa.scalar(0, type=pa.int64())),
+        pa.scalar("customer"), pa.scalar("supplier"),
+    )
+    key = pc.divide(node, pa.scalar(2, type=pa.int64()))
+    return pa.table(
+        {"node_type": kind,
+         "key": key,
+         "rank_micro": top.column("rank_micro")}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5524,6 +5593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": _q_q8_market_share,
         "q22_waiting_customers": _q_q22_waiting_customers,
         "event_type_transitions": _q_event_type_transitions,
+        "supplier_pagerank": _q_supplier_pagerank,
     }
 
 

@@ -1,0 +1,183 @@
+"""Distributed PageRank over an edge Dataset.
+
+The site-level authority score of the classic web pipeline (Page et al.
+1999; Common-Crawl publishes exactly this as its host-level ranks), as
+an iterative Ray Data job: per iteration ONE big-big `hash_join` ships
+each node's rank to its out-edges and ONE combiner groupby folds the
+contributions per destination.  Ranks live in a Dataset keyed by node —
+the driver holds loop control only, never the rank vector.
+
+Determinism (the property every other iterative kernel here pins —
+k-means integer partials, CC signature folds): ranks are int64
+fixed-point micro-units and every per-iteration update is integer
+arithmetic (``contrib = rank // out_degree``, ``rank' = base +
+(d_permille · inflow) // 1000``), so sums are order-independent and the
+result is bit-identical under any partitioning, block structure, or
+cluster size — verified against a single-process numpy recompute with
+the same quantization.
+
+Contract: every node must have at least one OUT-edge (no dangling-mass
+redistribution is performed; feed symmetric/bidirectional edges — e.g.
+both directions of a bipartite graph — to satisfy this trivially).
+Each iteration's ranks are ``materialize()``d: without it the lazy
+lineage re-executes all prior iterations per step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..ray_glue.joins import hash_join
+
+SCALE = 10**12  # total rank mass in micro-units
+
+
+def pagerank(
+    edges,
+    damping_permille: int = 850,
+    iters: int = 6,
+    shards: int | str = "auto",
+):
+    """``edges``: Dataset[(src:int64, dst:int64)], pre-deduplicated.
+    Returns Dataset[(node:int64, rank_micro:int64)] after ``iters``
+    synchronous iterations from the uniform start.  ``damping_permille``
+    is the damping factor in thousandths (850 = 0.85)."""
+    from ray.data.aggregate import Sum
+
+    from .ops import exact_counts
+
+    if not (0 <= damping_permille <= 1000):
+        raise ValueError(f"damping_permille must be in [0, 1000], got "
+                         f"{damping_permille}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if shards == "auto":
+        # resolve ONCE from the edge-table size with a low floor: the
+        # hash_join default floor of 32 is sized for one-shot joins, but
+        # an iterative loop pays the per-shard shuffle overhead every
+        # iteration, so small graphs should run few shards (still
+        # footer-scaled up for real corpora: 2M edge rows per shard)
+        from ..ray_glue.partitioning import auto_shards
+
+        shards = auto_shards(
+            edges, target_rows_per_shard=2_000_000, min_shards=4
+        )
+
+    deg = exact_counts(edges, "src", count_name="out_deg")
+    edges_deg = hash_join(
+        edges, deg, on="src", shards=shards,
+        lschema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        rschema=pa.schema([("src", pa.int64()), ("out_deg", pa.int64())]),
+    ).materialize()
+
+    # node universe = distinct src (== distinct dst under the no-dangling
+    # contract); initial rank = SCALE // N each
+    nodes = deg.materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "rank_micro": pa.array([], type=pa.int64())}
+        )
+    init = SCALE // n_nodes
+    base = ((1000 - damping_permille) * SCALE // 1000) // n_nodes
+
+    def init_fn(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {"node": b.column("src").cast(pa.int64()),
+             "rank_micro": pa.array(
+                 np.full(n, init, dtype=np.int64), type=pa.int64())}
+        )
+
+    ranks = nodes.map_batches(
+        init_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    rank_schema = pa.schema([("node", pa.int64()), ("rank_micro", pa.int64())])
+    # pin the rank dataset's block count across iterations: the aggregate
+    # otherwise emits a few more blocks than it consumed each round, and
+    # the per-iteration cost compounds (measured +2 blocks/iter, join wall
+    # 2s → 9s by iter 6 before this)
+    rank_blocks = max(1, ranks.num_blocks())
+
+    for _ in range(int(iters)):
+        j = hash_join(
+            edges_deg, ranks, on="src", right_on="node", shards=shards,
+            lschema=pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()),
+                 ("out_deg", pa.int64())]
+            ),
+            rschema=rank_schema,
+        )
+
+        def contrib(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.schema(
+                    [("dst", pa.int64()), ("inflow", pa.int64())]
+                ).empty_table()
+            r = b.column("rank_micro").to_numpy(zero_copy_only=False)
+            d = b.column("out_deg").to_numpy(zero_copy_only=False)
+            c = r // d  # integer split of the node's mass per out-edge
+            import polars as pl
+
+            g = (
+                pl.from_arrow(
+                    pa.table({"dst": b.column("dst"),
+                              "inflow": pa.array(c, type=pa.int64())})
+                )
+                .group_by("dst")
+                .agg(pl.col("inflow").sum())
+            ).to_arrow()
+            return g.select(["dst", "inflow"]).cast(
+                pa.schema([("dst", pa.int64()), ("inflow", pa.int64())])
+            )
+
+        inflow = (
+            j.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("dst")
+            .aggregate(Sum("inflow", alias_name="inflow"))
+        )
+
+        def update(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return rank_schema.empty_table()
+            inf = b.column("inflow").to_numpy(zero_copy_only=False)
+            new = base + (damping_permille * inf) // 1000
+            return pa.table(
+                {"node": b.column("dst").cast(pa.int64()),
+                 "rank_micro": pa.array(new, type=pa.int64())}
+            )
+
+        ranks = (
+            inflow.map_batches(
+                update, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .repartition(rank_blocks)
+            .materialize()
+        )
+
+    return ranks
+
+
+def pagerank_local(
+    src: np.ndarray,
+    dst: np.ndarray,
+    damping_permille: int = 850,
+    iters: int = 6,
+):
+    """Single-process recompute with the IDENTICAL integer quantization —
+    the bit-equality oracle for :func:`pagerank` in tests.  Returns
+    (nodes sorted asc, rank_micro)."""
+    nodes, inv_src = np.unique(src, return_inverse=True)
+    n = len(nodes)
+    idx_dst = np.searchsorted(nodes, dst)
+    deg = np.bincount(inv_src, minlength=n).astype(np.int64)
+    rank = np.full(n, SCALE // n, dtype=np.int64)
+    base = ((1000 - damping_permille) * SCALE // 1000) // n
+    for _ in range(iters):
+        c = rank[inv_src] // deg[inv_src]
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, idx_dst, c)
+        rank = base + (damping_permille * inflow) // 1000
+    return nodes, rank
