@@ -5457,6 +5457,133 @@ def _q_supplier_pagerank(sf_dir: str):
     )
 
 
+def _q_quantiles_value_interp(sf_dir: str):
+    """Interpolated (continuous) quantiles ⊕oracle — quantile_cont
+    semantics spelled out as the explicit position formula so both
+    engines run the IDENTICAL float expression: p = q·(n−1), answer =
+    v[⌊p⌋] + (p−⌊p⌋)·(v[⌈p⌉]−v[⌊p⌋]), milli-rounded.  Distributed part:
+    one sort + block-pruned rank extraction fetching only the ≤ 8 blocks
+    holding a needed rank (`ops.elements_at_ranks`)."""
+    import math
+
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import elements_at_ranks, read_table
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    names = ["q25_milli", "q50_milli", "q75_milli", "q95_milli"]
+    ds = read_table(sf_dir, "events", ["value"])
+    n = ds.count()
+    if n == 0:
+        return pa.table({k: pa.array([None], type=pa.int64()) for k in names})
+    ranks = set()
+    pos = {}
+    for q in qs:
+        p = q * (n - 1)
+        lo, hi = int(math.floor(p)), int(math.ceil(p))
+        pos[q] = (p, lo, hi)
+        ranks.update((lo, hi))
+    vals = elements_at_ranks(ds, "value", ranks)
+    out = {}
+    for q, name in zip(qs, names):
+        p, lo, hi = pos[q]
+        v = vals[lo] + (p - math.floor(p)) * (vals[hi] - vals[lo])
+        r = v * 1000
+        out[name] = pa.array(
+            [int(math.copysign(math.floor(abs(r) + 0.5), r))], type=pa.int64()
+        )
+    return pa.table(out)
+
+
+def _q_value_stats_per_type(sf_dir: str):
+    """Per-group mean and sample standard deviation ⊕oracle — the moment
+    sketch done exactly: per-batch combiner partials of (n, Σx, Σx²) in
+    integer MILLI units (order-independent, overflow-bounded: x ≤ 561 →
+    x_milli² ≤ 3.2e11, int64-safe to ~2.8e7 rows/group/batch here and
+    HUGEINT on the SQL side), ONE tiny groupby, then mean/std as the
+    identical float expression of those integers on both sides
+    (IEEE sqrt is correctly rounded, so milli-rounding matches bit-for-
+    bit).  n=1 groups get SQL sample-stddev NULL."""
+    import math
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("event_type", pa.string()), ("n", pa.int64()),
+             ("sx", pa.int64()), ("sxx", pa.int64())]
+        )
+        if b.num_rows == 0:
+            return schema.empty_table()
+        x = pc.cast(
+            pc.round(pc.multiply(b.column("value"), 1000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"event_type": b.column("event_type"), "x": x,
+             "xx": pc.multiply(x, x)}
+        )
+        g = (
+            pl.from_arrow(t).group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n"),
+                 pl.col("x").sum().alias("sx"),
+                 pl.col("xx").sum().alias("sxx"))
+        ).to_arrow()
+        return g.select(["event_type", "n", "sx", "sxx"]).cast(schema)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+    )
+    blocks = collect_blocks(agg)
+    empty = pa.table(
+        {"event_type": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64()),
+         "mean_milli": pa.array([], type=pa.int64()),
+         "std_milli": pa.array([], type=pa.int64())}
+    )
+    if not blocks:
+        return empty
+    t = pa.concat_tables(
+        [b.select(["event_type", "n", "sx", "sxx"]) for b in blocks]
+    ).combine_chunks()
+    et = t.column("event_type").to_pylist()
+    ns = t.column("n").to_pylist()
+    sxs = t.column("sx").to_pylist()
+    sxxs = t.column("sxx").to_pylist()
+    means, stds = [], []
+    for n, sx, sxx in zip(ns, sxs, sxxs):
+        # mean (still in milli units): round(sx / n), identical float expr
+        means.append(int(math.floor(float(sx) / float(n) + 0.5)))
+        if n < 2:
+            stds.append(None)
+            continue
+        var = (float(n) * float(sxx) - float(sx) * float(sx)) / (
+            float(n) * float(n - 1)
+        )
+        stds.append(int(math.floor(math.sqrt(max(0.0, var)) + 0.5)))
+    out = pa.table(
+        {"event_type": pa.array(et, type=pa.string()),
+         "n": pa.array(ns, type=pa.int64()),
+         "mean_milli": pa.array(means, type=pa.int64()),
+         "std_milli": pa.array(stds, type=pa.int64())}
+    )
+    import pyarrow.compute as pc2
+
+    return out.take(pc2.sort_indices(out, sort_keys=[("event_type", "ascending")]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5594,6 +5721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_waiting_customers": _q_q22_waiting_customers,
         "event_type_transitions": _q_event_type_transitions,
         "supplier_pagerank": _q_supplier_pagerank,
+        "quantiles_value_interp": _q_quantiles_value_interp,
+        "value_stats_per_type": _q_value_stats_per_type,
     }
 
 
@@ -7009,5 +7138,51 @@ WITH seq AS (
 SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
 FROM seq WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+""",
+        "quantiles_value_interp": """
+WITH ord AS (
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS r FROM events
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events)
+SELECT
+  (SELECT CAST(round((lo.value + (0.25e0*(c-1) - floor(0.25e0*(c-1)))
+                      * (hi.value - lo.value)) * 1000) AS BIGINT)
+   FROM ord lo, ord hi, nn
+   WHERE lo.r = CAST(floor(0.25e0*(c-1)) AS BIGINT)
+     AND hi.r = CAST(ceil(0.25e0*(c-1)) AS BIGINT)) AS q25_milli,
+  (SELECT CAST(round((lo.value + (0.5e0*(c-1) - floor(0.5e0*(c-1)))
+                      * (hi.value - lo.value)) * 1000) AS BIGINT)
+   FROM ord lo, ord hi, nn
+   WHERE lo.r = CAST(floor(0.5e0*(c-1)) AS BIGINT)
+     AND hi.r = CAST(ceil(0.5e0*(c-1)) AS BIGINT)) AS q50_milli,
+  (SELECT CAST(round((lo.value + (0.75e0*(c-1) - floor(0.75e0*(c-1)))
+                      * (hi.value - lo.value)) * 1000) AS BIGINT)
+   FROM ord lo, ord hi, nn
+   WHERE lo.r = CAST(floor(0.75e0*(c-1)) AS BIGINT)
+     AND hi.r = CAST(ceil(0.75e0*(c-1)) AS BIGINT)) AS q75_milli,
+  (SELECT CAST(round((lo.value + (0.95e0*(c-1) - floor(0.95e0*(c-1)))
+                      * (hi.value - lo.value)) * 1000) AS BIGINT)
+   FROM ord lo, ord hi, nn
+   WHERE lo.r = CAST(floor(0.95e0*(c-1)) AS BIGINT)
+     AND hi.r = CAST(ceil(0.95e0*(c-1)) AS BIGINT)) AS q95_milli
+""",
+        "value_stats_per_type": """
+WITH m AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS x FROM events
+), a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+         AS mean_milli,
+       CASE WHEN n >= 2 THEN
+         CAST(floor(sqrt(greatest(
+           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 0.0)) + 0.5)
+           AS BIGINT)
+       END AS std_milli
+FROM a ORDER BY event_type
 """,
     }

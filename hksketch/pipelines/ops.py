@@ -124,9 +124,8 @@ def exact_distinct_count(ds, key_col: str) -> int:
     return pre.groupby(key_col).aggregate(Count(alias_name="_n")).count()
 
 
-def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
-    """Discrete quantiles (duckdb ``quantile_disc`` semantics: element at
-    0-based rank ``ceil(q*n) - 1`` of the sorted column, 0 for q=0) via
+def elements_at_ranks(ds, col: str, ranks: Iterable[int]) -> dict[int, float]:
+    """Values at the given 0-based ranks of the sorted column via
     distributed sort + BLOCK-PRUNED rank extraction: block refs of the
     sorted dataset stay in the object store, tiny remote tasks report each
     block's row count, and the driver fetches ONLY the blocks containing a
@@ -134,14 +133,9 @@ def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
     driver (a 0.95 quantile would stream 95% of the column)."""
     import ray
 
-    n = ds.count()
-    if n == 0:
-        return [float("nan") for _ in qs]
-
-    def _rank(q: float) -> int:
-        return 0 if q <= 0 else min(n - 1, int(np.ceil(q * n)) - 1)
-
-    ranks = sorted(set(_rank(q) for q in qs))
+    ranks = sorted(set(int(r) for r in ranks))
+    if not ranks:
+        return {}
     refs = ds.sort(col).to_arrow_refs()  # sorted order preserved
 
     @ray.remote
@@ -167,6 +161,21 @@ def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
     for (b, lr), vals in zip(sorted(per_block.items()), picked):
         for local, v in zip(lr, vals):
             want[int(offsets[b]) + local] = v
+    return want
+
+
+def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
+    """Discrete quantiles (duckdb ``quantile_disc`` semantics: element at
+    0-based rank ``ceil(q*n) - 1`` of the sorted column, 0 for q=0) via
+    :func:`elements_at_ranks`."""
+    n = ds.count()
+    if n == 0:
+        return [float("nan") for _ in qs]
+
+    def _rank(q: float) -> int:
+        return 0 if q <= 0 else min(n - 1, int(np.ceil(q * n)) - 1)
+
+    want = elements_at_ranks(ds, col, [_rank(q) for q in qs])
     return [want[_rank(q)] for q in qs]
 
 
