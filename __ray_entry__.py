@@ -5584,6 +5584,57 @@ def _q_value_stats_per_type(sf_dir: str):
     return out.take(pc2.sort_indices(out, sort_keys=[("event_type", "ascending")]))
 
 
+def _q_rolling_topk_users_sketch(sf_dir: str):
+    """SLIDING-window heavy hitters ⊕oracle — the payoff of mergeable
+    sketches: one HeavyKeeper per tumbling day (grouped_sketch, per-batch
+    partial blobs), then every 7-day window is just a MERGE of its ≤ 7
+    daily sketches — no second pass over the events, and each daily
+    sketch is reused by up to 7 windows.  Top-3 users per window in the
+    exact regime (150 fixture users ≪ k=512), hash-exact vs the SQL
+    window recompute.  Driver holds one blob per day (calendar-bounded)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(b.column("ts"), unit="day"),
+             "user_id": b.column("user_id")}
+        )
+
+    ds = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = sketch_config("bucketed", k=512, width=1 << 13, depth=4,
+                        decay=0.9, seed=SEED)
+    out = grouped_sketch(ds, cfg, key_col="user_id", group_col="day")
+    rows = sorted(out.take_all(), key=lambda r: r["day"])  # ≤ #days rows
+    days_out, users, counts = [], [], []
+    for r in rows:
+        d = r["day"]
+        window = [
+            rj["sketch"] for rj in rows
+            if 0 <= (d - rj["day"]).days <= 6 and rj["day"] <= d
+        ]
+        sk = sketch_from_bytes(window[0])
+        for blob in window[1:]:
+            sk.merge(sketch_from_bytes(blob))
+        top = sorted(sk.list(), key=lambda ic: (-ic[1], ic[0]))[:3]
+        for u, c in top:
+            days_out.append(d)
+            users.append(int(u))
+            counts.append(int(c))
+    return pa.table(
+        {"day": pa.array(days_out, type=pa.timestamp("us")),
+         "user_id": pa.array(users, type=pa.int64()),
+         "count": pa.array(counts, type=pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5723,6 +5774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": _q_supplier_pagerank,
         "quantiles_value_interp": _q_quantiles_value_interp,
         "value_stats_per_type": _q_value_stats_per_type,
+        "rolling_topk_users_sketch": _q_rolling_topk_users_sketch,
     }
 
 
@@ -7184,5 +7236,24 @@ SELECT event_type, n,
            AS BIGINT)
        END AS std_milli
 FROM a ORDER BY event_type
+""",
+        "rolling_topk_users_sketch": """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+cnt AS (
+  SELECT CAST(ts AS DATE) AS d, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT days.day, cnt.user_id, CAST(SUM(cnt.c) AS BIGINT) AS count
+  FROM days JOIN cnt
+    ON cnt.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+  GROUP BY days.day, cnt.user_id
+), ranked AS (
+  SELECT day, user_id, count,
+         row_number() OVER (
+           PARTITION BY day ORDER BY count DESC, user_id) AS rn
+  FROM win
+)
+SELECT CAST(day AS TIMESTAMP) AS day, user_id, count
+FROM ranked WHERE rn <= 3 ORDER BY day, count DESC, user_id
 """,
     }
