@@ -5635,6 +5635,56 @@ def _q_rolling_topk_users_sketch(sf_dir: str):
     )
 
 
+def _q_source_lang_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the language mix ⊕oracle — the
+    corpus-diversity signal data-mixing recipes monitor.  Distributed
+    part: ONE combiner-shuffled (source, lang) count; the driver sees
+    ≤ sources×langs rows.  Cross-engine exactness via the tfidf/zipf
+    technique: per-count logs freeze to int64 micro-units
+    (floor(ln·1e6 + 0.5), both sides), Σ c·lnμ(c) is an exact integer,
+    and H = ln(n) − Σc·ln(c)/n is ONE identical float expression of
+    those integers, milli-rounded."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, grouped_count, read_table
+
+    ds = read_table(sf_dir, "documents", ["source", "lang"])
+    counts = grouped_count(ds, ["source", "lang"], count_name="c")
+    blocks = collect_blocks(counts)
+    empty = pa.table(
+        {"source": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64()),
+         "entropy_milli": pa.array([], type=pa.int64())}
+    )
+    if not blocks:
+        return empty
+    t = pa.concat_tables(
+        [b.select(["source", "lang", "c"]) for b in blocks]
+    ).combine_chunks()
+    by_src: dict[str, list[int]] = {}
+    for s, c in zip(t.column("source").to_pylist(), t.column("c").to_pylist()):
+        by_src.setdefault(s, []).append(int(c))
+    srcs, ns, ents = [], [], []
+    for s in sorted(by_src):
+        cs = by_src[s]
+        n = sum(cs)
+        sclc = sum(c * int(math.floor(math.log(c) * 1_000_000 + 0.5))
+                   for c in cs)
+        xn = int(math.floor(math.log(n) * 1_000_000 + 0.5))
+        h = (xn / 1_000_000.0 - float(sclc) / (float(n) * 1_000_000.0)) * 1000
+        srcs.append(s)
+        ns.append(n)
+        ents.append(int(math.floor(h + 0.5)))  # H ≥ 0 → half-away
+    return pa.table(
+        {"source": pa.array(srcs, type=pa.string()),
+         "n": pa.array(ns, type=pa.int64()),
+         "entropy_milli": pa.array(ents, type=pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5775,6 +5825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_value_interp": _q_quantiles_value_interp,
         "value_stats_per_type": _q_value_stats_per_type,
         "rolling_topk_users_sketch": _q_rolling_topk_users_sketch,
+        "source_lang_entropy": _q_source_lang_entropy,
     }
 
 
@@ -7255,5 +7306,24 @@ cnt AS (
 )
 SELECT CAST(day AS TIMESTAMP) AS day, user_id, count
 FROM ranked WHERE rn <= 3 ORDER BY day, count DESC, user_id
+""",
+        "source_lang_entropy": """
+WITH cnts AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sclc
+  FROM cnts GROUP BY source
+)
+SELECT source, n,
+       CAST(floor(
+         (CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+            / 1000000.0
+          - CAST(sclc AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) * 1000
+         + 0.5) AS BIGINT) AS entropy_milli
+FROM tot ORDER BY source
 """,
     }

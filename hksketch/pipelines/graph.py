@@ -38,11 +38,26 @@ def pagerank(
     damping_permille: int = 850,
     iters: int = 6,
     shards: int | str = "auto",
+    checkpoint_dir: str | None = None,
 ):
     """``edges``: Dataset[(src:int64, dst:int64)], pre-deduplicated.
     Returns Dataset[(node:int64, rank_micro:int64)] after ``iters``
     synchronous iterations from the uniform start.  ``damping_permille``
-    is the damping factor in thousandths (850 = 0.85)."""
+    is the damping factor in thousandths (850 = 0.85).
+
+    ``checkpoint_dir``: when set, each completed iteration's rank table
+    is written as partitioned Parquet (``iter=K/``) with a marker file,
+    and a rerun RESUMES from the highest completed iteration ≤ ``iters``
+    — because every update is integer arithmetic, the resumed run is
+    bit-identical to an uninterrupted one (tested).  A ``params.json``
+    lineage record (damping, node/edge counts, scale) guards against
+    resuming onto a different graph or config: mismatch raises instead
+    of silently mixing runs (same refusal contract as
+    ``ray_glue/checkpoint.py``).  The directory must be on storage every
+    worker and the driver share (see ``ray_glue/storage.py``)."""
+    import json
+    import os
+
     from ray.data.aggregate import Sum
 
     from .ops import exact_counts
@@ -91,17 +106,60 @@ def pagerank(
                  np.full(n, init, dtype=np.int64), type=pa.int64())}
         )
 
-    ranks = nodes.map_batches(
-        init_fn, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
     rank_schema = pa.schema([("node", pa.int64()), ("rank_micro", pa.int64())])
+    start_iter = 0
+    ranks = None
+    if checkpoint_dir:
+        import ray.data as rd
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        params = {
+            "damping_permille": int(damping_permille),
+            "n_nodes": int(n_nodes),
+            "n_edges": int(edges_deg.count()),
+            "scale": SCALE,
+        }
+        pfile = os.path.join(checkpoint_dir, "params.json")
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                prior = json.load(f)
+            if prior != params:
+                raise ValueError(
+                    f"pagerank checkpoint at {checkpoint_dir} was written "
+                    f"for different params/graph ({prior} != {params}); "
+                    f"refusing to resume — point at a fresh directory"
+                )
+        else:
+            with open(pfile, "w") as f:
+                json.dump(params, f)
+        # resume from the highest iteration with a completion marker
+        for k in range(int(iters), 0, -1):
+            if os.path.exists(os.path.join(checkpoint_dir, f"_done_{k}")):
+                # hive-style dir name makes the reader infer an `iter`
+                # partition column — project it back out
+                ranks = (
+                    rd.read_parquet(os.path.join(checkpoint_dir, f"iter={k}"))
+                    .map_batches(
+                        lambda b: b.select(["node", "rank_micro"]).cast(
+                            rank_schema
+                        ),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                    )
+                    .materialize()
+                )
+                start_iter = k
+                break
+    if ranks is None:
+        ranks = nodes.map_batches(
+            init_fn, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
     # pin the rank dataset's block count across iterations: the aggregate
     # otherwise emits a few more blocks than it consumed each round, and
     # the per-iteration cost compounds (measured +2 blocks/iter, join wall
     # 2s → 9s by iter 6 before this)
     rank_blocks = max(1, ranks.num_blocks())
 
-    for _ in range(int(iters)):
+    for _it in range(start_iter, int(iters)):
         j = hash_join(
             edges_deg, ranks, on="src", right_on="node", shards=shards,
             lschema=pa.schema(
@@ -156,6 +214,13 @@ def pagerank(
             .repartition(rank_blocks)
             .materialize()
         )
+        if checkpoint_dir:
+            it_dir = os.path.join(checkpoint_dir, f"iter={_it + 1}")
+            ranks.write_parquet(it_dir)
+            # marker written AFTER the parquet lands: a crash mid-write
+            # leaves no marker, so resume ignores the partial directory
+            with open(os.path.join(checkpoint_dir, f"_done_{_it + 1}"), "w"):
+                pass
 
     return ranks
 

@@ -106,3 +106,47 @@ def test_supplier_pagerank_query_matches_local_recompute(ray_session):
     )
     assert got_nodes.tolist() == want_nodes.tolist()
     assert got["rank_micro"].tolist() == want_rank.tolist()
+
+
+def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    """Run 2 iters with a checkpoint dir, then ask for 5 from the same
+    dir: the resumed run must be bit-identical to an uninterrupted
+    5-iter run; param drift refuses; partial dirs without markers are
+    ignored."""
+    import os
+
+    from hksketch.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 25, 100)
+    b = rng.integers(0, 25, 100)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    ck = str(tmp_path / "pr_ck")
+
+    direct = (
+        pagerank(_edges_ds(src, dst), iters=5, shards=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pagerank(_edges_ds(src, dst), iters=2, shards=4, checkpoint_dir=ck)
+    assert os.path.exists(os.path.join(ck, "_done_2"))
+    resumed = (
+        pagerank(_edges_ds(src, dst), iters=5, shards=4, checkpoint_dir=ck)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert resumed.equals(direct)
+
+    # a partial iteration dir WITHOUT its marker is ignored on resume
+    os.makedirs(os.path.join(ck, "iter=9"), exist_ok=True)
+    again = (
+        pagerank(_edges_ds(src, dst), iters=5, shards=4, checkpoint_dir=ck)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert again.equals(direct)
+
+    # param drift refuses instead of silently mixing runs
+    with pytest.raises(ValueError, match="refusing to resume"):
+        pagerank(_edges_ds(src, dst), iters=5, shards=4,
+                 damping_permille=500, checkpoint_dir=ck)
