@@ -5685,6 +5685,31 @@ def _q_source_lang_entropy(sf_dir: str):
     )
 
 
+def _q_knn_ivfpq(sf_dir: str):
+    """ANN from a persisted IVF-PQ index (coarse quantizer + 16-byte PQ
+    codes per inverted list + exact shortlist re-rank) — the composite
+    billion-scale architecture: a query reads nprobe/n_clusters of the
+    corpus as CODES (m/(8·dim) of raw bytes) plus ≤ k·mult raw vectors.
+    Rows-only (two k-means quantizers); recall, pruned-read and
+    manifest-reuse tests in `tests/test_ivfpq.py`."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.storage import artifact_dir
+    from hksketch.sim.ivfpq import build_ivfpq_index, knn_ivfpq
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = artifact_dir(
+        "ivfpq", sf_dir.strip("/").replace("/", "_") + "_c8_m16_k16_s7"
+    )
+    build_ivfpq_index(ds, idx, n_clusters=8, m=16, ksub=16, seed=7)
+    t = knn_ivfpq(idx, ds, _load_query_vec(sf_dir), k=10, nprobe=4,
+                  shortlist_mult=8)
+    rank = pa.array(np.arange(1, t.num_rows + 1), type=pa.int64())
+    return pa.table({"rank": rank, "vec_id": t.column("vec_id")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5826,6 +5851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_stats_per_type": _q_value_stats_per_type,
         "rolling_topk_users_sketch": _q_rolling_topk_users_sketch,
         "source_lang_entropy": _q_source_lang_entropy,
+        "knn_ivfpq": _q_knn_ivfpq,
     }
 
 
