@@ -5710,6 +5710,181 @@ def _q_knn_ivfpq(sf_dir: str):
     return pa.table({"rank": rank, "vec_id": t.column("vec_id")})
 
 
+def _q_supplier_rank_in_nation(sf_dir: str):
+    """DENSE_RANK within group ⊕oracle: suppliers ranked by account
+    balance (integer cents) inside their nation, top-2 ranks kept.
+    Distributed shape: per-batch combiner prunes each batch to its own
+    best 2 DISTINCT balances per nation before the shuffle (rank-2
+    containment: a balance outside a batch's top-2 distinct values can't
+    be in the global top-2), then one small per-nation fold."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+
+    ds = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    empty = pa.table(
+        {"s_nationkey": pa.array([], type=pa.int64()),
+         "s_suppkey": pa.array([], type=pa.int64()),
+         "bal_cents": pa.array([], type=pa.int64()),
+         "bal_rank": pa.array([], type=pa.int64())}
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty.select(["s_nationkey", "s_suppkey", "bal_cents"])
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("s_acctbal"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        df = pl.from_arrow(
+            pa.table(
+                {"s_nationkey": pc.cast(b.column("s_nationkey"), pa.int64()),
+                 "s_suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
+                 "bal_cents": cents}
+            )
+        )
+        kept = df.filter(
+            pl.col("bal_cents").rank(method="dense", descending=True)
+            .over("s_nationkey") <= 2
+        )
+        return kept.to_arrow().cast(
+            empty.select(["s_nationkey", "s_suppkey", "bal_cents"]).schema
+        )
+
+    pre = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(grp) -> pa.Table:
+        df = pl.from_pandas(grp)
+        kept = (
+            df.with_columns(
+                pl.col("bal_cents").rank(method="dense", descending=True)
+                .over("s_nationkey").cast(pl.Int64).alias("bal_rank")
+            )
+            .filter(pl.col("bal_rank") <= 2)
+        )
+        return kept.to_arrow().cast(empty.schema)
+
+    out = pre.groupby("s_nationkey").map_groups(final, batch_format="pandas")
+    blocks = collect_blocks(out)
+    t = pa.concat_tables(
+        [b.select(empty.column_names).cast(empty.schema) for b in blocks]
+        or [empty]
+    ).combine_chunks()
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("s_nationkey", "ascending"),
+                          ("bal_rank", "ascending"),
+                          ("s_suppkey", "ascending")]
+        )
+    )
+
+
+def _q_segment_revenue_share(sf_dir: str):
+    """Share-of-total window (SUM OVER () ) ⊕oracle: each market
+    segment's revenue share of the whole, in integer ten-thousandths of
+    a percent — the grouped sums come from ONE combiner shuffle and the
+    total is derived from the SAME grouped result (never a second scan);
+    the share division is the identical float expression both sides."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        schema = pa.schema(
+            [("o_custkey", pa.int64()), ("price_cents", pa.int64())]
+        )
+        if b.num_rows == 0:
+            return schema.empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("o_totalprice"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = (
+            pl.from_arrow(
+                pa.table({"o_custkey": b.column("o_custkey"),
+                          "price_cents": cents})
+            )
+            .group_by("o_custkey")
+            .agg(pl.col("price_cents").sum())
+        ).to_arrow()
+        return g.select(["o_custkey", "price_cents"]).cast(schema)
+
+    o_pre = orders.map_batches(
+        o_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = hash_join(
+        o_pre, cust, on="o_custkey", right_on="c_custkey",
+        lschema=pa.schema(
+            [("o_custkey", pa.int64()), ("price_cents", pa.int64())]
+        ),
+        rschema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+    )
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        schema = pa.schema(
+            [("c_mktsegment", pa.string()), ("revenue_cents", pa.int64())]
+        )
+        if b.num_rows == 0:
+            return schema.empty_table()
+        g = (
+            pl.from_arrow(b.select(["c_mktsegment", "price_cents"]))
+            .group_by("c_mktsegment")
+            .agg(pl.col("price_cents").sum().alias("revenue_cents"))
+        ).to_arrow()
+        return g.select(["c_mktsegment", "revenue_cents"]).cast(schema)
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        j.map_batches(seg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    blocks = collect_blocks(grouped)
+    empty = pa.table(
+        {"c_mktsegment": pa.array([], type=pa.string()),
+         "revenue_cents": pa.array([], type=pa.int64()),
+         "share_tenthousandths": pa.array([], type=pa.int64())}
+    )
+    if not blocks:
+        return empty
+    t = pa.concat_tables(
+        [b.select(["c_mktsegment", "revenue_cents"]) for b in blocks]
+    ).combine_chunks()
+    revs = t.column("revenue_cents").to_pylist()
+    total = sum(revs)
+    shares = [
+        int(math.floor((1_000_000.0 * r) / total + 0.5)) if total else None
+        for r in revs
+    ]
+    out = pa.table(
+        {"c_mktsegment": t.column("c_mktsegment"),
+         "revenue_cents": t.column("revenue_cents"),
+         "share_tenthousandths": pa.array(shares, type=pa.int64())}
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("c_mktsegment", "ascending")])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -5852,6 +6027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_topk_users_sketch": _q_rolling_topk_users_sketch,
         "source_lang_entropy": _q_source_lang_entropy,
         "knn_ivfpq": _q_knn_ivfpq,
+        "supplier_rank_in_nation": _q_supplier_rank_in_nation,
+        "segment_revenue_share": _q_segment_revenue_share,
     }
 
 
@@ -7351,5 +7528,31 @@ SELECT source, n,
           - CAST(sclc AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) * 1000
          + 0.5) AS BIGINT) AS entropy_milli
 FROM tot ORDER BY source
+""",
+        "supplier_rank_in_nation": """
+SELECT s_nationkey, s_suppkey, bal_cents, bal_rank FROM (
+  SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+         CAST(s_suppkey AS BIGINT) AS s_suppkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+         CAST(dense_rank() OVER (
+           PARTITION BY s_nationkey
+           ORDER BY CAST(round(s_acctbal * 100) AS BIGINT) DESC
+         ) AS BIGINT) AS bal_rank
+  FROM supplier
+) WHERE bal_rank <= 2
+ORDER BY s_nationkey, bal_rank, s_suppkey
+""",
+        "segment_revenue_share": """
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, revenue_cents,
+       CAST(floor(1000000.0 * revenue_cents / SUM(revenue_cents) OVER ()
+                  + 0.5) AS BIGINT) AS share_tenthousandths
+FROM seg ORDER BY c_mktsegment
 """,
     }
