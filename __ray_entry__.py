@@ -5788,14 +5788,17 @@ def _q_segment_revenue_share(sf_dir: str):
     segment's revenue share of the whole, in integer ten-thousandths of
     a percent — the grouped sums come from ONE combiner shuffle and the
     total is derived from the SAME grouped result (never a second scan);
-    the share division is the identical float expression both sides."""
+    the share division is the identical float expression both sides.
+    The customer attach goes through `auto_join`, whose footer estimate
+    picks the zero-shuffle broadcast plan here (and the sharded hash
+    join when the dimension outgrows the threshold)."""
     import math
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from hksketch.pipelines.ops import collect_blocks, read_table
-    from hksketch.ray_glue.joins import hash_join
+    from hksketch.ray_glue.joins import auto_join
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -5826,7 +5829,7 @@ def _q_segment_revenue_share(sf_dir: str):
         o_partial, batch_format="pyarrow", zero_copy_batch=True
     )
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    j = hash_join(
+    j = auto_join(
         o_pre, cust, on="o_custkey", right_on="c_custkey",
         lschema=pa.schema(
             [("o_custkey", pa.int64()), ("price_cents", pa.int64())]

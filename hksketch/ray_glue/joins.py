@@ -193,3 +193,120 @@ def hash_join(
         return pa.table(cols)
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_join(
+    left,
+    right,
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    lschema=None,
+    rschema=None,
+):
+    """Equi-join with a SMALL right side: the right table is collected
+    once, ``ray.put`` into the object store, and every left batch runs a
+    polars (Rust) join against it — ZERO shuffle, the left side streams.
+    Output schema/semantics identical to :func:`hash_join` (key named
+    ``on``, right clashes suffixed, SQL null-key semantics).  The caller
+    asserts the right side fits driver+worker heaps; :func:`auto_join`
+    makes that call from footer estimates."""
+    import ray
+    import ray.data as rd
+
+    right_on = right_on or on
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if lschema is None:
+        lschema = left.schema()
+    if rschema is None:
+        rschema = right.schema()
+    if lschema is None or rschema is None:
+        raise ValueError(
+            "broadcast_join: a side has no schema (empty mapped dataset) — "
+            "supply a typed empty table or handle the empty case upstream"
+        )
+    lcols = list(lschema.names)
+    rcols = [n for n in rschema.names if n != right_on]
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
+    out_fields = (
+        [(on, pa.int64())]
+        + [(c, t) for c, t in zip(lschema.names, lschema.types) if c != on]
+        + [(rename[c], dict(zip(rschema.names, rschema.types))[c])
+           for c in rcols]
+    )
+    out_schema = pa.schema(out_fields)
+
+    blocks = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows > 0]
+    if blocks:
+        rt = pa.concat_tables(
+            [b.select([right_on] + rcols) for b in blocks]
+        ).combine_chunks()
+    else:
+        rt = rschema.empty_table().select([right_on] + rcols)
+    cols = {on: rt.column(right_on).cast(pa.int64())}
+    for c in rcols:
+        cols[rename[c]] = rt.column(c)
+    rt = pa.table(cols)
+    rref = ray.put(rt)
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        r = ray.get(rref)
+        lt = pa.table(
+            {on: b.column(on).cast(pa.int64()),
+             **{c: b.column(c) for c in lcols if c != on}}
+        )
+        j = pl.from_arrow(lt).join(
+            pl.from_arrow(r), on=on, how=how, maintain_order="left"
+        )
+        t = j.to_arrow()
+        return pa.table(
+            {f.name: (t.column(f.name).cast(f.type)
+                      if t.column(f.name).type != f.type else t.column(f.name))
+             for f in out_schema}
+        )
+
+    return left.map_batches(
+        join_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def auto_join(
+    left,
+    right,
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    lschema=None,
+    rschema=None,
+    shards: int | str = "auto",
+    broadcast_threshold_rows: int = 1_000_000,
+    explain: bool = False,
+):
+    """Join with the physical plan chosen from Parquet-footer row
+    estimates (the planner decision every SQL engine makes): a right
+    side estimated under ``broadcast_threshold_rows`` broadcasts —
+    zero-shuffle, left streams — otherwise both sides take the sharded
+    :func:`hash_join`.  An unknown estimate (non-file-backed side)
+    conservatively hash-joins.  ``explain=True`` returns
+    ``(dataset, "broadcast" | "hash")`` for plan assertions."""
+    from .partitioning import estimate_rows
+
+    est = estimate_rows(right)
+    if est is not None and est <= broadcast_threshold_rows:
+        ds = broadcast_join(
+            left, right, on, right_on=right_on, how=how, suffix=suffix,
+            lschema=lschema, rschema=rschema,
+        )
+        plan = "broadcast"
+    else:
+        ds = hash_join(
+            left, right, on, right_on=right_on, how=how, suffix=suffix,
+            shards=shards, lschema=lschema, rschema=rschema,
+        )
+        plan = "hash"
+    return (ds, plan) if explain else ds

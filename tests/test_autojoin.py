@@ -1,0 +1,99 @@
+"""auto_join / broadcast_join (ray_glue/joins.py): plan selection from
+footer estimates, and semantic parity of both physical plans with
+DuckDB (dup keys, null keys, suffixing, left join)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+LT = pa.table(
+    {"k": pa.array([1, 2, 2, 3, None, 9], type=pa.int64()),
+     "a": pa.array(["p", "q", "r", "s", "t", "u"]),
+     "n": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64())}
+)
+RT = pa.table(
+    {"k": pa.array([2, 2, 3, None, 7], type=pa.int64()),
+     "a": pa.array(["x1", "x2", "x3", "x4", "x5"]),
+     "w": pa.array([10, 20, 30, 40, 50], type=pa.int64())}
+)
+
+
+def _want(how: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("lt", LT)
+    con.register("rt", RT)
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    return (
+        con.sql(
+            f"""SELECT lt.k, lt.a, lt.n, rt.a AS a_r, rt.w
+                FROM lt {join} rt ON lt.k = rt.k"""
+        )
+        .df()
+        .sort_values(["n", "a_r"], na_position="last")
+        .reset_index(drop=True)
+    )
+
+
+def _got(ds) -> pd.DataFrame:
+    return (
+        ds.to_pandas()[["k", "a", "n", "a_r", "w"]]
+        .sort_values(["n", "a_r"], na_position="last")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_broadcast_join_matches_duckdb(ray_session, how):
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import broadcast_join, hash_join
+
+    l = rd.from_arrow(LT).repartition(3)
+    r = rd.from_arrow(RT)
+    b = _got(broadcast_join(l, r, on="k", how=how,
+                            lschema=LT.schema, rschema=RT.schema))
+    h = _got(hash_join(l, r, on="k", how=how, shards=4,
+                       lschema=LT.schema, rschema=RT.schema))
+    w = _want(how)
+    for got, label in ((b, "broadcast"), (h, "hash")):
+        assert len(got) == len(w), (label, len(got), len(w))
+        pd.testing.assert_frame_equal(got, w, check_dtype=False)
+
+
+def test_auto_join_plan_selection(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import auto_join
+
+    pq.write_table(RT, str(tmp_path / "right.parquet"))
+    l = rd.from_arrow(LT)
+    r_file = rd.read_parquet(str(tmp_path / "right.parquet"))
+
+    # file-backed small right side → broadcast
+    _, plan = auto_join(l, r_file, on="k", explain=True,
+                        lschema=LT.schema, rschema=RT.schema)
+    assert plan == "broadcast"
+    # threshold below the estimate → sharded hash join
+    _, plan = auto_join(l, r_file, on="k", explain=True, shards=4,
+                        broadcast_threshold_rows=2,
+                        lschema=LT.schema, rschema=RT.schema)
+    assert plan == "hash"
+    # unknown estimate (in-memory mapped side) → conservative hash
+    r_mapped = rd.from_arrow(RT).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    _, plan = auto_join(l, r_mapped, on="k", explain=True, shards=4,
+                        lschema=LT.schema, rschema=RT.schema)
+    assert plan == "hash"
+    # both plans produce identical rows
+    b = _got(auto_join(l, r_file, on="k",
+                       lschema=LT.schema, rschema=RT.schema))
+    h = _got(auto_join(l, r_file, on="k", shards=4,
+                       broadcast_threshold_rows=2,
+                       lschema=LT.schema, rschema=RT.schema))
+    pd.testing.assert_frame_equal(b, h, check_dtype=False)
