@@ -5888,6 +5888,22 @@ def _q_segment_revenue_share(sf_dir: str):
     )
 
 
+def _q_lm_perplexity_bigram(sf_dir: str):
+    """Interpolated BIGRAM LM perplexity ⊕oracle — the CCNet gate one
+    order up: ``P(w|prev) = 0.75·c₂/ctx + 0.25·P_add-one-unigram``,
+    document-initial tokens pure unigram, unknown bigrams back off.
+    Three streaming passes (unigram counts, within-doc pair counts,
+    broadcast-model scoring), two combiner shuffles; every per-position
+    log-prob frozen to int64 micro-units at train time so per-doc sums
+    are order-independent and the SQL mirror hash-matches exactly
+    (`hksketch.text.lm.train_bigram_lm`)."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.lm import lm_perplexity_bigram
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return lm_perplexity_bigram(ds).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -6032,6 +6048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": _q_knn_ivfpq,
         "supplier_rank_in_nation": _q_supplier_rank_in_nation,
         "segment_revenue_share": _q_segment_revenue_share,
+        "lm_perplexity_bigram": _q_lm_perplexity_bigram,
     }
 
 
@@ -7557,5 +7574,64 @@ SELECT c_mktsegment, revenue_cents,
        CAST(floor(1000000.0 * revenue_cents / SUM(revenue_cents) OVER ()
                   + 0.5) AS BIGINT) AS share_tenthousandths
 FROM seg ORDER BY c_mktsegment
+""",
+        "lm_perplexity_bigram": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+),
+tok2 AS (
+  SELECT doc_id,
+         unnest(toks) AS w,
+         unnest(list_transform(generate_series(1, len(toks)),
+                               i -> CASE WHEN i > 1 THEN toks[i-1] END))
+           AS prev
+  FROM tl
+),
+ltot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t,
+         CAST(count(DISTINCT w) AS DOUBLE) AS v
+  FROM tok2
+),
+lcounts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok2 GROUP BY w),
+lvocab AS (SELECT w, c FROM lcounts ORDER BY c DESC, w ASC LIMIT 65536),
+bi AS (
+  SELECT prev, w, CAST(count(*) AS BIGINT) AS c2
+  FROM tok2 WHERE prev IS NOT NULL GROUP BY prev, w
+),
+ctx AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS cx FROM bi GROUP BY prev),
+bicap AS (
+  SELECT prev, w, c2 FROM bi
+  ORDER BY c2 DESC, prev || ' ' || w ASC LIMIT 262144
+),
+lp AS (
+  SELECT t2.doc_id,
+    CAST(floor(
+      CASE
+        WHEN t2.prev IS NULL THEN
+          ln((CAST(coalesce(u.c, 0) AS DOUBLE) + 1.0) / (t + v + 1.0))
+        WHEN b.c2 IS NOT NULL THEN
+          ln(0.75e0 * (CAST(b.c2 AS DOUBLE) / CAST(x.cx AS DOUBLE))
+             + 0.25e0 * ((CAST(coalesce(u.c, 0) AS DOUBLE) + 1.0)
+                         / (t + v + 1.0)))
+        ELSE
+          ln(0.25e0 * ((CAST(coalesce(u.c, 0) AS DOUBLE) + 1.0)
+                       / (t + v + 1.0)))
+      END * 1e6 + 0.5) AS BIGINT) AS lp
+  FROM tok2 t2
+  CROSS JOIN ltot
+  LEFT JOIN lvocab u ON u.w = t2.w
+  LEFT JOIN bicap b ON b.prev = t2.prev AND b.w = t2.w
+  LEFT JOIN ctx x ON x.prev = t2.prev
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(-SUM(lp) AS BIGINT) AS nll_micro,
+       floor(exp((-CAST(SUM(lp) AS DOUBLE) / 1e6) / CAST(count(*) AS DOUBLE))
+             * 1000.0 + 0.5) / 1000.0 AS ppl_milli
+FROM lp GROUP BY doc_id ORDER BY doc_id
 """,
     }

@@ -134,6 +134,7 @@ def train_unigram_lm(
     if vocab == 0:
         return {"hashes": np.empty(0, dtype=np.uint64),
                 "logp": np.empty(0, dtype=np.int64),
+                "counts": np.empty(0, dtype=np.int64),
                 "oov": int(_logp_micro(np.zeros(1, dtype=np.int64), 0, 0)[0]),
                 "total": 0, "vocab": 0, "seed": seed}
     total = int(counts.sum("c"))
@@ -149,6 +150,7 @@ def train_unigram_lm(
     h = hash_array(toks, seed)
     order = np.argsort(h, kind="stable")
     return {"hashes": h[order], "logp": lp[order],
+            "counts": c[order],
             "oov": int(_logp_micro(np.zeros(1, dtype=np.int64), total, vocab)[0]),
             "total": total, "vocab": vocab, "seed": seed}
 
@@ -229,5 +231,290 @@ def lm_perplexity(
     ref = ray.put(model)
     return ds.map_batches(
         LMScore, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(ref, text_col, id_col), concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM (the CCNet gate one order up)
+# ---------------------------------------------------------------------------
+
+_LAMBDA = 0.75  # exactly representable in binary → (1 − λ) = 0.25 exact
+
+
+def _pair_counts(ds, text_col: str, batch_size: int):
+    """Distributed within-doc consecutive-bigram counts: per-batch polars
+    group_by on the joined pair string (one row per distinct pair per
+    batch) → groupby(pair).sum — shuffle ∝ distinct pairs per batch."""
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], type=pa.large_string()),
+                          "c2": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        toks = tokenize_column(batch.column(text_col), with_doc_index=True)
+        if toks.num_rows < 2:
+            return empty
+        import polars as pl
+
+        t = pl.from_arrow(toks)
+        d = t.with_columns(
+            pl.col("token").shift(1).alias("prev"),
+            pl.col("doc_idx").shift(1).alias("prev_doc"),
+        ).filter(pl.col("doc_idx") == pl.col("prev_doc"))
+        if d.height == 0:
+            return empty
+        g = (
+            d.with_columns(
+                (pl.col("prev") + pl.lit(" ") + pl.col("token")).alias("pair")
+            )
+            .group_by("pair")
+            .agg(pl.len().cast(pl.Int64).alias("c2"))
+        ).to_arrow()
+        return pa.table({"pair": g.column("pair").cast(pa.large_string()),
+                         "c2": g.column("c2").cast(pa.int64())})
+
+    pre = ds.map_batches(
+        pairs, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return pre.groupby("pair").aggregate(Sum("c2", alias_name="c2")).materialize()
+
+
+def train_bigram_lm(
+    ds,
+    text_col: str = "text",
+    vocab_cap: int = 1 << 16,
+    bigram_cap: int = 1 << 18,
+    seed: int = 0,
+    batch_size: int = 8192,
+):
+    """Interpolated bigram LM: ``P(w|prev) = λ·c₂(prev,w)/ctx(prev)
+    + (1−λ)·P_add-one-unigram(w)`` with λ = 0.75 (binary-exact, so both
+    engines share the literal).  Every per-position log-prob is frozen to
+    int64 micro-units at TRAIN time, so scoring stays order-independent
+    integer sums:
+
+    - per capped bigram: ``lp_bi = floor(ln(λ·c₂/cx + (1−λ)·p_uni)·1e6
+      + 0.5)`` (p_uni from the CAPPED unigram model, c = 0 below cap);
+    - per token: ``lp_first`` (document-initial: pure unigram) and
+      ``lp_backoff`` (unknown bigram: ``ln((1−λ)·p_uni)``), plus the two
+      OOV scalars.
+
+    The bigram table is capped deterministically (c₂ desc, pair asc);
+    context totals ``ctx(prev)`` come from the UNCAPPED distributed pair
+    table (a proper conditional).  All model arrays are cap-bounded —
+    driver/broadcast safe; the counts tables stay distributed."""
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_array
+    from ..pipelines.ops import collect_blocks
+
+    uni = train_unigram_lm(ds, text_col, vocab_cap=vocab_cap, seed=seed,
+                           batch_size=batch_size)
+    total, vocab = uni["total"], uni["vocab"]
+    denom = float(total) + float(vocab) + 1.0 if vocab else 1.0
+    lp_first = uni["logp"]
+    # backoff per known token: ln((1−λ) · (c+1)/denom)
+    if vocab:
+        pb = (1.0 - _LAMBDA) * (
+            (uni["counts"].astype(np.float64) + 1.0) / denom
+        )
+        lp_backoff = np.floor(np.log(pb) * 1e6 + 0.5).astype(np.int64)
+        oov_backoff = int(np.floor(
+            np.log((1.0 - _LAMBDA) * (1.0 / denom)) * 1e6 + 0.5
+        ))
+    else:
+        lp_backoff = np.empty(0, dtype=np.int64)
+        oov_backoff = 0
+    model = {
+        "uni_hashes": uni["hashes"], "lp_first": lp_first,
+        "lp_backoff": lp_backoff, "oov_first": uni["oov"],
+        "oov_backoff": oov_backoff,
+        "bi_hashes": np.empty(0, dtype=np.uint64),
+        "bi_lp": np.empty(0, dtype=np.int64),
+        "total": total, "vocab": vocab, "seed": seed, "lam": _LAMBDA,
+    }
+    if vocab == 0:
+        return model
+
+    bi = _pair_counts(ds, text_col, batch_size)
+    if bi.count() == 0:
+        return model
+    # ctx(prev) = Σ c₂ over the UNCAPPED pair table — distributed groupby
+    from ray.data.aggregate import Sum
+
+    def prev_of(b: pa.Table) -> pa.Table:
+        pair = b.column("pair").cast(pa.string())
+        prev = pc.replace_substring_regex(pair, " .*$", "")
+        return pa.table({"prev": prev, "c2": b.column("c2")})
+
+    ctx = (
+        bi.map_batches(prev_of, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("prev")
+        .aggregate(Sum("c2", alias_name="cx"))
+    )
+    top = bi.sort(["c2", "pair"], descending=[True, False]).limit(bigram_cap)
+    tt = pa.concat_tables(
+        collect_blocks(top)
+        or [pa.table({"pair": pa.array([], type=pa.large_string()),
+                      "c2": pa.array([], type=pa.int64())})]
+    ).combine_chunks()
+    if tt.num_rows == 0:
+        return model
+    pairs = tt.column("pair").cast(pa.string())
+    c2 = tt.column("c2").to_numpy().astype(np.int64)
+    prevs = pc.replace_substring_regex(pairs, " .*$", "")
+    ws = pc.replace_substring_regex(pairs, "^.* ", "")
+    # bounded ctx lookup: only the capped bigrams' prevs (≤ bigram_cap)
+    prev_set = pc.unique(prevs)
+    ctx_rows = pa.concat_tables(
+        collect_blocks(
+            ctx.map_batches(
+                lambda b, _ps=prev_set: b.filter(
+                    pc.is_in(b.column("prev"), value_set=_ps)
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+        or [pa.table({"prev": pa.array([], type=pa.string()),
+                      "cx": pa.array([], type=pa.int64())})]
+    ).combine_chunks()
+    ctx_h = hash_array(ctx_rows.column("prev"), seed)
+    ctx_order = np.argsort(ctx_h, kind="stable")
+    ctx_h, ctx_v = ctx_h[ctx_order], (
+        ctx_rows.column("cx").to_numpy().astype(np.int64)[ctx_order]
+    )
+    ph = hash_array(prevs, seed)
+    pos = np.searchsorted(ctx_h, ph)
+    pos_c = np.minimum(pos, max(len(ctx_h) - 1, 0))
+    cx = np.where(
+        (len(ctx_h) > 0) & (ctx_h[pos_c] == ph), ctx_v[pos_c], 1
+    ).astype(np.int64)  # every capped bigram's prev IS in ctx by construction
+    # unigram count of w under the CAP (0 when w fell below the cap)
+    wh = hash_array(ws, seed)
+    uh = uni["hashes"]
+    wpos = np.searchsorted(uh, wh)
+    wpos_c = np.minimum(wpos, max(len(uh) - 1, 0))
+    whit = (len(uh) > 0) & (uh[wpos_c] == wh)
+    cw = np.where(whit, uni["counts"][np.minimum(wpos_c, len(uh) - 1)], 0)
+    p = _LAMBDA * (c2.astype(np.float64) / cx.astype(np.float64)) + (
+        1.0 - _LAMBDA
+    ) * ((cw.astype(np.float64) + 1.0) / denom)
+    bi_lp = np.floor(np.log(p) * 1e6 + 0.5).astype(np.int64)
+    bh = hash_array(pairs, seed)
+    order = np.argsort(bh, kind="stable")
+    model["bi_hashes"] = bh[order]
+    model["bi_lp"] = bi_lp[order]
+    return model
+
+
+class BigramLMScore:
+    """Actor-pool scoring stage for the interpolated bigram model: one
+    tokenize per batch, token + pair hashes, three searchsorted lookups
+    (bigram, first-token unigram, backoff), int64 segment sums — no
+    Python loop over rows."""
+
+    def __init__(self, model_or_ref: Any, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        model = (
+            ray.get(model_or_ref)
+            if isinstance(model_or_ref, ray.ObjectRef)
+            else model_or_ref
+        )
+        self.m = model
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..hashing import hash_array
+
+        if batch.num_rows == 0:
+            return _SCORE_SCHEMA.empty_table()
+        m = self.m
+        toks = tokenize_column(batch.column(self.text_col),
+                               with_doc_index=True)
+        didx = toks.column("doc_idx").to_numpy()
+        n = batch.num_rows
+        tcol = toks.column("token")
+        th = hash_array(tcol, m["seed"])
+        k = len(th)
+        lp = np.empty(k, dtype=np.int64)
+        if k:
+            # unigram lookups (first-token and backoff variants)
+            uh, lp_first, lp_back = (
+                m["uni_hashes"], m["lp_first"], m["lp_backoff"])
+            if len(uh):
+                upos = np.minimum(np.searchsorted(uh, th), len(uh) - 1)
+                uhit = uh[upos] == th
+                first_lp = np.where(uhit, lp_first[upos],
+                                    np.int64(m["oov_first"]))
+                back_lp = np.where(uhit, lp_back[upos],
+                                   np.int64(m["oov_backoff"]))
+            else:
+                first_lp = np.full(k, m["oov_first"], dtype=np.int64)
+                back_lp = np.full(k, m["oov_backoff"], dtype=np.int64)
+            # pair hashes for positions whose predecessor is in-doc
+            same = np.zeros(k, dtype=bool)
+            same[1:] = didx[1:] == didx[:-1]
+            prev = tcol.slice(0, k - 1).cast(pa.string())
+            cur = tcol.slice(1).cast(pa.string())
+            joined = pc.binary_join_element_wise(prev, cur, " ")
+            bh_tail = hash_array(joined, m["seed"])
+            lp[:] = first_lp  # default: doc-initial unigram
+            if len(m["bi_hashes"]):
+                bpos = np.minimum(
+                    np.searchsorted(m["bi_hashes"], bh_tail),
+                    len(m["bi_hashes"]) - 1,
+                )
+                bhit = m["bi_hashes"][bpos] == bh_tail
+            else:
+                bhit = np.zeros(k - 1 if k else 0, dtype=bool)
+                bpos = np.zeros(k - 1 if k else 0, dtype=np.int64)
+            tail_idx = np.arange(1, k)
+            use_bi = same[1:] & bhit
+            use_back = same[1:] & ~bhit
+            if len(m["bi_hashes"]):
+                lp[tail_idx[use_bi]] = m["bi_lp"][bpos[use_bi]]
+            lp[tail_idx[use_back]] = back_lp[1:][use_back]
+        starts = np.searchsorted(didx, np.arange(n), side="left")
+        ends = np.append(starts[1:], k).astype(np.int64)
+        keep = ends > starts
+        if not keep.any():
+            return _SCORE_SCHEMA.empty_table()
+        s = np.add.reduceat(lp, starts[keep])
+        nt = (ends - starts)[keep]
+        ppl = np.exp((-s.astype(np.float64) / 1e6) / nt.astype(np.float64))
+        ppl_milli = np.floor(ppl * 1000.0 + 0.5) / 1000.0
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "n_tokens": pa.array(nt),
+                         "nll_micro": pa.array(-s),
+                         "ppl_milli": pa.array(ppl_milli)})
+
+
+def lm_perplexity_bigram(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_cap: int = 1 << 16,
+    bigram_cap: int = 1 << 18,
+    seed: int = 0,
+    model: Optional[dict] = None,
+    concurrency: "int | tuple" = (1, 8),
+):
+    """Train the interpolated bigram LM (unless ``model`` given) and score
+    every document — three streaming passes over the text (unigram
+    counts, bigram counts, scoring), two combiner shuffles, one
+    broadcast."""
+    if model is None:
+        model = train_bigram_lm(ds, text_col, vocab_cap=vocab_cap,
+                                bigram_cap=bigram_cap, seed=seed)
+    ref = ray.put(model)
+    return ds.map_batches(
+        BigramLMScore, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_args=(ref, text_col, id_col), concurrency=concurrency,
     )
