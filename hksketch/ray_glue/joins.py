@@ -310,3 +310,123 @@ def auto_join(
         )
         plan = "hash"
     return (ds, plan) if explain else ds
+
+
+def skew_join(
+    left,
+    right,
+    on: str,
+    right_on: Optional[str] = None,
+    shards: int | str = "auto",
+    suffix: str = "_r",
+    lschema=None,
+    rschema=None,
+    hot_k: int = 64,
+    hot_min_share_ppm: int = 10_000,
+    max_hot_right_rows: int = 1_000_000,
+    sketch_seed: int = 12345,
+    explain: bool = False,
+):
+    """Skew-aware INNER equi-join — Spark-AQE-style hot-key handling with
+    the library's own flagship sketch as the detector:
+
+    1. ONE HeavyKeeper pass over the left key column (``global_sketch``:
+       per-batch partials, tree merge, no shuffle) estimates the top
+       ``hot_k`` keys; keys whose estimated count ≥ ``hot_min_share_ppm``
+       parts-per-million of the left rows are declared HOT.
+    2. The hot keys' RIGHT rows are collected and broadcast (validated
+       ≤ ``max_hot_right_rows`` — raise, never thrash); the hot matches
+       come from a zero-shuffle :func:`broadcast_join` of the full left
+       against that slice.
+    3. Cold keys take the ordinary sharded :func:`hash_join` against the
+       right REMAINDER — the all-to-all never sees a hot key, so no
+       reducer inherits the mega-group.
+
+    The two plans partition the right side exactly (every right row goes
+    to one plan), so ``union`` of their outputs is the exact inner join.
+    Cost note: the left side streams twice (once per plan); that is the
+    standard trade against a reducer holding share·|left| rows of one
+    key.  Inner only — a LEFT join would emit unmatched left rows from
+    both plans.  ``explain=True`` returns ``(dataset, hot_keys list)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..sketch import sketch_from_bytes
+    from .aggregate import sketch_config
+    from .partitioning import estimate_rows
+    from .stages import global_sketch
+
+    right_on = right_on or on
+    if lschema is None:
+        lschema = left.schema()
+    if rschema is None:
+        rschema = right.schema()
+
+    def key_only(b: pa.Table) -> pa.Table:
+        key = b.column(on)
+        # null keys never match in an inner join — they can't be hot
+        return pa.table(
+            {on: key.filter(pa.compute.is_valid(key)).cast(pa.int64())}
+        )
+
+    keys_ds = left.map_batches(
+        key_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    total = estimate_rows(left)
+    if total is None:
+        total = keys_ds.count()
+    cfg = sketch_config(
+        "bucketed", k=int(hot_k), width=1 << 13, depth=4, decay=0.9,
+        seed=sketch_seed,
+    )
+    blob = global_sketch(keys_ds, cfg, key_col=on)
+    sk = sketch_from_bytes(blob)
+    threshold = max(1, (int(total) * int(hot_min_share_ppm)) // 1_000_000)
+    hot = sorted(
+        int(item) for item, est in sk.list()[: int(hot_k)]
+        if est >= threshold
+    )
+    hot_set = pa.array(hot, type=pa.int64())
+
+    if not hot:
+        ds = hash_join(
+            left, right, on, right_on=right_on, how="inner", suffix=suffix,
+            shards=shards, lschema=lschema, rschema=rschema,
+        )
+        return (ds, hot) if explain else ds
+
+    right_hot = right.map_batches(
+        lambda b: b.filter(
+            pc.is_in(pc.cast(b.column(right_on), pa.int64()),
+                     value_set=hot_set)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_hot_right = right_hot.count()
+    if n_hot_right > max_hot_right_rows:
+        raise ValueError(
+            f"skew_join: {n_hot_right} right rows match the {len(hot)} hot "
+            f"keys > max_hot_right_rows={max_hot_right_rows}; the hot side "
+            f"does not fit a broadcast — salt the composite key instead "
+            f"(both sides heavy on the same key = an exploding join by "
+            f"construction)"
+        )
+    right_cold = right.map_batches(
+        lambda b: b.filter(
+            pc.invert(
+                pc.is_in(pc.cast(b.column(right_on), pa.int64()),
+                         value_set=hot_set)
+            )
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    hot_out = broadcast_join(
+        left, right_hot, on, right_on=right_on, how="inner", suffix=suffix,
+        lschema=lschema, rschema=rschema,
+    )
+    cold_out = hash_join(
+        left, right_cold, on, right_on=right_on, how="inner", suffix=suffix,
+        shards=shards, lschema=lschema, rschema=rschema,
+    )
+    ds = cold_out.union(hot_out)
+    return (ds, hot) if explain else ds

@@ -97,3 +97,95 @@ def test_auto_join_plan_selection(ray_session, tmp_path):
                        broadcast_threshold_rows=2,
                        lschema=LT.schema, rschema=RT.schema))
     pd.testing.assert_frame_equal(b, h, check_dtype=False)
+
+
+def test_skew_join_matches_hash_join_on_skewed_data(ray_session):
+    """One key owns half the left side: skew_join must detect it, route
+    it through the broadcast plan, and produce exactly the plain
+    hash_join rows."""
+    import numpy as np
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(2)
+    hot_key = 7
+    keys = np.concatenate(
+        [np.full(500, hot_key), rng.integers(100, 200, 500)]
+    )
+    rng.shuffle(keys)
+    lt = pa.table(
+        {"k": pa.array(keys, type=pa.int64()),
+         "n": pa.array(np.arange(len(keys)), type=pa.int64())}
+    )
+    rt = pa.table(
+        {"k": pa.array(list(range(100, 160)) + [hot_key, hot_key],
+                       type=pa.int64()),
+         "w": pa.array(range(62), type=pa.int64())}
+    )
+    l = rd.from_arrow(lt).repartition(4)
+    r = rd.from_arrow(rt)
+    got, hot = skew_join(
+        l, r, on="k", shards=4, hot_min_share_ppm=100_000,
+        lschema=lt.schema, rschema=rt.schema, explain=True,
+    )
+    assert hot == [hot_key]  # the detector found exactly the hot key
+    want = hash_join(l, r, on="k", shards=4,
+                     lschema=lt.schema, rschema=rt.schema)
+    g = got.to_pandas().sort_values(["n", "w"]).reset_index(drop=True)
+    w = want.to_pandas().sort_values(["n", "w"]).reset_index(drop=True)
+    assert len(g) == len(w) == 500 * 2 + sum(
+        1 for k in keys if 100 <= k < 160
+    )
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_skew_join_no_hot_keys_falls_through(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(3)
+    keys = rng.permutation(1000)  # all keys unique → nothing hot
+    lt = pa.table(
+        {"k": pa.array(keys, type=pa.int64()),
+         "n": pa.array(np.arange(1000), type=pa.int64())}
+    )
+    rt = pa.table(
+        {"k": pa.array(range(0, 1000, 7), type=pa.int64()),
+         "w": pa.array(range(0, 1000, 7), type=pa.int64())}
+    )
+    l, r = rd.from_arrow(lt), rd.from_arrow(rt)
+    got, hot = skew_join(
+        l, r, on="k", shards=4, hot_min_share_ppm=100_000,
+        lschema=lt.schema, rschema=rt.schema, explain=True,
+    )
+    assert hot == []
+    want = hash_join(l, r, on="k", shards=4,
+                     lschema=lt.schema, rschema=rt.schema)
+    g = got.to_pandas().sort_values("n").reset_index(drop=True)
+    w = want.to_pandas().sort_values("n").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_skew_join_right_hot_bound_raises(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import skew_join
+
+    lt = pa.table(
+        {"k": pa.array(np.full(100, 1), type=pa.int64()),
+         "n": pa.array(np.arange(100), type=pa.int64())}
+    )
+    rt = pa.table(
+        {"k": pa.array(np.full(50, 1), type=pa.int64()),
+         "w": pa.array(np.arange(50), type=pa.int64())}
+    )
+    with pytest.raises(ValueError, match="does not fit a broadcast"):
+        skew_join(
+            rd.from_arrow(lt), rd.from_arrow(rt), on="k", shards=4,
+            hot_min_share_ppm=100_000, max_hot_right_rows=10,
+            lschema=lt.schema, rschema=rt.schema,
+        )
