@@ -5429,20 +5429,17 @@ def _q_supplier_pagerank(sf_dir: str):
         both_dirs, batch_format="pyarrow", zero_copy_batch=True
     )
     ranks = pagerank(edges, damping_permille=850, iters=4)
-    if isinstance(ranks, pa.Table):  # empty-graph base case
-        top = ranks
-    else:
-        blocks = collect_blocks(
-            ranks.sort(["rank_micro", "node"], descending=[True, False]).limit(20)
-        )
-        empty = pa.table(
-            {"node": pa.array([], type=pa.int64()),
-             "rank_micro": pa.array([], type=pa.int64())}
-        )
-        top = pa.concat_tables(
-            [b.select(["node", "rank_micro"]).cast(empty.schema)
-             for b in blocks] or [empty]
-        ).combine_chunks()
+    blocks = collect_blocks(
+        ranks.sort(["rank_micro", "node"], descending=[True, False]).limit(20)
+    )
+    empty = pa.table(
+        {"node": pa.array([], type=pa.int64()),
+         "rank_micro": pa.array([], type=pa.int64())}
+    )
+    top = pa.concat_tables(
+        [b.select(["node", "rank_micro"]).cast(empty.schema)
+         for b in blocks] or [empty]
+    ).combine_chunks()
     node = top.column("node")
     kind = pc.if_else(
         pc.equal(pc.bit_wise_and(node, pa.scalar(1, type=pa.int64())),

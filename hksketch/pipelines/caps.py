@@ -149,8 +149,11 @@ def budget_per_group(
     row is ≥ the batch-local running weight over that batch's
     earlier-ranked rows (weights are validated non-negative), so any row
     over budget locally is over budget globally.  The exchange therefore
-    carries at most ceil(budget / min positive weight) rows per (batch,
-    group) however hot the group.  SQL parity:
+    carries at most ceil(budget / min POSITIVE weight) positive-weight
+    rows per (batch, group), PLUS every zero-weight row ranked before the
+    budget exhausts — zero-weight rows ride free by definition, so a
+    group flooded with them (e.g. millions of empty docs) is only
+    bounded by the caller pre-filtering empties.  SQL parity:
     ``SUM(w) OVER (PARTITION BY g ORDER BY rank, id
     ROWS UNBOUNDED PRECEDING) <= budget``.
     """

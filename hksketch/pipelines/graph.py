@@ -91,9 +91,13 @@ def pagerank(
     nodes = deg.materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return pa.table(
-            {"node": pa.array([], type=pa.int64()),
-             "rank_micro": pa.array([], type=pa.int64())}
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], type=pa.int64()),
+                 "rank_micro": pa.array([], type=pa.int64())}
+            )
         )
     init = SCALE // n_nodes
     base = ((1000 - damping_permille) * SCALE // 1000) // n_nodes
@@ -159,6 +163,20 @@ def pagerank(
     # 2s → 9s by iter 6 before this)
     rank_blocks = max(1, ranks.num_blocks())
 
+    # zero-inflow row per node, union'd into every iteration's fold: a node
+    # with out-edges but no inflow this round (possible on asymmetric
+    # graphs that still satisfy the out-edge contract) must keep a rank row
+    # — the inner join of the NEXT iteration would otherwise drop its
+    # out-edges and the node would silently vanish (review finding)
+    zero_inflow = nodes.map_batches(
+        lambda b: pa.table(
+            {"dst": b.column("src").cast(pa.int64()),
+             "inflow": pa.array(
+                 np.zeros(b.num_rows, dtype=np.int64), type=pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
     for _it in range(start_iter, int(iters)):
         j = hash_join(
             edges_deg, ranks, on="src", right_on="node", shards=shards,
@@ -193,6 +211,7 @@ def pagerank(
 
         inflow = (
             j.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .union(zero_inflow)
             .groupby("dst")
             .aggregate(Sum("inflow", alias_name="inflow"))
         )
@@ -216,7 +235,11 @@ def pagerank(
         )
         if checkpoint_dir:
             it_dir = os.path.join(checkpoint_dir, f"iter={_it + 1}")
-            ranks.write_parquet(it_dir)
+            # overwrite mode clears any stale PARTIAL files from a crashed
+            # earlier attempt at this iteration — without it write_parquet
+            # appends uniquely-named files next to the stale ones and a
+            # later resume reads duplicated rank rows (review finding)
+            ranks.write_parquet(it_dir, mode="overwrite")
             # marker written AFTER the parquet lands: a crash mid-write
             # leaves no marker, so resume ignores the partial directory
             with open(os.path.join(checkpoint_dir, f"_done_{_it + 1}"), "w"):

@@ -35,6 +35,36 @@ from ..hashing import splitmix64
 U64 = np.uint64
 
 
+def _join_columns(lschema, rschema, on: str, right_on: str, suffix: str):
+    """The ONE copy of the join output-column derivation shared by
+    hash_join and broadcast_join (so skew_join's union of the two plans
+    can never drift schema-wise): returns (ltypes, rtypes, lcols, rcols,
+    rename, out_lcols, out_rcols, out_schema).  Key appears once, named
+    ``on`` (int64); right-side name clashes get ``suffix``."""
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    rcols = [n for n in rschema.names if n != right_on]
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
+    out_lcols = [c for c in lcols if c != on]
+    out_rcols = [rename[c] for c in rcols]
+    out_schema = pa.schema(
+        [(on, pa.int64())]
+        + [(c, ltypes[c]) for c in out_lcols]
+        + [(rename[c], rtypes[c]) for c in rcols]
+    )
+    return ltypes, rtypes, lcols, rcols, rename, out_lcols, out_rcols, out_schema
+
+
+def _require_schemas(name: str, lschema, rschema):
+    if lschema is None or rschema is None:
+        raise ValueError(
+            "%s: %s side has no schema (empty mapped dataset) — supply a "
+            "typed empty table or handle the empty case upstream"
+            % (name, "left" if lschema is None else "right")
+        )
+
+
 def hash_join(
     left,
     right,
@@ -70,24 +100,13 @@ def hash_join(
         lschema = left.schema()
     if rschema is None:
         rschema = right.schema()
-    if lschema is None or rschema is None:
-        # a fully-empty MAPPED dataset has no schema to join on; the caller
-        # must materialize a typed empty table (rd.from_arrow(empty_table))
-        # or skip the join for that base case
-        raise ValueError(
-            "hash_join: %s side has no schema (empty mapped dataset) — "
-            "supply a typed empty table or handle the empty case upstream"
-            % ("left" if lschema is None else "right")
-        )
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
-    lcols = [n for n in lschema.names]
-    rcols = [n for n in rschema.names if n != right_on]
-    rename = {
-        c: (c + suffix if c in lcols else c) for c in rcols
-    }
-    out_lcols = [c for c in lcols if c != on]
-    out_rcols = [rename[c] for c in rcols]
+    # a fully-empty MAPPED dataset has no schema to join on; the caller
+    # must materialize a typed empty table (rd.from_arrow(empty_table))
+    # or skip the join for that base case
+    _require_schemas("hash_join", lschema, rschema)
+    ltypes, rtypes, lcols, rcols, rename, out_lcols, out_rcols, _ = (
+        _join_columns(lschema, rschema, on, right_on, suffix)
+    )
 
     if shards == "auto":
         est = (estimate_rows(left) or 0) + (estimate_rows(right) or 0)
@@ -222,21 +241,10 @@ def broadcast_join(
         lschema = left.schema()
     if rschema is None:
         rschema = right.schema()
-    if lschema is None or rschema is None:
-        raise ValueError(
-            "broadcast_join: a side has no schema (empty mapped dataset) — "
-            "supply a typed empty table or handle the empty case upstream"
-        )
-    lcols = list(lschema.names)
-    rcols = [n for n in rschema.names if n != right_on]
-    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
-    out_fields = (
-        [(on, pa.int64())]
-        + [(c, t) for c, t in zip(lschema.names, lschema.types) if c != on]
-        + [(rename[c], dict(zip(rschema.names, rschema.types))[c])
-           for c in rcols]
+    _require_schemas("broadcast_join", lschema, rschema)
+    _, _, lcols, rcols, rename, _, _, out_schema = _join_columns(
+        lschema, rschema, on, right_on, suffix
     )
-    out_schema = pa.schema(out_fields)
 
     blocks = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows > 0]
     if blocks:

@@ -85,6 +85,12 @@ def build_ivfpq_index(
             self.books = ray.get(bref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.schema(
+                    [(id_col, pa.int64()),
+                     ("code", pa.list_(pa.uint8())),
+                     ("cluster", pa.int32())]
+                ).empty_table()
             mm = _normalize(_emb_matrix(b.column(emb_col)))
             assign = np.argmax(mm @ self.C.T, axis=1).astype(np.int32)
             codes = _encode_matrix(mm, self.books)

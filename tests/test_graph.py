@@ -150,3 +150,59 @@ def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
     with pytest.raises(ValueError, match="refusing to resume"):
         pagerank(_edges_ds(src, dst), iters=5, shards=4,
                  damping_permille=500, checkpoint_dir=ck)
+
+
+def test_pagerank_asymmetric_graph_keeps_no_inflow_nodes(ray_session):
+    """Every node has an out-edge but node 3 receives no inflow: it must
+    keep its base-rank row (not vanish), bit-equal to the local
+    recompute (review finding)."""
+    from hksketch.pipelines.graph import pagerank, pagerank_local
+
+    src = [3, 1, 2]
+    dst = [1, 2, 1]
+    got = (
+        pagerank(_edges_ds(src, dst), iters=4, shards=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    nodes, rank = pagerank_local(np.array(src), np.array(dst), iters=4)
+    assert got["node"].tolist() == nodes.tolist() == [1, 2, 3]
+    assert got["rank_micro"].tolist() == rank.tolist()
+
+
+def test_pagerank_checkpoint_overwrites_stale_partial_files(
+    ray_session, tmp_path
+):
+    """A crashed attempt leaves PARQUET FILES (not just a dir) in
+    iter=K without a marker: the rerun must overwrite them, not append
+    (review finding — duplicated rank rows corrupt every later join)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from hksketch.pipelines.graph import pagerank
+
+    src = [0, 1, 1, 2, 2, 0]
+    dst = [1, 0, 2, 1, 0, 2]
+    ck = str(tmp_path / "ck")
+    direct = (
+        pagerank(_edges_ds(src, dst), iters=3, shards=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    # first attempt completes iteration 1 only
+    pagerank(_edges_ds(src, dst), iters=1, shards=4, checkpoint_dir=ck)
+    # simulate a crash mid-write of iteration 2: stale partial parquet
+    it2 = os.path.join(ck, "iter=2")
+    os.makedirs(it2, exist_ok=True)
+    stale = pa.table(
+        {"node": pa.array([0, 0, 1], type=pa.int64()),
+         "rank_micro": pa.array([1, 1, 1], type=pa.int64())}
+    )
+    pq_.write_table(stale, os.path.join(it2, "stale-partial.parquet"))
+    resumed = (
+        pagerank(_edges_ds(src, dst), iters=3, shards=4, checkpoint_dir=ck)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert resumed.equals(direct)
+    # iter=2 now holds exactly 3 unique node rows (no stale duplicates)
+    t = pq_.read_table(it2)
+    assert t.num_rows == 3 and len(set(t.column("node").to_pylist())) == 3
