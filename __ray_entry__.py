@@ -5901,6 +5901,49 @@ def _q_lm_perplexity_bigram(sf_dir: str):
     return lm_perplexity_bigram(ds).sort("doc_id")
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Per-document zlib compression ratio — the cheap redundancy/quality
+    signal web-corpus pipelines use alongside Gopher's repetition
+    fractions (highly repetitive or templated text compresses far below
+    natural prose).  Embarrassingly parallel map pass; the per-doc work
+    is one C zlib call (no SQL oracle — DEFLATE isn't SQL-expressible;
+    determinism and known-value tests in `tests/test_textstats.py`).
+    ``ratio_milli = round(1000·compressed/raw)``, null for empty docs."""
+    import zlib
+
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id, raw_len, comp_len, ratio = [], [], [], []
+        for i, t in zip(ids, texts):
+            raw = (t or "").encode("utf-8", errors="replace")
+            out_id.append(i)
+            raw_len.append(len(raw))
+            if not raw:
+                comp_len.append(0)
+                ratio.append(None)
+                continue
+            c = len(zlib.compress(raw, level=6))
+            comp_len.append(c)
+            ratio.append(int((1000 * c + len(raw) // 2) // len(raw)))
+        return pa.table(
+            {"doc_id": pa.array(out_id, type=pa.int64()),
+             "raw_len": pa.array(raw_len, type=pa.int64()),
+             "compressed_len": pa.array(comp_len, type=pa.int64()),
+             "ratio_milli": pa.array(ratio, type=pa.int64())}
+        )
+
+    return ds.map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -6046,6 +6089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_rank_in_nation": _q_supplier_rank_in_nation,
         "segment_revenue_share": _q_segment_revenue_share,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
+        "compression_ratio": _q_compression_ratio,
     }
 
 

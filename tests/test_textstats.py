@@ -74,3 +74,31 @@ def test_zipf_slope_degenerate_single_term(ray_session, tmp_path):
     got = e.queries()["zipf_slope"](d).to_pandas()
     assert got["n_terms"].iloc[0] == 1
     assert pd.isna(got["slope_milli"].iloc[0])
+
+
+def test_compression_ratio_determinism_and_known_values(ray_session, tmp_path):
+    import zlib
+
+    import __ray_entry__ as e
+
+    rows = [
+        {"doc_id": 1, "text": "aaaa" * 500},       # highly compressible
+        {"doc_id": 2, "text": None},                # null → empty
+        {"doc_id": 3, "text": ""},                  # empty
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog"},
+    ]
+    d = _write_docs(tmp_path, rows)
+    a = e.queries()["compression_ratio"](d).to_pandas()
+    b = e.queries()["compression_ratio"](d).to_pandas()
+    assert a.equals(b)  # deterministic
+    by = {r.doc_id: r for r in a.itertuples()}
+    raw1 = ("aaaa" * 500).encode()
+    c1 = len(zlib.compress(raw1, level=6))
+    assert by[1].raw_len == len(raw1)
+    assert by[1].compressed_len == c1
+    assert by[1].ratio_milli == (1000 * c1 + len(raw1) // 2) // len(raw1)
+    assert by[1].ratio_milli < 100        # repetitive text compresses hard
+    assert by[4].ratio_milli > 500        # short natural text barely does
+    for empty_id in (2, 3):
+        assert by[empty_id].raw_len == 0
+        assert pd.isna(by[empty_id].ratio_milli)
