@@ -5944,6 +5944,107 @@ def _q_compression_ratio(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_events_above_user_avg(sf_dir: str):
+    """Decorrelated per-user-average filter through the SKEW-AWARE join
+    ⊕oracle: events whose value exceeds their user's own average, counted
+    per event type.  The fact→per-user-aggregate attach goes through
+    `skew_join` — a HeavyKeeper pass detects users above 1% of the stream
+    and routes their rows through the broadcast plan while cold users
+    take the sharded join; the comparison is integer cross-multiplication
+    (`value_milli · n > sum_milli`), bit-exact under any partitioning."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+    from hksketch.ray_glue.joins import skew_join
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def to_milli(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b.column("user_id"),
+             "event_type": b.column("event_type"),
+             "value_milli": pc.cast(
+                 pc.round(pc.multiply(b.column("value"), 1000.0),
+                          round_mode="half_towards_infinity"),
+                 pa.int64())}
+        )
+
+    rows = ds.map_batches(to_milli, batch_format="pyarrow", zero_copy_batch=True)
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("user_id", pa.int64()), ("n", pa.int64()),
+             ("sum_milli", pa.int64())]
+        )
+        if b.num_rows == 0:
+            return schema.empty_table()
+        g = (
+            pl.from_arrow(b.select(["user_id", "value_milli"]))
+            .group_by("user_id")
+            .agg(pl.len().cast(pl.Int64).alias("n"),
+                 pl.col("value_milli").sum().alias("sum_milli"))
+        ).to_arrow()
+        return g.select(["user_id", "n", "sum_milli"]).cast(schema)
+
+    from ray.data.aggregate import Sum
+
+    per_user = (
+        rows.map_batches(user_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_milli", alias_name="sum_milli"))
+    )
+    j = skew_join(
+        rows, per_user, on="user_id", shards="auto",
+        hot_min_share_ppm=10_000,
+        lschema=pa.schema(
+            [("user_id", pa.int64()), ("event_type", pa.string()),
+             ("value_milli", pa.int64())]
+        ),
+        rschema=pa.schema(
+            [("user_id", pa.int64()), ("n", pa.int64()),
+             ("sum_milli", pa.int64())]
+        ),
+    )
+
+    def above(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("event_type", pa.string()), ("n_above", pa.int64())]
+        )
+        if b.num_rows == 0:
+            return schema.empty_table()
+        keep = pc.greater(
+            pc.multiply(b.column("value_milli"), b.column("n")),
+            b.column("sum_milli"),
+        )
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return schema.empty_table()
+        g = (
+            pl.from_arrow(b.select(["event_type"]))
+            .group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n_above"))
+        ).to_arrow()
+        return g.select(["event_type", "n_above"]).cast(schema)
+
+    grouped = (
+        j.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n_above", alias_name="n_above"))
+    )
+    blocks = collect_blocks(grouped)
+    empty = pa.table(
+        {"event_type": pa.array([], type=pa.string()),
+         "n_above": pa.array([], type=pa.int64())}
+    )
+    t = pa.concat_tables(
+        [b.select(["event_type", "n_above"]).cast(empty.schema)
+         for b in blocks] or [empty]
+    ).combine_chunks()
+    return t.take(pc.sort_indices(t, sort_keys=[("event_type", "ascending")]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -6090,6 +6191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_share": _q_segment_revenue_share,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "compression_ratio": _q_compression_ratio,
+        "events_above_user_avg": _q_events_above_user_avg,
     }
 
 
@@ -7674,5 +7776,20 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        floor(exp((-CAST(SUM(lp) AS DOUBLE) / 1e6) / CAST(count(*) AS DOUBLE))
              * 1000.0 + 0.5) / 1000.0 AS ppl_milli
 FROM lp GROUP BY doc_id ORDER BY doc_id
+""",
+        "events_above_user_avg": """
+WITH m AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 1000) AS BIGINT) AS value_milli
+  FROM events
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(value_milli) AS BIGINT) AS sum_milli
+  FROM m GROUP BY user_id
+)
+SELECT m.event_type, CAST(count(*) AS BIGINT) AS n_above
+FROM m JOIN agg USING (user_id)
+WHERE m.value_milli * agg.n > agg.sum_milli
+GROUP BY m.event_type ORDER BY m.event_type
 """,
     }
