@@ -380,3 +380,56 @@ def test_bench_webpages_emits_per_doc_stats(ray_session, webpages_tiny, tmp_path
         [u == url0 for u in t.column("url").to_pylist()]
     )).column("fingerprint")[0].as_py()
     assert got == fp0
+
+
+def test_sketch_partials_retry_idempotent(ray_session, tmp_path):
+    """Lineage-based task retry (SURVEY §4.2 contract): a transient
+    failure on the FIRST attempt of every partial-sketch task must leave
+    the merged result bit-identical to a clean run — the per-batch
+    partial is a pure function of the batch, so re-execution is
+    idempotent.  Failure injection: one marker file per batch content
+    hash; attempt 1 raises, the Ray retry (retry_exceptions) succeeds."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import make_partial_sketch_fn
+    from hksketch.ray_glue.stages import tree_merge_blobs
+    from hksketch.sketch import sketch_from_bytes
+
+    rng = np.random.default_rng(8)
+    keys = rng.zipf(1.3, 5000).astype(np.int64)
+    t = pa.table({"k": pa.array(keys, type=pa.int64())})
+    cfg = sketch_config("bucketed", k=50, width=1 << 10, depth=4,
+                        decay=0.9, seed=3)
+    fn = make_partial_sketch_fn(cfg, "k")
+    marker_dir = str(tmp_path)
+
+    def flaky(b: pa.Table) -> pa.Table:
+        h = hashlib.sha1(
+            b.column("k").combine_chunks().to_numpy().tobytes()
+        ).hexdigest()
+        mark = os.path.join(marker_dir, h)
+        if not os.path.exists(mark):
+            with open(mark, "w"):
+                pass
+            raise RuntimeError("injected transient failure (attempt 1)")
+        return fn(b)
+
+    def run(mapper):
+        ds = rd.from_arrow(t).repartition(4)
+        parts = ds.map_batches(
+            mapper, batch_format="pyarrow", zero_copy_batch=True,
+            retry_exceptions=True, max_retries=3,
+        )
+        blobs = [r["sketch"] for r in parts.take_all()]
+        return tree_merge_blobs(blobs)
+
+    clean = run(fn)
+    retried = run(flaky)
+    assert len(os.listdir(marker_dir)) >= 4  # every task failed once
+    assert sketch_from_bytes(retried).list() == sketch_from_bytes(clean).list()
