@@ -5428,7 +5428,7 @@ def _q_supplier_pagerank(sf_dir: str):
     edges = pairs.map_batches(
         both_dirs, batch_format="pyarrow", zero_copy_batch=True
     )
-    ranks = pagerank(edges, damping_permille=850, iters=4)
+    ranks = pagerank(edges, damping_permille=850, iters=6)
     blocks = collect_blocks(
         ranks.sort(["rank_micro", "node"], descending=[True, False]).limit(20)
     )

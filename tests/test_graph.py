@@ -97,7 +97,7 @@ def test_supplier_pagerank_query_matches_local_recompute(ray_session):
     ).fetchnumpy()
     src = np.concatenate([pairs["c"], pairs["s"]]).astype(np.int64)
     dst = np.concatenate([pairs["s"], pairs["c"]]).astype(np.int64)
-    nodes, rank = pagerank_local(src, dst, iters=4)
+    nodes, rank = pagerank_local(src, dst, iters=6)
     order = np.lexsort((nodes, -rank))[:20]
     want_nodes, want_rank = nodes[order], rank[order]
     got_nodes = np.where(
