@@ -6045,6 +6045,108 @@ def _q_events_above_user_avg(sf_dir: str):
     return t.take(pc.sort_indices(t, sort_keys=[("event_type", "ascending")]))
 
 
+def _q_user_activity_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts ⊕oracle — the corpus
+    CONCENTRATION statistic (how unequally activity spreads across
+    users; crawl pipelines compute the same over per-domain doc counts).
+    Distributed shape: one combiner shuffle to per-user counts, one
+    distributed sort, then `ops.rank_weighted_moments` — each block
+    reports three integers and the driver folds rank offsets, so the
+    counts never land on the driver.  G = 2·Σrank·c/(n·T) − (n+1)/n as
+    ONE identical float expression of exact integers, milli-rounded."""
+    import math
+
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_counts, rank_weighted_moments, read_table
+
+    counts = exact_counts(
+        read_table(sf_dir, "events", ["user_id"]), "user_id", count_name="c"
+    )
+    n, total, S = rank_weighted_moments(counts, "c", "user_id")
+    if n == 0 or total == 0:
+        return pa.table(
+            {"n_users": pa.array([n], type=pa.int64()),
+             "n_events": pa.array([total], type=pa.int64()),
+             "gini_milli": pa.array([None], type=pa.int64())}
+        )
+    g = (
+        (2.0 * float(S)) / (float(n) * float(total))
+        - (float(n) + 1.0) / float(n)
+    ) * 1000
+    gini_milli = int(math.copysign(math.floor(abs(g) + 0.5), g))
+    return pa.table(
+        {"n_users": pa.array([n], type=pa.int64()),
+         "n_events": pa.array([total], type=pa.int64()),
+         "gini_milli": pa.array([gini_milli], type=pa.int64())}
+    )
+
+
+def _q_event_hour_chi2(sf_dir: str):
+    """Chi-square independence statistic between event type and hour of
+    day ⊕oracle — the drift/seasonality test run over contingency counts.
+    ONE combiner shuffle to the (type, hour) table (vocabulary×24 —
+    tiny); margins and the statistic derive from it on the driver with
+    exact integer counts and ONE identical float expression per cell
+    (expected = row·col/total), milli-rounded."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, grouped_count, read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b.column("event_type"),
+             "hour": pc.cast(pc.hour(b.column("ts")), pa.int64())}
+        )
+
+    pairs = grouped_count(
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], count_name="n",
+    )
+    blocks = collect_blocks(pairs)
+    empty = pa.table(
+        {"n_cells": pa.array([0], type=pa.int64()),
+         "n_rows": pa.array([0], type=pa.int64()),
+         "chi2_milli": pa.array([None], type=pa.int64())}
+    )
+    if not blocks:
+        return empty
+    t = pa.concat_tables(
+        [b.select(["event_type", "hour", "n"]) for b in blocks]
+    ).combine_chunks()
+    types = t.column("event_type").to_pylist()
+    hours = t.column("hour").to_pylist()
+    ns = [int(x) for x in t.column("n").to_pylist()]
+    total = sum(ns)
+    row_tot: dict[str, int] = {}
+    col_tot: dict[int, int] = {}
+    for ty, h, c in zip(types, hours, ns):
+        row_tot[ty] = row_tot.get(ty, 0) + c
+        col_tot[h] = col_tot.get(h, 0) + c
+    # full grid incl. zero cells (they contribute e, not 0); each cell's
+    # contribution freezes to int64 micro-units so the cross-engine SUM
+    # is order-independent (float += order differs between engines)
+    observed = {(ty, h): c for ty, h, c in zip(types, hours, ns)}
+    total_micro = 0
+    for ty in row_tot:
+        for h in col_tot:
+            e = (float(row_tot[ty]) * float(col_tot[h])) / float(total)
+            d = float(observed.get((ty, h), 0)) - e
+            total_micro += int(math.floor((d * d) / e * 1e6 + 0.5))
+    return pa.table(
+        {"n_cells": pa.array(
+             [len(row_tot) * len(col_tot)], type=pa.int64()),
+         "n_rows": pa.array([total], type=pa.int64()),
+         "chi2_milli": pa.array(
+             [(total_micro + 500) // 1000], type=pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -6192,6 +6294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "compression_ratio": _q_compression_ratio,
         "events_above_user_avg": _q_events_above_user_avg,
+        "user_activity_gini": _q_user_activity_gini,
+        "event_hour_chi2": _q_event_hour_chi2,
     }
 
 
@@ -7791,5 +7895,51 @@ SELECT m.event_type, CAST(count(*) AS BIGINT) AS n_above
 FROM m JOIN agg USING (user_id)
 WHERE m.value_milli * agg.n > agg.sum_milli
 GROUP BY m.event_type ORDER BY m.event_type
+""",
+        "user_activity_gini": """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, user_id ASC) AS rk FROM c
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS t,
+         CAST(SUM(rk * c) AS BIGINT) AS s
+  FROM r
+)
+SELECT n AS n_users, t AS n_events,
+       CAST(floor(((2.0 * CAST(s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                   - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000
+                  + 0.5) AS BIGINT) AS gini_milli
+FROM s
+""",
+        "event_hour_chi2": """
+WITH pairs AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+), rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS r FROM pairs
+          GROUP BY event_type),
+ct AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS c FROM pairs GROUP BY hour),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM pairs),
+grid AS (
+  SELECT rt.event_type, ct.hour, rt.r, ct.c, coalesce(p.n, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN pairs p ON p.event_type = rt.event_type AND p.hour = ct.hour
+), cells AS (
+  SELECT CAST(floor(
+    ((CAST(o AS DOUBLE)
+      - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(t AS DOUBLE))
+     * (CAST(o AS DOUBLE)
+        - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(t AS DOUBLE)))
+    / ((CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(t AS DOUBLE))
+    * 1e6 + 0.5) AS BIGINT) AS cm
+  FROM grid, tot
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM grid) AS n_cells,
+       (SELECT t FROM tot) AS n_rows,
+       CAST((CAST(SUM(cm) AS BIGINT) + 500) // 1000 AS BIGINT) AS chi2_milli
+FROM cells
 """,
     }

@@ -179,6 +179,38 @@ def exact_quantiles(ds, col: str, qs: Iterable[float]) -> list[float]:
     return [want[_rank(q)] for q in qs]
 
 
+def rank_weighted_moments(ds, value_col: str, tie_col: str):
+    """(n, total, S) with ``S = Σ rank_i · value_i`` over the dataset
+    sorted ascending by ``(value_col, tie_col)`` (1-based global ranks) —
+    the Gini/Lorenz building block, computed WITHOUT the values landing
+    on the driver: the dataset sorts distributedly, each block's remote
+    task reports (rows, Σv, Σ local_rank·v), and the driver folds the
+    global rank offsets into S with pure integer arithmetic (one tiny
+    tuple per block)."""
+    import ray
+
+    refs = ds.sort([value_col, tie_col]).to_arrow_refs()
+
+    @ray.remote
+    def _stats(t: pa.Table):
+        if t.num_rows == 0:
+            return (0, 0, 0)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        local = np.arange(1, len(v) + 1, dtype=np.int64)
+        return (int(len(v)), int(v.sum()), int((local * v).sum()))
+
+    stats = ray.get([_stats.remote(r) for r in refs])
+    n = total = S = 0
+    offset = 0
+    for rows, sv, srv in stats:
+        # global rank = offset + local rank → Σ(rank·v) adds offset·Σv
+        S += srv + offset * sv
+        total += sv
+        n += rows
+        offset += rows
+    return n, total, S
+
+
 def grouped_count(ds, group_cols: list[str], count_name: str = "count"):
     """groupby(...).count() with the same pre-aggregation pattern: the
     shuffle carries one row per (batch, key-tuple), not one per input row."""
