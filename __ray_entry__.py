@@ -6147,6 +6147,120 @@ def _q_event_hour_chi2(sf_dir: str):
     )
 
 
+def _q_frequent_part_pairs(sf_dir: str):
+    """Market-basket co-occurrence ⊕oracle: the top-20 part PAIRS bought
+    together in one order (A-priori's support-counting step).  ONE
+    orderkey-sharded shuffle co-locates each order's lines; within a
+    shard a lexsort + run-scan emits each order's C(parts,2) pairs
+    (bounded — TPC-H orders hold ≤ 7 lines) pre-aggregated per shard;
+    a second tiny shuffle folds pair counts and sort/limit keeps 20.
+    Pair identity is the ordered (small, large) partkey pair — mirrored
+    by the SQL self-join with `p1 < p2`."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+    from hksketch.ray_glue.partitioning import auto_shards
+    from hksketch.hashing import splitmix64
+
+    ds = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    shards = auto_shards(ds, target_rows_per_shard=2_000_000, min_shards=8)
+
+    def shard(b: pa.Table) -> pa.Table:
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        s = (
+            splitmix64(keys.astype(np.uint64)) & np.uint64(shards - 1)
+        ).astype(np.int32)
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "l_partkey": b.column("l_partkey"),
+             "shard": pa.array(s)}
+        )
+
+    sharded = ds.map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+    # pack the ordered pair into ONE int64 groupby key (partkey < 2^31 —
+    # true to TPC-H SF ~10^4, asserted): a single-column exchange is much
+    # cheaper than a two-column one at this row count
+    pair_schema = pa.schema([("pair", pa.int64()), ("n", pa.int64())])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pair_schema.empty_table()
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # distinct parts per order (duplicate partkeys in one order count
+        # once — matches the SQL's DISTINCT line pairs on p1 < p2)
+        keep = np.concatenate(
+            ([True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1]))
+        )
+        ok, pk = ok[keep], pk[keep]
+        new = np.concatenate(([True], ok[1:] != ok[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ok)))
+        # vectorized within-run pair synthesis (same shape as the LSH
+        # bucket scan): for each run of length L emit its C(L,2) pairs
+        out_a, out_b = [], []
+        for L in np.unique(lens):
+            if L < 2:
+                continue
+            runs = starts[lens == L]
+            ii, jj = np.triu_indices(int(L), k=1)
+            base = runs[:, None]
+            out_a.append((base + ii[None, :]).reshape(-1))
+            out_b.append((base + jj[None, :]).reshape(-1))
+        if not out_a:
+            return pair_schema.empty_table()
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        a, b = pk[ia], pk[ib]
+        assert a.max() < (1 << 31) and b.max() < (1 << 31)
+        t = pa.table(
+            {"pair": pa.array((a << np.int64(31)) | b, type=pa.int64())}
+        )
+        gg = (
+            pl.from_arrow(t).group_by("pair")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        ).to_arrow()
+        return gg.select(["pair", "n"]).cast(pair_schema)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        sharded.groupby("shard").map_groups(pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # packed key sorts identically to (part_a, part_b) lexicographic
+    top = counts.sort(["n", "pair"], descending=[True, False]).limit(20)
+    blocks = collect_blocks(top)
+    empty = pa.table(
+        {"part_a": pa.array([], type=pa.int64()),
+         "part_b": pa.array([], type=pa.int64()),
+         "n": pa.array([], type=pa.int64())}
+    )
+    if not blocks:
+        return empty
+    t = pa.concat_tables(
+        [b.select(["pair", "n"]) for b in blocks]
+    ).combine_chunks()
+    pair = t.column("pair").to_numpy(zero_copy_only=False)
+    out = pa.table(
+        {"part_a": pa.array(pair >> np.int64(31), type=pa.int64()),
+         "part_b": pa.array(pair & np.int64((1 << 31) - 1), type=pa.int64()),
+         "n": t.column("n").cast(pa.int64())}
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("n", "descending"), ("part_a", "ascending"),
+                            ("part_b", "ascending")]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "topk_tokens_sketch": _q_topk_tokens_sketch,
@@ -6296,6 +6410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_above_user_avg": _q_events_above_user_avg,
         "user_activity_gini": _q_user_activity_gini,
         "event_hour_chi2": _q_event_hour_chi2,
+        "frequent_part_pairs": _q_frequent_part_pairs,
     }
 
 
@@ -7941,5 +8056,17 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM grid) AS n_cells,
        (SELECT t FROM tot) AS n_rows,
        CAST((CAST(SUM(cm) AS BIGINT) + 500) // 1000 AS BIGINT) AS chi2_milli
 FROM cells
+""",
+        "frequent_part_pairs": """
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, n FROM p
+ORDER BY n DESC, part_a, part_b LIMIT 20
 """,
     }
