@@ -5971,7 +5971,13 @@ def _q_events_above_user_avg(sf_dir: str):
                  pa.int64())}
         )
 
-    rows = ds.map_batches(to_milli, batch_format="pyarrow", zero_copy_batch=True)
+    # Materialized: skew_join consumes the left side several times (row
+    # estimate, HeavyKeeper hot-key pass, hot + cold plans) and per_user is
+    # read by both the hot and cold branches — without pinning, the events
+    # scan re-executes ~6x and the groupby shuffle twice.
+    rows = ds.map_batches(
+        to_milli, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def user_partial(b: pa.Table) -> pa.Table:
         schema = pa.schema(
@@ -5994,7 +6000,7 @@ def _q_events_above_user_avg(sf_dir: str):
         rows.map_batches(user_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
         .aggregate(Sum("n", alias_name="n"), Sum("sum_milli", alias_name="sum_milli"))
-    )
+    ).materialize()
     j = skew_join(
         rows, per_user, on="user_id", shards="auto",
         hot_min_share_ppm=10_000,
@@ -6217,7 +6223,11 @@ def _q_frequent_part_pairs(sf_dir: str):
         ia = np.concatenate(out_a)
         ib = np.concatenate(out_b)
         a, b = pk[ia], pk[ib]
-        assert a.max() < (1 << 31) and b.max() < (1 << 31)
+        if a.max() >= (1 << 31) or b.max() >= (1 << 31):
+            raise ValueError(
+                "frequent_part_pairs: part key >= 2^31 overflows the packed "
+                "int64 pair encoding; widen to a (part_a, part_b) struct key"
+            )
         t = pa.table(
             {"pair": pa.array((a << np.int64(31)) | b, type=pa.int64())}
         )

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..ray_glue.joins import hash_join
+from ..ray_glue.joins import auto_join, hash_join
 
 SCALE = 10**12  # total rank mass in micro-units
 
@@ -189,8 +189,6 @@ def pagerank(
         # hash join takes over.  Measured: 4 iterations on a 97k-edge /
         # 1.6k-node graph 19.9s → 3.1s (the per-iteration all-to-all was
         # pure fixed cost at this scale).
-        from ..ray_glue.joins import auto_join
-
         j = auto_join(
             edges_deg, ranks, on="src", right_on="node", shards=shards,
             lschema=pa.schema(

@@ -15,9 +15,11 @@ Why the composition matters at 10^12 rows: IVF prunes the scan to
 ``m`` bytes/vector (here 16 vs 512 for raw float64), and the exact
 re-rank touches only the shortlist's raw vectors — so a query reads
 ``corpus × nprobe/n_clusters × m/(8·dim)`` of the data, about 1/1000 of
-an IVF-flat probe at these parameters.  This variant quantizes RAW
-(normalized) vectors, not residuals — simpler, recall measured in tests;
-residual encoding is the known upgrade path.
+an IVF-flat probe at these parameters.  By default (``residual=True``,
+the TPAMI'11 IVFADC form) the PQ codes encode the residual ``x - c_j``
+relative to each vector's coarse centroid — finer quantization at the
+same bits; ADC scoring adds the ``q·c_j`` term back per list.  Pass
+``residual=False`` for the simpler raw-vector (IVF-flat-PQ) encoding.
 
 Storage contract: same as ``sim/ivf.py`` — ``index_dir`` must be shared
 storage on a multi-node cluster (``hksketch.ray_glue.storage``).
