@@ -765,6 +765,31 @@ def _q_split_contamination(sf_dir: str):
     return out.sort("doc_id")
 
 
+def _q_bloom_decontamination(sf_dir: str):
+    """ZERO-SHUFFLE decontamination via a train-window Bloom filter
+    (``dedup.spans.bloom_decontaminate``) — the sketch-path companion of
+    ``split_contamination``: two streamed passes (build filter, probe eval
+    windows) replace the window-sharded shuffle entirely.  Bloom error is
+    one-sided (no false negatives), and the filter here is sized so the
+    expected false-positive count over every probed window is < 1e-9 at
+    the gate scale (2^24 bits vs ~2·10^4 train windows at sf0.01 → per-
+    probe FPR ≈ 3·10^-15), so the EXACT SQL contamination counts are the
+    oracle; ``test_bloom_decontaminate_one_sided_vs_exact`` pins the
+    one-sided semantics against the exact operator.  Reference: the C8
+    ``contains`` membership surface (`/root/reference/src/lib.rs`)
+    applied as a broadcast lookup stage."""
+    from hksketch.dedup.spans import bloom_decontaminate
+    from hksketch.pipelines.caps import lcg_rank
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = bloom_decontaminate(
+        ds, lambda ids: lcg_rank(ids) >= 1932735283, "text", "doc_id",
+        w=8, m_bits=1 << 24, k=7,
+    )
+    return out.sort("doc_id")
+
+
 def _q_top_bigrams(sf_dir: str):
     """Top-50 word bigrams (adjacent token pairs within a document) —
     the co-occurrence statistic collocation/boilerplate analysis needs.
@@ -6392,6 +6417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_capped_docs": _q_source_capped_docs,
         "top_user_drilldown": _q_top_user_drilldown,
         "split_contamination": _q_split_contamination,
+        "bloom_decontamination": _q_bloom_decontamination,
         "q18_large_volume_orders": _q_q18_large_volume_orders,
         "q13_customer_distribution": _q_q13_customer_distribution,
         "q14_promo_revenue": _q_q14_promo_revenue,
@@ -7604,6 +7630,45 @@ SELECT win.doc_id,
          AS n_contam_windows,
        CAST(sum(CASE WHEN trainw.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / count(*) AS contam_frac
+FROM win
+JOIN split USING (doc_id)
+LEFT JOIN trainw ON win.w = trainw.w
+WHERE is_eval
+GROUP BY win.doc_id
+ORDER BY win.doc_id
+""",
+        # same exact contamination counts as split_contamination — valid as
+        # the bloom_decontamination oracle because the filter is sized so
+        # the expected FP count at sf0.01 is ~1e-10 (docstring math); only
+        # the output column names differ (the Bloom stage reports n_flagged)
+        "bloom_decontamination": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), split AS (
+  SELECT doc_id,
+         ((doc_id * 1103515245 + 12345) % 2147483648) >= 1932735283 AS is_eval
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                     toks[i+6] || ' ' || toks[i+7])) AS w
+  FROM tl
+), trainw AS (
+  SELECT DISTINCT w FROM win JOIN split USING (doc_id) WHERE NOT is_eval
+)
+SELECT win.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN trainw.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(CASE WHEN trainw.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS flag_frac
 FROM win
 JOIN split USING (doc_id)
 LEFT JOIN trainw ON win.w = trainw.w

@@ -34,6 +34,35 @@ _PARTIAL_EMPTY = pa.table(
 )
 
 
+def _window_strings(batch: pa.Table, text_col: str, id_col: str, w: int):
+    """Tokenize + fixed-``w`` windowing shared by every span operator:
+    returns ``(windows: pl.Series[str], win_doc_ids: int64 ndarray)``,
+    window doc-ids nondecreasing in document order, or ``(None, None)``
+    when the batch yields no window."""
+    import polars as pl
+
+    from ..text.tokenize import tokenize_column
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    toks_t = tokenize_column(
+        batch.column(text_col).combine_chunks(), with_doc_index=True
+    )
+    toks = toks_t.column("token").to_numpy(zero_copy_only=False)
+    didx = toks_t.column("doc_idx").to_numpy(zero_copy_only=False)
+    if len(toks) >= w:
+        valid = didx[: len(didx) - w + 1] == didx[w - 1 :]
+        idx = np.flatnonzero(valid)
+    else:
+        idx = np.empty(0, dtype=np.int64)
+    if len(idx) == 0:
+        return None, None
+    g = toks[idx]
+    for j in range(1, w):
+        g = g + " "
+        g = g + toks[idx + j]
+    return pl.Series(g, dtype=pl.String), ids[didx[idx]]
+
+
 def duplicated_span_stats(
     ds,
     text_col: str = "text",
@@ -54,7 +83,6 @@ def duplicated_span_stats(
     import polars as pl
 
     from ..ray_glue.partitioning import auto_shards, estimate_rows
-    from ..text.tokenize import tokenize_column
 
     if shards == "auto":
         est = estimate_rows(ds)
@@ -69,30 +97,15 @@ def duplicated_span_stats(
         raise ValueError(f"shards must be a power of two (got {shards})")
 
     def window_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        toks_t = tokenize_column(
-            batch.column(text_col).combine_chunks(), with_doc_index=True
-        )
-        toks = toks_t.column("token").to_numpy(zero_copy_only=False)
-        didx = toks_t.column("doc_idx").to_numpy(zero_copy_only=False)
-        if len(toks) >= w:
-            valid = didx[: len(didx) - w + 1] == didx[w - 1 :]
-            idx = np.flatnonzero(valid)
-        else:
-            idx = np.empty(0, dtype=np.int64)
-        if len(idx) == 0:
+        s, win_ids = _window_strings(batch, text_col, id_col, w)
+        if s is None:
             return _PARTIAL_EMPTY
-        g = toks[idx]
-        for j in range(1, w):
-            g = g + " "
-            g = g + toks[idx + j]
-        s = pl.Series(g, dtype=pl.String)
         key = s.hash(seed=1).to_numpy().astype(np.uint64)
         return pa.table(
             {"shard": pa.array((key & U64(shards - 1)).astype(np.int32)),
              "key": pa.array(key, type=pa.uint64()),
              "g": pa.array(s.to_arrow().cast(pa.large_string())),
-             "doc_id": pa.array(ids[didx[idx]], type=pa.int64())}
+             "doc_id": pa.array(win_ids, type=pa.int64())}
         )
 
     rows = ds.map_batches(window_rows, batch_format="pyarrow", zero_copy_batch=True)
@@ -175,7 +188,6 @@ def split_contamination_stats(
     import polars as pl
 
     from ..ray_glue.partitioning import auto_shards, estimate_rows
-    from ..text.tokenize import tokenize_column
 
     if shards == "auto":
         est = estimate_rows(ds)
@@ -194,26 +206,10 @@ def split_contamination_stats(
     )
 
     def window_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        toks_t = tokenize_column(
-            batch.column(text_col).combine_chunks(), with_doc_index=True
-        )
-        toks = toks_t.column("token").to_numpy(zero_copy_only=False)
-        didx = toks_t.column("doc_idx").to_numpy(zero_copy_only=False)
-        if len(toks) >= w:
-            valid = didx[: len(didx) - w + 1] == didx[w - 1 :]
-            idx = np.flatnonzero(valid)
-        else:
-            idx = np.empty(0, dtype=np.int64)
-        if len(idx) == 0:
+        s, win_ids = _window_strings(batch, text_col, id_col, w)
+        if s is None:
             return flagged_empty
-        g = toks[idx]
-        for j in range(1, w):
-            g = g + " "
-            g = g + toks[idx + j]
-        s = pl.Series(g, dtype=pl.String)
         key = s.hash(seed=1).to_numpy().astype(np.uint64)
-        win_ids = ids[didx[idx]]
         return pa.table(
             {"shard": pa.array((key & U64(shards - 1)).astype(np.int32)),
              "key": pa.array(key, type=pa.uint64()),
@@ -280,3 +276,138 @@ def split_contamination_stats(
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _BloomFlagStage:
+    """Actor-pool eval stage for ``bloom_decontaminate``: the broadcast
+    train-window Bloom blob is fetched and deserialized ONCE per actor in
+    ``__init__`` (the C8 ``contains`` lookup shape, same discipline as
+    ``ray_glue.stages.SketchLookup``); ``__call__`` windows each batch's
+    eval docs and folds per-doc hit counts — windows of a doc complete
+    within its batch, so the output needs NO shuffle."""
+
+    _EMPTY = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "n_windows": pa.array([], type=pa.int64()),
+         "n_flagged": pa.array([], type=pa.int64()),
+         "flag_frac": pa.array([], type=pa.float64())}
+    )
+
+    def __init__(self, blob_or_ref, is_eval_fn, text_col, id_col, w):
+        import ray
+
+        from ..sketch import sketch_from_bytes
+
+        blob = (
+            ray.get(blob_or_ref)
+            if isinstance(blob_or_ref, ray.ObjectRef)
+            else blob_or_ref
+        )
+        self.bloom = sketch_from_bytes(blob)
+        self.is_eval_fn = is_eval_fn
+        self.text_col, self.id_col, self.w = text_col, id_col, w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        emask = np.asarray(self.is_eval_fn(ids), dtype=bool)
+        if not emask.any():
+            return self._EMPTY
+        sub = batch.filter(pa.array(emask))
+        s, win_ids = _window_strings(sub, self.text_col, self.id_col, self.w)
+        if s is None:
+            return self._EMPTY
+        hits = self.bloom.contains_batch(s.to_arrow())
+        # win_ids are nondecreasing (document order) — fold runs directly
+        starts = np.flatnonzero(
+            np.concatenate(([True], win_ids[1:] != win_ids[:-1]))
+        )
+        n_w = np.diff(np.append(starts, len(win_ids)))
+        n_f = np.add.reduceat(hits.astype(np.int64), starts)
+        return pa.table(
+            {"doc_id": pa.array(win_ids[starts], type=pa.int64()),
+             "n_windows": pa.array(n_w, type=pa.int64()),
+             "n_flagged": pa.array(n_f, type=pa.int64()),
+             "flag_frac": pa.array(
+                 n_f.astype(np.float64) / n_w.astype(np.float64),
+                 type=pa.float64())}
+        )
+
+
+def bloom_decontaminate(
+    ds,
+    is_eval_fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    m_bits: int = 1 << 24,
+    k: int = 7,
+    seed: int = 12345,
+    concurrency: int = 8,
+):
+    """Sketch-path decontamination: the ZERO-SHUFFLE companion of
+    ``split_contamination_stats``.  A Bloom filter of every train-split
+    ``w``-token window replaces the window-sharded shuffle:
+
+    1. TRAIN pass (streamed, no shuffle): train docs' windows feed
+       per-batch Bloom partials, tree-merged (``global_sketch`` — Bloom
+       union is bitwise-or, exactly associative) into one filter.
+    2. EVAL pass (streamed, no shuffle): the blob is ``ray.put`` once; an
+       actor pool deserializes it once per actor and counts, per eval
+       doc, windows present in the filter.
+
+    Error is ONE-SIDED — Bloom has no false negatives — so per doc
+    ``n_flagged >= n_contam_windows`` (the exact operator's count), with
+    overcount bounded by the filter's false-positive rate at its fill
+    (``BloomFilter.expected_fpr``).  This is the safe direction for a
+    release gate: contaminated eval docs are never missed.
+
+    Scale: the exact path shuffles one row per corpus token; this path
+    moves only ``m_bits/8`` bytes once per actor.  Size ``m_bits`` to the
+    train window cardinality (``BloomFilter.for_capacity``); past one
+    machine's memory, shard into B independent filters by window-hash
+    prefix and route lookups by the same prefix (the standard
+    partitioned-Bloom layout — not needed at any test scale).
+
+    Returns a Dataset of ``(doc_id, n_windows, n_flagged, flag_frac)``
+    over eval docs with ≥ 1 window.
+    """
+    import ray
+
+    from ..ray_glue.aggregate import sketch_config
+    from ..ray_glue.stages import global_sketch
+
+    cfg = sketch_config("bloom", m_bits=int(m_bits), k=int(k), seed=int(seed))
+
+    train_empty = pa.table({"g": pa.array([], type=pa.large_string())})
+
+    def train_windows(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s, win_ids = _window_strings(batch, text_col, id_col, w)
+        if s is None:
+            return train_empty
+        keep = ~np.asarray(is_eval_fn(win_ids), dtype=bool)
+        if not keep.any():
+            return train_empty
+        return pa.table(
+            {"g": s.filter(pl.Series(keep)).to_arrow().cast(pa.large_string())}
+        )
+
+    wds = ds.map_batches(
+        train_windows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    blob = global_sketch(wds, cfg, "g")
+    # the blob rides the actor constructor args: Ray puts it in the object
+    # store ONCE and every actor fetches that copy (pre-putting a ref here
+    # trips the actor-restart ownership hazard, ray#53727)
+    return ds.map_batches(
+        _BloomFlagStage,
+        fn_constructor_args=(blob, is_eval_fn, text_col, id_col, w),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        # autoscaling pool: starts at 1 actor so the stage never deadlocks
+        # waiting for slots on a small session; grows to `concurrency`
+        concurrency=(1, int(concurrency)),
+    )

@@ -257,3 +257,53 @@ def test_split_contamination_constructed(ray_session):
         .to_pandas().set_index("doc_id").sort_index()
     )
     assert (out2["n_contam_windows"] == 0).all()
+
+
+def test_bloom_decontaminate_one_sided_vs_exact(ray_session):
+    """Bloom path vs the exact operator on the same corpus: identical doc
+    set and n_windows, n_flagged >= n_contam_windows always (Bloom has no
+    false negatives), and exact equality at a generously-sized filter
+    (fill so low the expected FP count over all probed windows is ~0)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.dedup.spans import (
+        bloom_decontaminate,
+        split_contamination_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i:03d}" for i in range(60)])
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts, ids = [], []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab, size=30))
+        if i % 5 == 0:  # plant the passage in train AND eval docs
+            body = body + " " + passage
+        texts.append(body)
+        ids.append(i)
+    docs = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)}
+    )
+
+    def is_eval(a):
+        return (np.asarray(a) % 4) == 0
+
+    ds = rd.from_arrow(docs).repartition(3)
+    exact = (
+        split_contamination_stats(ds, is_eval, w=8, shards=64)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    bloom = (
+        bloom_decontaminate(
+            ds, is_eval, w=8, m_bits=1 << 20, k=7, concurrency=2
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert list(bloom.index) == list(exact.index)
+    assert (bloom["n_windows"] == exact["n_windows"]).all()
+    assert (bloom["n_flagged"] >= exact["n_contam_windows"]).all()
+    assert (bloom["n_flagged"] == exact["n_contam_windows"]).all()
+    got = bloom.loc[bloom["n_flagged"] > 0]
+    assert len(got) > 0  # the planted passage was actually flagged
