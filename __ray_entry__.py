@@ -10,6 +10,7 @@ sf0.01).  Ray is initialised by the driver; nothing here calls ray.init().
 
 from __future__ import annotations
 
+import functools as _functools
 import sys
 import os
 from collections.abc import Callable
@@ -4903,6 +4904,58 @@ def _q_knn_pq(sf_dir: str):
     return out.select(["query_id", "rank", "vec_id", "score"])
 
 
+@_functools.lru_cache(maxsize=4)
+def _bpe_rules_cached(sf_dir: str, n_merges: int):
+    """Train-once cache so the two BPE queries share one training run
+    (deterministic — same sf_dir + n_merges always yields the same
+    merge list, so caching cannot change any query's result)."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.bpe import bpe_train
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    return tuple(bpe_train(ds, n_merges, "text"))
+
+
+def _q_bpe_merge_rules(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich ACL'16; the
+    HF-tokenizers word-count formulation): 24 merge rules learned over
+    the documents corpus.  ONE tokenize+count shuffle reduces the corpus
+    to its word-TYPE table; each merge iteration is a vectorized
+    pair-count partial pass + small groupby + top-1 (an argmax
+    tree-reduce, no global sort) and a contains-filtered re-splice of
+    only the affected word types, materialized per iteration to cut
+    lineage.  Iterative fixpoint — not SQL-expressible; correctness is
+    pinned by ``test_bpe.py``'s equality against a pure-local reference
+    trainer plus block-layout-invariance and greedy-overlap tests."""
+    import pyarrow as pa
+
+    rules = _bpe_rules_cached(sf_dir, 24)
+    return pa.table(
+        {"rank": pa.array(range(len(rules)), type=pa.int64()),
+         "left": pa.array([l for l, _, _ in rules], type=pa.string()),
+         "right": pa.array([r for _, r, _ in rules], type=pa.string()),
+         "merged": pa.array([l + r for l, r, _ in rules], type=pa.string()),
+         "pair_count": pa.array([n for _, _, n in rules], type=pa.int64())}
+    )
+
+
+def _q_bpe_compression_by_source(sf_dir: str):
+    """Tokenizer-quality profile: pieces-per-word per source under the
+    24-rule BPE vocab learned by ``bpe_merge_rules`` (shared training via
+    cache) — the metric a tokenizer-selection pass compares across vocab
+    sizes / corpora.  One streamed encode pass; each batch encodes its
+    DISTINCT words once and weights by occurrence; the shuffle carries
+    one row per (batch, source).  Not SQL-expressible (depends on the
+    iteratively-learned vocab); ``test_bpe.py`` pins encode/stat
+    recompute equality."""
+    from hksketch.pipelines.ops import read_table
+    from hksketch.text.bpe import bpe_piece_stats
+
+    rules = list(_bpe_rules_cached(sf_dir, 24))
+    ds = read_table(sf_dir, "documents", ["text", "source"])
+    return bpe_piece_stats(ds, rules, "text", group_col="source").sort("group")
+
+
 def _q_type_token_ratio(sf_dir: str):
     """Per-document type/token ratio ⊕oracle (the lexical-diversity
     quality signal) — embarrassingly parallel: ONE tokenize per batch
@@ -6418,6 +6471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_drilldown": _q_top_user_drilldown,
         "split_contamination": _q_split_contamination,
         "bloom_decontamination": _q_bloom_decontamination,
+        "bpe_merge_rules": _q_bpe_merge_rules,
+        "bpe_compression_by_source": _q_bpe_compression_by_source,
         "q18_large_volume_orders": _q_q18_large_volume_orders,
         "q13_customer_distribution": _q_q13_customer_distribution,
         "q14_promo_revenue": _q_q14_promo_revenue,
