@@ -4916,6 +4916,29 @@ def _bpe_rules_cached(sf_dir: str, n_merges: int):
     return tuple(bpe_train(ds, n_merges, "text"))
 
 
+def _q_cdc_dup_stats(sf_dir: str):
+    """Content-defined-chunking dedup (Gear/FastCDC lineage): per-doc
+    duplicate-BYTE statistics over variable-size content-defined chunks
+    — finds shared passages between page revisions even when every byte
+    offset shifted, the robustness fixed windows lack
+    (``dedup.cdc.cdc_dup_stats``).  The 64-tap Gear kernel runs
+    vectorized over each batch's concatenated text buffer (zero-copy
+    Arrow view), chunks carry 16-byte BLAKE2b digests (never the bytes)
+    through ONE digest-sharded shuffle of ~bytes/2^6 rows.  Chunk
+    geometry (avg 64 B, 32-512 B) is sized to the synthetic corpus's
+    ~300 B documents.  Rolling-hash recurrence is not SQL-expressible —
+    rows-only; ``tests/test_cdc.py`` pins kernel exactness vs the scalar
+    recurrence, full local recompute equality, and block-layout
+    invariance."""
+    from hksketch.dedup.cdc import cdc_dup_stats
+    from hksketch.pipelines.ops import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_dup_stats(
+        ds, "text", "doc_id", bits=6, min_len=32, max_len=512
+    ).sort("doc_id")
+
+
 def _q_bpe_merge_rules(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich ACL'16; the
     HF-tokenizers word-count formulation): 24 merge rules learned over
@@ -6471,6 +6494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_drilldown": _q_top_user_drilldown,
         "split_contamination": _q_split_contamination,
         "bloom_decontamination": _q_bloom_decontamination,
+        "cdc_dup_stats": _q_cdc_dup_stats,
         "bpe_merge_rules": _q_bpe_merge_rules,
         "bpe_compression_by_source": _q_bpe_compression_by_source,
         "q18_large_volume_orders": _q_q18_large_volume_orders,
