@@ -4916,6 +4916,55 @@ def _bpe_rules_cached(sf_dir: str, n_merges: int):
     return tuple(bpe_train(ds, n_merges, "text"))
 
 
+def _q_concurrent_errors_near_purchases(sf_dir: str):
+    """RANGE (band) join ⊕oracle — the non-equi join shape the Dataset
+    API cannot express: for every purchase event, the EXACT number of
+    error events system-wide within ±2 h of its timestamp
+    (``pipelines.intervals.band_count_join``).  Plan: each error becomes
+    the interval [t-δ, t+δ], replicated to the ≤ 3 time buckets of
+    width 2δ it overlaps; ONE bucket-sharded shuffle co-locates each
+    purchase with every error that could match; per-shard vectorized
+    ``searchsorted`` probes answer counts — the count aggregate is
+    pushed INTO the join, so no pair row ever exists and the output is
+    one row per purchase regardless of selectivity.  Int64-µs math,
+    bounds inclusive — bit-exact vs SQL ``BETWEEN``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.intervals import band_count_join
+    from hksketch.pipelines.ops import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def only(kind):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.equal(b.column("event_type"), pa.scalar(kind))
+            ).select(["event_id", "ts"])
+        return f
+
+    purchases = ev.map_batches(
+        only("purchase"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    errors = ev.map_batches(
+        only("error"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = band_count_join(
+        purchases, errors, "ts", "event_id", "ts",
+        delta=7_200_000_000,  # 2 h in µs
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b.column("pid"),
+             "n_concurrent_errors": b.column("n_containing")}
+        )
+
+    return out.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("event_id")
+
+
 def _q_cdc_dup_stats(sf_dir: str):
     """Content-defined-chunking dedup (Gear/FastCDC lineage): per-doc
     duplicate-BYTE statistics over variable-size content-defined chunks
@@ -6495,6 +6544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_contamination": _q_split_contamination,
         "bloom_decontamination": _q_bloom_decontamination,
         "cdc_dup_stats": _q_cdc_dup_stats,
+        "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "bpe_merge_rules": _q_bpe_merge_rules,
         "bpe_compression_by_source": _q_bpe_compression_by_source,
         "q18_large_volume_orders": _q_q18_large_volume_orders,
@@ -7715,6 +7765,17 @@ LEFT JOIN trainw ON win.w = trainw.w
 WHERE is_eval
 GROUP BY win.doc_id
 ORDER BY win.doc_id
+""",
+        "concurrent_errors_near_purchases": """
+SELECT p.event_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_concurrent_errors
+FROM events p
+LEFT JOIN events e
+  ON e.event_type = 'error'
+ AND e.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts + INTERVAL 2 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY p.event_id
 """,
         # same exact contamination counts as split_contamination — valid as
         # the bloom_decontamination oracle because the filter is sized so
