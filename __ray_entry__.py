@@ -4965,6 +4965,52 @@ def _q_concurrent_errors_near_purchases(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_active_sessions_at_signup(sf_dir: str):
+    """VARIABLE-length interval containment join ⊕oracle — the generic
+    range-join path (the band query exercises fixed ±δ): for each signup
+    event, how many sessions of ANY user (12 h-gap sessionization) were
+    active at its timestamp.  Composition: ``session_intervals`` (one
+    key-sharded scan, same break rule as ``sessionize``) produces the
+    interval table; ``interval_count_join`` replicates each session to
+    the 12 h time buckets it overlaps (capped fan-out), ONE
+    bucket-sharded shuffle, per-shard searchsorted containment counts.
+    Bounds inclusive, int64 µs — bit-exact vs the SQL sessionization
+    CTE + range-join oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.intervals import interval_count_join
+    from hksketch.pipelines.ops import read_table
+    from hksketch.pipelines.sessions import session_intervals
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    signups = ev.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("event_type"), pa.scalar("signup"))
+        ).select(["event_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    sessions = session_intervals(
+        ev, "user_id", "ts", gap_seconds=43200.0
+    )
+    out = interval_count_join(
+        signups, sessions, "ts", "event_id",
+        "session_start", "session_end",
+        bucket_width=43_200_000_000,  # 12 h in µs
+        max_replication=128,
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b.column("pid"),
+             "n_active_sessions": b.column("n_containing")}
+        )
+
+    return out.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("event_id")
+
+
 def _q_cdc_dup_stats(sf_dir: str):
     """Content-defined-chunking dedup (Gear/FastCDC lineage): per-doc
     duplicate-BYTE statistics over variable-size content-defined chunks
@@ -6545,6 +6591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontamination": _q_bloom_decontamination,
         "cdc_dup_stats": _q_cdc_dup_stats,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
+        "active_sessions_at_signup": _q_active_sessions_at_signup,
         "bpe_merge_rules": _q_bpe_merge_rules,
         "bpe_compression_by_source": _q_bpe_compression_by_source,
         "q18_large_volume_orders": _q_q18_large_volume_orders,
@@ -7776,6 +7823,32 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "active_sessions_at_signup": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch(ts - prev) > 43200
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), iv AS (
+  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, sess
+)
+SELECT p.event_id,
+       CAST(count(iv.sess) AS BIGINT) AS n_active_sessions
+FROM events p
+LEFT JOIN iv ON p.ts BETWEEN iv.session_start AND iv.session_end
+WHERE p.event_type = 'signup'
+GROUP BY p.event_id ORDER BY p.event_id
 """,
         # same exact contamination counts as split_contamination — valid as
         # the bloom_decontamination oracle because the filter is sized so

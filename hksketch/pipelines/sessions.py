@@ -111,6 +111,66 @@ def sessionize(
     return sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
 
 
+def session_intervals(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 43200.0,
+    shards: Union[int, str] = "auto",
+):
+    """Per-session time INTERVALS — ``(key, session_idx, session_start,
+    session_end)`` with start/end as int64 µs (first/last event of the
+    session) — the interval-table producer that composes with
+    ``pipelines.intervals.interval_count_join`` ("how many active
+    sessions contained time t").
+
+    Same one-shuffle key-sharded scan as :func:`sessionize` (identical
+    break rule: gap STRICTLY greater than ``gap_seconds``), so
+    per-key session counts of the two operators agree by construction;
+    ``session_idx`` numbers a key's sessions 0.. in time order.  Equal
+    timestamps cannot flip boundaries (gap 0 never breaks), so the
+    output is deterministic under any tie order.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+    shards = _resolve_shards(ds, shards)
+    sharded = ds.map_batches(
+        _shard_fn(key_col, shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    empty = pa.table(
+        {key_col: pa.array([], type=pa.int64()),
+         "session_idx": pa.array([], type=pa.int64()),
+         "session_start": pa.array([], type=pa.int64()),
+         "session_end": pa.array([], type=pa.int64())}
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        keys, ts, _ = _sorted_arrays(g, key_col, ts_col)
+        new = np.concatenate(
+            ([True],
+             (keys[1:] != keys[:-1]) | ((ts[1:] - ts[:-1]) > gap_us))
+        )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ts)) - 1
+        skey = keys[starts]
+        # session_idx: position of each session within its key's run
+        kfirst = np.flatnonzero(
+            np.concatenate(([True], skey[1:] != skey[:-1]))
+        )
+        krep = np.diff(np.append(kfirst, len(skey)))
+        sidx = np.arange(len(skey)) - np.repeat(kfirst, krep)
+        return pa.table(
+            {key_col: pa.array(skey, type=pa.int64()),
+             "session_idx": pa.array(sidx, type=pa.int64()),
+             "session_start": pa.array(ts[starts], type=pa.int64()),
+             "session_end": pa.array(ts[ends], type=pa.int64())}
+        )
+
+    return sharded.groupby("shard").map_groups(scan, batch_format="pyarrow")
+
+
 def last_event_before(
     ds,
     key_col: str = "user_id",

@@ -195,3 +195,72 @@ def test_transition_counts_equal_ts_tiebreak(ray_session):
     pairs = set(zip(got["prev_type"], got["next_type"]))
     assert ("a", "b") in pairs and ("x", "y") in pairs
     assert ("b", "a") not in pairs and ("y", "x") not in pairs
+
+
+def test_session_intervals_constructed(ray_session):
+    """Intervals match hand-computed sessions; counts agree with
+    sessionize; composition with interval_count_join answers 'active
+    sessions at t' exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hksketch.pipelines.intervals import interval_count_join
+    from hksketch.pipelines.sessions import session_intervals, sessionize
+
+    H = 3_600_000_000  # 1h in us
+    rows = [  # (user, ts)
+        (1, 0), (1, 1 * H), (1, 2 * H),          # session A: [0, 2h]
+        (1, 20 * H), (1, 21 * H),                # session B: [20h, 21h]
+        (2, 1 * H),                              # session C: [1h, 1h]
+        (2, 30 * H), (2, 35 * H),                # session D: [30h, 35h]
+    ]
+    ev = pa.table(
+        {"user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+         "ts": pa.array([t for _, t in rows], type=pa.timestamp("us")),
+         "event_id": pa.array(range(len(rows)), type=pa.int64())}
+    )
+    ds = rd.from_arrow(ev).repartition(3)
+    iv = (
+        session_intervals(ds, gap_seconds=12 * 3600, shards=8)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    want = [
+        (1, 0, 0, 2 * H), (1, 1, 20 * H, 21 * H),
+        (2, 0, 1 * H, 1 * H), (2, 1, 30 * H, 35 * H),
+    ]
+    got = list(
+        zip(iv["user_id"], iv["session_idx"],
+            iv["session_start"], iv["session_end"])
+    )
+    assert got == want
+    # agreement with sessionize's counts
+    cnt = (
+        sessionize(ds, gap_seconds=12 * 3600, shards=8)
+        .to_pandas().set_index("user_id")["n_sessions"]
+    )
+    from collections import Counter
+
+    per_key = Counter(iv["user_id"])
+    assert {k: per_key[k] for k in cnt.index} == cnt.to_dict()
+
+    # composition: how many sessions (any user) contain each probe time
+    probes = pa.table(
+        {"event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+         "ts": pa.array(
+             [1 * H, 5 * H, 20 * H + 1800_000_000, 40 * H],
+             type=pa.int64())}
+    )
+    out = (
+        interval_count_join(
+            rd.from_arrow(probes),
+            session_intervals(ds, gap_seconds=12 * 3600, shards=8),
+            "ts", "event_id", "session_start", "session_end",
+            bucket_width=12 * H, shards=8,
+        )
+        .to_pandas().set_index("pid").sort_index()["n_containing"]
+    )
+    # t=1h: sessions A and C contain it; t=5h: none; t=20.5h: B; t=40h: none
+    assert out.tolist() == [2, 0, 1, 0]
