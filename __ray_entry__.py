@@ -5011,6 +5011,84 @@ def _q_active_sessions_at_signup(sf_dir: str):
     ).sort("event_id")
 
 
+@_functools.lru_cache(maxsize=4)
+def _built_index(sf_dir: str) -> str:
+    """Build-once (fingerprint-guarded) inverted index for the retrieval
+    queries; rebuilds automatically when the corpus files change."""
+    import os
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.storage import artifact_dir
+    from hksketch.text.index import build_inverted_index
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return build_inverted_index(
+        ds, artifact_dir("inverted_index", tag), partitions=64
+    )
+
+
+def _top2_terms(sf_dir: str) -> list:
+    """The corpus's two most frequent tokens (count desc, token asc) —
+    deterministic query terms both engines derive identically."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_topk, read_table
+    from hksketch.text.tokenize import tokenize_column
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"token": tokenize_column(b.column("text")).column("token")}
+        )
+
+    top = exact_topk(
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        "token", k=2,
+    )
+    return [r["token"] for r in top.take(2)]
+
+
+def _q_search_top_cooccurring_docs(sf_dir: str):
+    """Inverted-index boolean retrieval ⊕oracle (``text/index.py``): the
+    top-20 documents containing BOTH of the corpus's two most frequent
+    tokens, ranked by exact integer tf-sum (ties doc asc).  Build: one
+    pass writes token→(doc, tf) postings partitioned by a
+    process-independent hk64 token hash (per-batch partials are globally
+    exact because docs are whole rows — no aggregation shuffle), plus
+    doc-id-masked doclens; MANIFEST fingerprint prevents stale reuse
+    (same contract as the IVF index).  Query: each term reads ONLY its
+    partition directory (pruned read, asserted in
+    ``test_inverted_index.py``), sorted-array intersection, integer
+    scores — hash-exact vs the SQL tokenize/tf/HAVING oracle."""
+    import pyarrow as pa
+
+    from hksketch.text.index import search_and
+
+    idx = _built_index(sf_dir)
+    terms = _top2_terms(sf_dir)
+    out = search_and(idx, terms, k=20)
+    return out
+
+
+def _q_bm25_top_docs(sf_dir: str):
+    """BM25 ranked retrieval ⊕oracle over the same persisted index
+    (Robertson/Spärck Jones, Lucene idf form): top-20 docs for the
+    corpus's two most frequent tokens, OR semantics, k1=1.2 b=0.75.
+    Every float expression is written with the IDENTICAL operation tree
+    in the SQL oracle (incl. ``(1.2 + 1.0)`` instead of the literal
+    ``2.2``, whose double value differs by one ulp), terms are summed in
+    sorted order (2-term sums are order-exact anyway), and the driver's
+    6-dp rounding absorbs any residual libm ``ln`` ulp — a float oracle
+    made safe by construction."""
+    from hksketch.text.index import bm25_search
+
+    idx = _built_index(sf_dir)
+    terms = _top2_terms(sf_dir)
+    return bm25_search(idx, terms, k=20, mode="or")
+
+
 def _q_cdc_dup_stats(sf_dir: str):
     """Content-defined-chunking dedup (Gear/FastCDC lineage): per-doc
     duplicate-BYTE statistics over variable-size content-defined chunks
@@ -6590,6 +6668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_contamination": _q_split_contamination,
         "bloom_decontamination": _q_bloom_decontamination,
         "cdc_dup_stats": _q_cdc_dup_stats,
+        "search_top_cooccurring_docs": _q_search_top_cooccurring_docs,
+        "bm25_top_docs": _q_bm25_top_docs,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "active_sessions_at_signup": _q_active_sessions_at_signup,
         "bpe_merge_rules": _q_bpe_merge_rules,
@@ -7823,6 +7903,75 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "search_top_cooccurring_docs": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM tl
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), top2 AS (
+  SELECT t FROM cnt ORDER BY c DESC, t LIMIT 2
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE t IN (SELECT t FROM top2)
+  GROUP BY doc_id, t
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+FROM tf
+GROUP BY doc_id
+HAVING count(DISTINCT t) = 2
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+        # float oracle made safe by construction: identical operation
+        # trees on both sides ((1.2 + 1.0), not the 1-ulp-different
+        # literal 2.2), 2-term sums are IEEE-order-exact, driver rounds
+        # both sides to 6 dp before hashing
+        "bm25_top_docs": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          t -> CASE WHEN length(t) <= 64 THEN lower(t) END),
+           t -> t IS NOT NULL) AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM tl
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), top2 AS (
+  SELECT t FROM cnt ORDER BY c DESC, t LIMIT 2
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok) AS total
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE t IN (SELECT t FROM top2)
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tl
+)
+SELECT tf.doc_id,
+       sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl
+                / (CAST(stats.total AS DOUBLE) / stats.n_docs))))) AS score
+FROM tf
+JOIN dfreq USING (t)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 20
 """,
         "active_sessions_at_signup": """
 WITH o AS (
