@@ -5089,6 +5089,60 @@ def _q_bm25_top_docs(sf_dir: str):
     return bm25_search(idx, terms, k=20, mode="or")
 
 
+def _q_zorder_user_window_counts(sf_dir: str):
+    """Z-ORDER data layout ⊕oracle (``ray_glue/layout.py``, the
+    Delta/Iceberg OPTIMIZE ZORDER trick): events are rewritten clustered
+    by the Morton interleave of (user_id, ts) — one distributed sort —
+    then the query is a DISTRIBUTED ``read_parquet`` with a 2-D range
+    filter whose row-group statistics now prune on BOTH axes (a
+    ts-sorted layout scans every group for a user predicate —
+    ``test_layout.py`` asserts the scanned-group counts).  Exact per-user
+    event counts + integer-milli value sums inside the box, hash-exact
+    vs SQL BETWEEN."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.layout import zorder_write
+    from hksketch.ray_glue.storage import artifact_dir
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = zorder_write(
+        ds, artifact_dir("zorder_events", tag), "user_id", "ts",
+        rows_per_group=4096,
+    )
+    t0 = np.datetime64("2024-01-05T00:00:00", "us").astype("datetime64[us]")
+    t1 = np.datetime64("2024-01-15T00:00:00", "us").astype("datetime64[us]")
+    flt = (
+        (pads.field("user_id") >= 100) & (pads.field("user_id") <= 199)
+        & (pads.field("ts") >= t0.astype("M8[us]").item())
+        & (pads.field("ts") <= t1.astype("M8[us]").item())
+    )
+    box = rd.read_parquet(path, filter=flt, columns=["user_id", "ts", "value"])
+
+    def milli(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b.column("value"), pa.scalar(1000.0))),
+            pa.int64(),
+        )
+        return pa.table({"user_id": b.column("user_id"), "value_milli": v})
+
+    out = (
+        box.map_batches(milli, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_milli", alias_name="value_milli"),
+        )
+    )
+    return out.sort("user_id")
+
+
 def _q_cdc_dup_stats(sf_dir: str):
     """Content-defined-chunking dedup (Gear/FastCDC lineage): per-doc
     duplicate-BYTE statistics over variable-size content-defined chunks
@@ -6669,6 +6723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontamination": _q_bloom_decontamination,
         "cdc_dup_stats": _q_cdc_dup_stats,
         "search_top_cooccurring_docs": _q_search_top_cooccurring_docs,
+        "zorder_user_window_counts": _q_zorder_user_window_counts,
         "bm25_top_docs": _q_bm25_top_docs,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "active_sessions_at_signup": _q_active_sessions_at_signup,
@@ -7903,6 +7958,18 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "zorder_user_window_counts": """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli
+FROM events
+WHERE user_id BETWEEN 100 AND 199
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+             AND TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY user_id
+ORDER BY user_id
 """,
         "search_top_cooccurring_docs": """
 WITH tl AS (
