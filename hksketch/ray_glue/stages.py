@@ -210,11 +210,22 @@ def _merge_blob_chunk(blobs: list) -> bytes:
 
 
 def tree_merge_blobs(blobs: list[bytes], fanin: int = 8) -> bytes:
-    """Deterministic parallel tree reduce of serialized partial sketches
-    (partials stay in partition order, SURVEY.md §7.5.3).  Raw Ray tasks are
-    justified here: Ray Data's Aggregate operator pays seconds of all-to-all
-    fixed cost to merge a few dozen one-row blocks."""
-    blobs = [b for b in blobs if b is not None]
+    """Deterministic parallel tree reduce of serialized partial sketches.
+    Raw Ray tasks are justified here: Ray Data's Aggregate operator pays
+    seconds of all-to-all fixed cost to merge a few dozen one-row blocks.
+
+    Operand order is CANONICALIZED (bytes-lexicographic sort) before the
+    fold: with ``preserve_order=False`` (Ray's default) blob lists
+    collected via ``take_all``/``iter_batches`` arrive in COMPLETION
+    order, which task retries and scheduler timing reshuffle — sorting
+    makes the result a pure function of the partial MULTISET, so a rerun
+    with injected task failures is bit-identical
+    (``test_sketch_partials_retry_idempotent``).  The streaming variant
+    below cannot sort without a full barrier; its chunk grouping follows
+    arrival order, which changes only bounded-PQ TIE membership (counts
+    merge order-independently), and every query-facing ranking re-sorts
+    by (count, key) so oracle outputs never depend on it."""
+    blobs = sorted(b for b in blobs if b is not None)
     if not blobs:
         return b""
     while len(blobs) > fanin:
@@ -312,10 +323,11 @@ def global_sketch(
         nparts = None if est is None else -(-est // max(1, batch_size))
         merge_via = "driver" if (nparts is not None and nparts <= 512) else "aggregate"
     if merge_via == "driver":
-        # streaming variant of the tree merge: identical chunk grouping to
-        # tree_merge_blobs (in-order fanin-sized chunks) so the result is
-        # bit-identical, but chunk tasks launch while the map stage still
-        # produces
+        # streaming variant of the tree merge: in-order fanin-sized chunks,
+        # launched while the map stage still produces.  Chunk grouping
+        # follows ARRIVAL order (a full sort would reintroduce the barrier
+        # streaming exists to avoid); see tree_merge_blobs' docstring for
+        # why only bounded-PQ tie membership can vary with that order
         it = partials.iter_batches(batch_size=None, batch_format="pyarrow")
         (blob,) = tree_merge_many_streaming(it, ["sketch"])
         # zero partials (empty/filtered-away stream) → the sketch of the
