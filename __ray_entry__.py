@@ -5028,6 +5028,7 @@ def _built_index(sf_dir: str) -> str:
     )
 
 
+@_functools.lru_cache(maxsize=4)
 def _top2_terms(sf_dir: str) -> list:
     """The corpus's two most frequent tokens (count desc, token asc) —
     deterministic query terms both engines derive identically."""
@@ -5060,16 +5061,17 @@ def _q_search_top_cooccurring_docs(sf_dir: str):
     doc-id-masked doclens; MANIFEST fingerprint prevents stale reuse
     (same contract as the IVF index).  Query: each term reads ONLY its
     partition directory (pruned read, asserted in
-    ``test_inverted_index.py``), sorted-array intersection, integer
-    scores — hash-exact vs the SQL tokenize/tf/HAVING oracle."""
-    import pyarrow as pa
-
-    from hksketch.text.index import search_and
+    ``test_inverted_index.py``), then the DOC-SHARDED distributed
+    intersection (``search_and_distributed``: one bounded shuffle of the
+    query terms' postings, per-shard vectorized AND + top-k, global
+    ``sort().limit`` — the driver never holds a posting list), integer
+    scores — hash-exact vs the SQL tokenize/tf/HAVING oracle; tests
+    assert it row-identical to the driver-side ``search_and``."""
+    from hksketch.text.index import search_and_distributed
 
     idx = _built_index(sf_dir)
     terms = _top2_terms(sf_dir)
-    out = search_and(idx, terms, k=20)
-    return out
+    return search_and_distributed(idx, terms, k=20)
 
 
 def _q_bm25_top_docs(sf_dir: str):

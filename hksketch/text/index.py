@@ -263,6 +263,105 @@ def search_and(
     )
 
 
+def search_and_distributed(
+    index_dir: str,
+    terms: Sequence[str],
+    k: int = 20,
+    doc_shards: int = 16,
+):
+    """The SCALE path of :func:`search_and` (its docstring's documented
+    residual): instead of intersecting posting lists on the driver —
+    bounded by the rarest term's document frequency, which a 10^12-doc
+    corpus can blow past — the query terms' postings are read as a
+    Dataset (still only the terms' partition directories), ONE bounded
+    shuffle co-locates them by ``doc_id & (doc_shards-1)``, each shard
+    intersects and scores its own doc range vectorized, and the global
+    top-k is a ``sort().limit(k)`` over ≤ ``k × doc_shards`` candidate
+    rows.  The driver never holds a posting list.  Exact same result
+    contract as :func:`search_and` (Σtf desc, doc asc) — asserted
+    equal in tests.
+    """
+    import polars as pl
+    import ray.data as rd
+
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("search_and_distributed requires at least one term")
+    doc_shards = int(doc_shards)
+    if doc_shards & (doc_shards - 1):
+        raise ValueError(
+            f"doc_shards must be a power of two (got {doc_shards})"
+        )
+    n_terms = len(terms)
+    # read_parquet wants FILES when given a list — expand each term's
+    # partition dir (still only the terms' partitions: the pruned read)
+    paths = [
+        os.path.join(p, f)
+        for p in term_posting_paths(index_dir, terms)
+        if os.path.isdir(p)
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "score": pa.array([], type=pa.int64())}
+    )
+    if not paths:
+        return empty
+    ds = rd.read_parquet(paths, columns=["token", "doc_id", "tf"])
+    tset = set(terms)
+
+    def shard_rows(b: pa.Table) -> pa.Table:
+        tok = b.column("token").to_numpy(zero_copy_only=False)
+        keep = np.isin(tok, list(tset))
+        if not keep.any():
+            return pa.table(
+                {"dshard": pa.array([], type=pa.int32()),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "tf": pa.array([], type=pa.int64())}
+            )
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        tf = b.column("tf").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {"dshard": pa.array(
+                (doc & np.int64(doc_shards - 1)).astype(np.int32)),
+             "doc_id": pa.array(doc, type=pa.int64()),
+             "tf": pa.array(tf, type=pa.int64())}
+        )
+
+    rows = ds.map_batches(
+        shard_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def shard_topk(grp) -> pa.Table:
+        if not len(grp):
+            return empty
+        g = (
+            pl.from_pandas(grp[["doc_id", "tf"]])
+            .group_by("doc_id")
+            .agg(pl.len().alias("nt"), pl.col("tf").sum().alias("score"))
+            .filter(pl.col("nt") == n_terms)  # AND: every term present
+            .sort(["score", "doc_id"], descending=[True, False])
+            .head(k)
+        )
+        return pa.table(
+            {"doc_id": g["doc_id"].to_arrow().cast(pa.int64()),
+             "score": g["score"].to_arrow().cast(pa.int64())}
+        )
+
+    out = rows.groupby("dshard").map_groups(
+        shard_topk, batch_format="pandas"
+    ).sort(["score", "doc_id"], descending=[True, False]).limit(k)
+    # ≤ k result rows: land them as a typed Table (an all-empty map_groups
+    # output loses its schema through sort/limit — the known Ray empty-
+    # block hazard — and the typed concat fallback restores the contract)
+    from ..pipelines.ops import collect_blocks
+
+    blocks = [b.select(["doc_id", "score"]).cast(empty.schema)
+              for b in collect_blocks(out) if b.num_rows]
+    return pa.concat_tables(blocks or [empty])
+
+
 def _doclens_for(index_dir: str, doc_ids: np.ndarray) -> np.ndarray:
     """Pruned doclens lookup: reads only the dl_part partitions the
     candidate docs mask to."""

@@ -147,3 +147,27 @@ def test_build_rejects_non_pow2_partitions(ray_session, tmp_path):
         build_inverted_index(
             rd.from_arrow(docs), str(tmp_path / "bad"), partitions=12
         )
+
+
+def test_search_and_distributed_equals_driver_path(built):
+    """The doc-sharded scale path returns exactly the driver-side
+    intersection's rows (same AND semantics, same tie rule)."""
+    from hksketch.text.index import search_and, search_and_distributed
+
+    idx, _ = built
+    for terms in (["waa", "wab"], ["wba"], ["waa", "wab", "wac"],
+                  ["zzznotaterm"], ["waa", "zzznotaterm"]):
+        a = search_and(idx, terms, k=15).to_pandas()
+        b = search_and_distributed(idx, terms, k=15, doc_shards=4).to_pandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), terms
+        assert a["score"].tolist() == b["score"].tolist(), terms
+
+
+def test_search_and_distributed_guards(built):
+    from hksketch.text.index import search_and_distributed
+
+    idx, _ = built
+    with pytest.raises(ValueError):
+        search_and_distributed(idx, [])
+    with pytest.raises(ValueError):
+        search_and_distributed(idx, ["waa"], doc_shards=12)
