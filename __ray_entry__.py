@@ -5141,8 +5141,22 @@ def _q_zorder_user_window_counts(sf_dir: str):
             Count(alias_name="n_events"),
             Sum("value_milli", alias_name="value_milli"),
         )
+    ).sort("user_id")
+    # an all-empty filtered read loses its schema through the aggregate
+    # (Ray empty-block hazard); the result is ≤ #users-in-box rows, so a
+    # typed collect restores the column contract for the empty base case
+    from hksketch.pipelines.ops import collect_blocks
+
+    empty = pa.table(
+        {"user_id": pa.array([], type=pa.int64()),
+         "n_events": pa.array([], type=pa.int64()),
+         "value_milli": pa.array([], type=pa.int64())}
     )
-    return out.sort("user_id")
+    blocks = [
+        b.select(["user_id", "n_events", "value_milli"]).cast(empty.schema)
+        for b in collect_blocks(out) if b.num_rows
+    ]
+    return pa.concat_tables(blocks or [empty])
 
 
 def _q_cdc_dup_stats(sf_dir: str):
