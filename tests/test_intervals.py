@@ -172,3 +172,39 @@ def test_timestamp_us_columns(ray_session):
         .to_pandas().set_index("pid").sort_index()["n_containing"]
     )
     assert out.tolist() == [1, 0]
+
+
+def test_hot_bucket_bounded(ray_session):
+    """Skew edge: 10^4 intervals crammed into ONE time bucket must stay
+    vectorized (two searchsorted probes per point), not pairwise — the
+    whole join completes in seconds with exact counts."""
+    import time
+
+    import ray.data as rd
+
+    from hksketch.pipelines.intervals import interval_count_join
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 1000, size=10_000)
+    ivs = list(zip(s.tolist(), (s + rng.integers(0, 50, size=10_000)).tolist()))
+    pts = rng.integers(0, 1000, size=1_000).tolist()
+    t0 = time.monotonic()
+    out = (
+        interval_count_join(
+            rd.from_arrow(_pts(pts)), rd.from_arrow(_ivs(ivs)),
+            "ts", "event_id", "start", "end",
+            bucket_width=1 << 20, shards=8,  # everything in bucket 0
+        )
+        .to_pandas().set_index("pid").sort_index()
+    )
+    elapsed = time.monotonic() - t0
+    assert elapsed < 30, f"hot bucket took {elapsed:.1f}s"
+    sa = np.sort(s)
+    ea = np.sort(np.array([e for _, e in ivs]))
+    tarr = np.array(pts)
+    want = (
+        np.searchsorted(sa, tarr, side="right")
+        - np.searchsorted(ea, tarr, side="left")
+    )
+    got = out["n_containing"].to_numpy()
+    assert (got == want).all()
