@@ -186,7 +186,11 @@ class TopK:
     def _add_one_row(self, r: int, rh: int, fp: int, increment: int) -> int | None:
         """Scalar per-row update incl. the decay loop
         (src/heavykeeper.rs:294-328)."""
-        b = int(bucket_indices(np.array([rh], dtype=np.uint64), self.width)[0])
+        # pure-int bucket derivation (same math as hashing.bucket_indices):
+        # this fallback runs thousands of times per adversarial batch, and
+        # a per-call 1-element ndarray dominated its profile
+        w = self.width
+        b = (rh & (w - 1)) if (w & (w - 1)) == 0 else (rh % w)
         cur_fp = int(self.fp[r, b])
         cur_cnt = int(self.cnt[r, b])
         if cur_fp == fp or cur_cnt == 0:
