@@ -5159,6 +5159,52 @@ def _q_zorder_user_window_counts(sf_dir: str):
     return pa.concat_tables(blocks or [empty])
 
 
+def _q_docs_with_source_stats(sf_dir: str):
+    """STRING-KEY distributed hash join ⊕oracle: every document joined
+    to its source's aggregate profile ON THE SOURCE NAME — corpora join
+    on text keys (hostnames, URLs, feed names) as often as on ids, and
+    round 4 generalized ``ray_glue/joins.py`` beyond int64 (hk64 bytes
+    hash for the shard route, polars string join per shard; both key
+    families share one schema/plan derivation so they cannot drift).
+    The hash path is forced (small right side would otherwise
+    broadcast) to cross the sharded string machinery under the gate.
+    Exact integer outputs — hash-exact vs the SQL GROUP-BY-subquery
+    join."""
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import exact_counts, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    stats = exact_counts(
+        read_table(sf_dir, "documents", ["source", "n_chars"]),
+        "source", weight_col="n_chars", count_name="src_chars",
+    )
+    ndocs = exact_counts(
+        read_table(sf_dir, "documents", ["source"]),
+        "source", count_name="src_docs",
+    )
+    right = hash_join(
+        ndocs, stats, "source", shards=32,
+        lschema=pa.schema([("source", pa.string()),
+                           ("src_docs", pa.int64())]),
+        rschema=pa.schema([("source", pa.string()),
+                           ("src_chars", pa.int64())]),
+    )
+    out = hash_join(
+        docs, right, "source", shards=32,
+        lschema=pa.schema([("doc_id", pa.int64()),
+                           ("source", pa.string()),
+                           ("n_chars", pa.int64())]),
+        rschema=pa.schema([("source", pa.large_string()),
+                           ("src_docs", pa.int64()),
+                           ("src_chars", pa.int64())]),
+    )
+    return out.select_columns(
+        ["doc_id", "source", "n_chars", "src_docs", "src_chars"]
+    ).sort("doc_id")
+
+
 def _q_cdc_dup_stats(sf_dir: str):
     """Content-defined-chunking dedup (Gear/FastCDC lineage): per-doc
     duplicate-BYTE statistics over variable-size content-defined chunks
@@ -6740,6 +6786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dup_stats": _q_cdc_dup_stats,
         "search_top_cooccurring_docs": _q_search_top_cooccurring_docs,
         "zorder_user_window_counts": _q_zorder_user_window_counts,
+        "docs_with_source_stats": _q_docs_with_source_stats,
         "bm25_top_docs": _q_bm25_top_docs,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "active_sessions_at_signup": _q_active_sessions_at_signup,
@@ -7974,6 +8021,17 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "docs_with_source_stats": """
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS src_docs,
+         CAST(sum(n_chars) AS BIGINT) AS src_chars
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars, s.src_docs, s.src_chars
+FROM documents d JOIN s USING (source)
+ORDER BY d.doc_id
 """,
         "zorder_user_window_counts": """
 SELECT user_id,

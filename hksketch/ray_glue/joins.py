@@ -35,12 +35,50 @@ from ..hashing import splitmix64
 U64 = np.uint64
 
 
+def _key_type(lschema, rschema, on: str, right_on: str) -> "pa.DataType":
+    """The join-key carrier type: int64 for integer keys, large_string
+    for string keys (URLs, hostnames, source names — corpora join on
+    text as often as on ids).  Both sides must agree on the family."""
+    def fam(t):
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "str"
+        return None
+
+    lt = dict(zip(lschema.names, lschema.types)).get(on)
+    rt = dict(zip(rschema.names, rschema.types)).get(right_on)
+    lf, rf = fam(lt), fam(rt)
+    if lf is None or rf is None or lf != rf:
+        raise TypeError(
+            f"join keys must both be integer or both string; got "
+            f"{on}:{lt} vs {right_on}:{rt}"
+        )
+    return pa.int64() if lf == "int" else pa.large_string()
+
+
+def _key_shards(key: pa.Array, shards: int) -> np.ndarray:
+    """Vectorized shard derivation for either key family (strings via
+    the process-independent hk64 bytes hash)."""
+    if pa.types.is_integer(key.type):
+        kf = (
+            pa.compute.fill_null(key, 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return (splitmix64(kf.view(U64)) & U64(shards - 1)).astype(np.int32)
+    from ..hashing import hash_array
+
+    h = hash_array(pa.compute.fill_null(key, ""), 1, fn="hk64")
+    return (h & U64(shards - 1)).astype(np.int32)
+
+
 def _join_columns(lschema, rschema, on: str, right_on: str, suffix: str):
     """The ONE copy of the join output-column derivation shared by
     hash_join and broadcast_join (so skew_join's union of the two plans
     can never drift schema-wise): returns (ltypes, rtypes, lcols, rcols,
     rename, out_lcols, out_rcols, out_schema).  Key appears once, named
-    ``on`` (int64); right-side name clashes get ``suffix``."""
+    ``on`` (int64 or large_string per :func:`_key_type`); right-side
+    name clashes get ``suffix``."""
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     lcols = list(lschema.names)
@@ -48,8 +86,9 @@ def _join_columns(lschema, rschema, on: str, right_on: str, suffix: str):
     rename = {c: (c + suffix if c in lcols else c) for c in rcols}
     out_lcols = [c for c in lcols if c != on]
     out_rcols = [rename[c] for c in rcols]
+    ktype = _key_type(lschema, rschema, on, right_on)
     out_schema = pa.schema(
-        [(on, pa.int64())]
+        [(on, ktype)]
         + [(c, ltypes[c]) for c in out_lcols]
         + [(rename[c], rtypes[c]) for c in rcols]
     )
@@ -76,7 +115,8 @@ def hash_join(
     lschema=None,
     rschema=None,
 ):
-    """Equi-join two Datasets on an int64 key; returns a Dataset.
+    """Equi-join two Datasets on an integer or string key; returns a
+    Dataset.
 
     ``how``: ``"inner"`` or ``"left"``.  Right-side columns whose names
     clash with left-side ones get ``suffix``.  The key appears once, named
@@ -107,6 +147,7 @@ def hash_join(
     ltypes, rtypes, lcols, rcols, rename, out_lcols, out_rcols, _ = (
         _join_columns(lschema, rschema, on, right_on, suffix)
     )
+    ktype = _key_type(lschema, rschema, on, right_on)
 
     if shards == "auto":
         est = (estimate_rows(left) or 0) + (estimate_rows(right) or 0)
@@ -138,19 +179,15 @@ def hash_join(
             if not keep_nulls:
                 batch = batch.filter(pa.compute.is_valid(key))
                 key = batch.column(key_col)
-            key = key.combine_chunks().cast(pa.int64())
-            kf = (
-                pa.compute.fill_null(key, 0)
-                .to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            shard = (splitmix64(kf.view(U64)) & U64(shards - 1)).astype(np.int32)
-            n = len(kf)
+            key = key.combine_chunks().cast(ktype)
+            shard = _key_shards(key, shards)
+            n = len(key)
             cols: dict = {
                 "__key": key,
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
                 "__shard": pa.array(shard, type=pa.int32()),
             }
-            k = kf  # length source for the null pads below
+            k = shard  # length source for the null pads below
             for name, typ in lfields:
                 cols[name] = (
                     batch.column(name).cast(typ) if side == 0
@@ -174,7 +211,7 @@ def hash_join(
     both = lnorm.union(rnorm)
 
     out_schema = pa.schema(
-        [("__key", pa.int64())]
+        [("__key", ktype)]
         + [(n, t) for n, t in lfields]
         + [(n, t) for n, t in rfields]
     )
@@ -246,6 +283,7 @@ def broadcast_join(
         lschema, rschema, on, right_on, suffix
     )
 
+    ktype = _key_type(lschema, rschema, on, right_on)
     blocks = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows > 0]
     if blocks:
         rt = pa.concat_tables(
@@ -253,7 +291,7 @@ def broadcast_join(
         ).combine_chunks()
     else:
         rt = rschema.empty_table().select([right_on] + rcols)
-    cols = {on: rt.column(right_on).cast(pa.int64())}
+    cols = {on: rt.column(right_on).cast(ktype)}
     for c in rcols:
         cols[rename[c]] = rt.column(c)
     rt = pa.table(cols)
@@ -264,7 +302,7 @@ def broadcast_join(
 
         r = ray.get(rref)
         lt = pa.table(
-            {on: b.column(on).cast(pa.int64()),
+            {on: b.column(on).cast(ktype),
              **{c: b.column(c) for c in lcols if c != on}}
         )
         j = pl.from_arrow(lt).join(

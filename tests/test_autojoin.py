@@ -189,3 +189,71 @@ def test_skew_join_right_hot_bound_raises(ray_session):
             hot_min_share_ppm=100_000, max_hot_right_rows=10,
             lschema=lt.schema, rschema=rt.schema,
         )
+
+
+SLT = pa.table(
+    {"src": pa.array(["alpha", "beta", "beta", "gamma", None, "omega"]),
+     "a": pa.array(["p", "q", "r", "s", "t", "u"]),
+     "n": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64())}
+)
+SRT = pa.table(
+    {"src": pa.array(["beta", "beta", "gamma", None, "zeta"]),
+     "a": pa.array(["x1", "x2", "x3", "x4", "x5"]),
+     "w": pa.array([10, 20, 30, 40, 50], type=pa.int64())}
+)
+
+
+def _want_str(how: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("lt", SLT)
+    con.register("rt", SRT)
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    return (
+        con.sql(
+            f"""SELECT lt.src, lt.a, lt.n, rt.a AS a_r, rt.w
+                FROM lt {join} rt ON lt.src = rt.src"""
+        )
+        .df()
+        .sort_values(["n", "a_r"], na_position="last")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("plan", ["hash", "broadcast"])
+def test_string_key_join_matches_duckdb(ray_session, how, plan):
+    """String keys take the hk64 shard path (hash) / polars string join
+    (broadcast) with identical SQL semantics: dup keys fan out, null
+    keys never match, left join preserves unmatched+null-key rows."""
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import broadcast_join, hash_join
+
+    lt = rd.from_arrow(SLT).repartition(3)
+    rt = rd.from_arrow(SRT).repartition(2)
+    fn = hash_join if plan == "hash" else broadcast_join
+    kw = {"shards": 8} if plan == "hash" else {}
+    out = fn(lt, rt, "src", how=how,
+             lschema=SLT.schema, rschema=SRT.schema, **kw)
+    got = (
+        out.to_pandas()[["src", "a", "n", "a_r", "w"]]
+        .sort_values(["n", "a_r"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = _want_str(how)
+    pd.testing.assert_frame_equal(
+        got.astype({"w": "float64"}), want.astype({"w": "float64"}),
+        check_dtype=False,
+    )
+
+
+def test_mixed_key_family_raises(ray_session):
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join
+
+    lt = rd.from_arrow(SLT)
+    rt = rd.from_arrow(RT)
+    with pytest.raises(TypeError, match="integer or both string"):
+        hash_join(lt, rt, "src", right_on="k",
+                  lschema=SLT.schema, rschema=RT.schema, shards=8)
