@@ -407,12 +407,13 @@ def skew_join(
         lschema = left.schema()
     if rschema is None:
         rschema = right.schema()
+    ktype = _key_type(lschema, rschema, on, right_on)
 
     def key_only(b: pa.Table) -> pa.Table:
         key = b.column(on)
         # null keys never match in an inner join — they can't be hot
         return pa.table(
-            {on: key.filter(pa.compute.is_valid(key)).cast(pa.int64())}
+            {on: key.filter(pa.compute.is_valid(key)).cast(ktype)}
         )
 
     keys_ds = left.map_batches(
@@ -428,11 +429,12 @@ def skew_join(
     blob = global_sketch(keys_ds, cfg, key_col=on)
     sk = sketch_from_bytes(blob)
     threshold = max(1, (int(total) * int(hot_min_share_ppm)) // 1_000_000)
+    # sketch items round-trip in the key's own family (string hot keys
+    # arrive back as str, int ones as int)
     hot = sorted(
-        int(item) for item, est in sk.list()[: int(hot_k)]
-        if est >= threshold
+        item for item, est in sk.list()[: int(hot_k)] if est >= threshold
     )
-    hot_set = pa.array(hot, type=pa.int64())
+    hot_set = pa.array(hot, type=ktype)
 
     if not hot:
         ds = hash_join(
@@ -443,8 +445,7 @@ def skew_join(
 
     right_hot = right.map_batches(
         lambda b: b.filter(
-            pc.is_in(pc.cast(b.column(right_on), pa.int64()),
-                     value_set=hot_set)
+            pc.is_in(pc.cast(b.column(right_on), ktype), value_set=hot_set)
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
@@ -460,7 +461,7 @@ def skew_join(
     right_cold = right.map_batches(
         lambda b: b.filter(
             pc.invert(
-                pc.is_in(pc.cast(b.column(right_on), pa.int64()),
+                pc.is_in(pc.cast(b.column(right_on), ktype),
                          value_set=hot_set)
             )
         ),

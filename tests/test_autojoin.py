@@ -257,3 +257,44 @@ def test_mixed_key_family_raises(ray_session):
     with pytest.raises(TypeError, match="integer or both string"):
         hash_join(lt, rt, "src", right_on="k",
                   lschema=SLT.schema, rschema=RT.schema, shards=8)
+
+
+def test_skew_join_string_keys(ray_session):
+    """String-keyed skew join: a hot hostname routes through the
+    broadcast plan; union equals the plain string hash join."""
+    import numpy as np
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(0)
+    hosts = ["hot.example"] * 5000 + [
+        f"cold{i}.example" for i in rng.integers(0, 200, size=5000)
+    ]
+    lt = pa.table(
+        {"host": pa.array(hosts),
+         "n": pa.array(range(len(hosts)), type=pa.int64())}
+    )
+    rt = pa.table(
+        {"host": pa.array(
+            ["hot.example"] + [f"cold{i}.example" for i in range(200)]),
+         "w": pa.array(range(201), type=pa.int64())}
+    )
+    l = rd.from_arrow(lt).repartition(4)
+    r = rd.from_arrow(rt).repartition(2)
+    out, hot = skew_join(
+        l, r, "host", shards=16, hot_k=8, hot_min_share_ppm=100_000,
+        lschema=lt.schema, rschema=rt.schema, explain=True,
+    )
+    assert hot == ["hot.example"]
+    got = (
+        out.to_pandas().sort_values(["n"]).reset_index(drop=True)
+    )
+    want = (
+        hash_join(l, r, "host", shards=16,
+                  lschema=lt.schema, rschema=rt.schema)
+        .to_pandas().sort_values(["n"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["host", "n", "w"]], want[["host", "n", "w"]]
+    )
