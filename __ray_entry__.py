@@ -5159,6 +5159,73 @@ def _q_zorder_user_window_counts(sf_dir: str):
     return pa.concat_tables(blocks or [empty])
 
 
+def _q_streaming_windowed_user_sums(sf_dir: str):
+    """Event-time STREAMING tumbling windows ⊕oracle
+    (``ray_glue/windows.py`` — Flink-style watermarks, allowed lateness,
+    exactly-once finalization): the events table replayed as an
+    out-of-order stream (deterministic shuffle WITHIN 1-hour buckets, so
+    event-time disorder is bounded by 1 h in TIME at any scale factor),
+    aggregated into 6-hour windows per user by key-hash shard actors;
+    windows finalize when the source watermark passes end + 2 h
+    lateness and are emitted exactly once.  Disorder (≤ 1 h) < lateness
+    (2 h) PROVES zero late drops (asserted — the query raises if the
+    bound breaks), so the streamed result equals the batch SQL groupby
+    bit-exactly.  The driver loop here is the stream SOURCE (simulation
+    feed); all aggregation state lives in the shard actors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hksketch.hashing import splitmix64
+    from hksketch.ray_glue.windows import WindowedAggregator
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # deterministic bounded disorder: order by (hour bucket, splitmix64)
+    hour = ts // 3_600_000_000
+    jig = splitmix64(ts.view(np.uint64) + np.uint64(7))
+    order = np.lexsort((jig, hour))
+    keys = t.column("user_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )[order]
+    ts_o = ts[order]
+    vals = pc.cast(
+        pc.round(pc.multiply(t.column("value"), pa.scalar(1000.0))),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)[order]
+
+    agg = WindowedAggregator(
+        window_seconds=6 * 3600, allowed_lateness_seconds=2 * 3600,
+        shards=4, key_col="key", ts_col="ts", value_col="value",
+    )
+    parts = []
+    try:
+        for i in range(0, len(ts_o), 1000):
+            agg.add_batch(pa.table(
+                {"key": pa.array(keys[i:i+1000], type=pa.int64()),
+                 "ts": pa.array(ts_o[i:i+1000], type=pa.int64()),
+                 "value": pa.array(vals[i:i+1000], type=pa.int64())}
+            ))
+            got = agg.poll()
+            if got.num_rows:
+                parts.append(got)
+        parts.append(agg.flush())
+        if agg.late_dropped() != 0:
+            raise AssertionError(
+                "bounded-disorder invariant broken: "
+                f"{agg.late_dropped()} late drops"
+            )
+    finally:
+        agg.shutdown()
+    out = pa.concat_tables(parts)
+    return out.sort_by(
+        [("window_start", "ascending"), ("key", "ascending")]
+    )
+
+
 def _q_docs_with_source_stats(sf_dir: str):
     """STRING-KEY distributed hash join ⊕oracle: every document joined
     to its source's aggregate profile ON THE SOURCE NAME — corpora join
@@ -6787,6 +6854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_top_cooccurring_docs": _q_search_top_cooccurring_docs,
         "zorder_user_window_counts": _q_zorder_user_window_counts,
         "docs_with_source_stats": _q_docs_with_source_stats,
+        "streaming_windowed_user_sums": _q_streaming_windowed_user_sums,
         "bm25_top_docs": _q_bm25_top_docs,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "active_sessions_at_signup": _q_active_sessions_at_signup,
@@ -8021,6 +8089,16 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "streaming_windowed_user_sums": """
+SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start,
+       user_id AS key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, key
 """,
         "docs_with_source_stats": """
 WITH s AS (

@@ -1,0 +1,267 @@
+"""Event-time streaming windows with watermarks and allowed lateness.
+
+The streaming-window member of the engine's live surface (the prompt's
+"streaming window" custom operator; ``streaming.py`` covers
+query-at-any-time SKETCHES — this covers Flink-style event-time
+TUMBLING-WINDOW aggregation over an unbounded, out-of-order stream):
+
+- events carry their own (event-time) timestamps and arrive out of
+  order; each is assigned to the tumbling window ``ts // W * W``;
+- each KEY-HASH shard actor folds per-(window, key) integer partials
+  vectorized (np.unique over composite codes, never a per-row loop)
+  and tracks its local watermark = max event ts seen;
+- the GLOBAL watermark is the SOURCE watermark: the max event ts the
+  facade has ingested.  (Key-hash shards are not independent sources —
+  an idle shard must not stall the watermark at −∞, the classic
+  idle-partition hazard.  With multiple independent FACADES feeding
+  one downstream, take the min of their source watermarks — the
+  standard multi-input rule — which is exactly what
+  ``WindowShard.poll_finalized`` supports: it finalizes against
+  whatever watermark the coordinator hands it and only ratchets.);
+- a window FINALIZES when ``window_end + allowed_lateness <= global
+  watermark``: it is emitted exactly once and evicted from shard state,
+  so actor memory is bounded by ACTIVE windows × keys, not stream
+  length;
+- an event arriving for an already-finalized window is LATE: counted
+  (``late_dropped``) and dropped, never silently lost — the
+  drop-after-lateness behavior of a production stream processor, made
+  loud.
+
+Determinism: given the same batch sequence per shard, emitted windows,
+totals and late counts are identical (watermarks are pure maxima; the
+fold is associative integer addition), so tests can assert exact
+outputs and compare on-time totals against a batch recompute.
+
+Reference scope note: the reference engine streams but has no windowed
+aggregation (`/root/reference/src` exposes add/query only); this module
+is part of the engine-extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..hashing import splitmix64
+
+U64 = np.uint64
+
+_OUT_SCHEMA = pa.schema(
+    [("window_start", pa.int64()),
+     ("key", pa.int64()),
+     ("n_events", pa.int64()),
+     ("value_sum", pa.int64())]
+)
+
+
+@ray.remote
+class WindowShard:
+    """One key-hash shard of the windowed aggregator.  State:
+    ``{window_start: {key: [n, sum]}}`` plus the local watermark and the
+    last GLOBAL watermark this shard finalized against."""
+
+    def __init__(self, window_us: int, lateness_us: int):
+        self.w = int(window_us)
+        self.late = int(lateness_us)
+        self.state: dict = {}
+        self.local_wm = -(1 << 62)
+        self.last_gw = -(1 << 62)
+        self.late_dropped = 0
+
+    def add_batch(self, keys, ts, values) -> int:
+        """Fold a batch (int64 arrays); returns this shard's local
+        watermark after the batch."""
+        keys = np.asarray(keys, dtype=np.int64)
+        ts = np.asarray(ts, dtype=np.int64)
+        values = np.asarray(values, dtype=np.int64)
+        if len(ts):
+            self.local_wm = max(self.local_wm, int(ts.max()))
+            win = (ts // self.w) * self.w
+            # late = the window was already finalized against last_gw
+            late = (win + self.w + self.late) <= self.last_gw
+            n_late = int(late.sum())
+            if n_late:
+                self.late_dropped += n_late
+                keep = ~late
+                keys, win, values = keys[keep], win[keep], values[keep]
+            if len(win):
+                # vectorized per-(window, key) fold
+                order = np.lexsort((keys, win))
+                w_s, k_s, v_s = win[order], keys[order], values[order]
+                new = np.concatenate(
+                    ([True], (w_s[1:] != w_s[:-1]) | (k_s[1:] != k_s[:-1]))
+                )
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.append(starts, len(w_s)))
+                vs = np.add.reduceat(v_s, starts)
+                for i, st in enumerate(starts):
+                    slot = self.state.setdefault(
+                        int(w_s[st]), {}
+                    ).setdefault(int(k_s[st]), [0, 0])
+                    slot[0] += int(cnt[i])
+                    slot[1] += int(vs[i])
+        return self.local_wm
+
+    def watermark(self) -> int:
+        return self.local_wm
+
+    def poll_finalized(self, global_wm: int) -> bytes:
+        """Emit (serialized Arrow) every window with
+        ``end + lateness <= global_wm``, evicting it — exactly-once."""
+        self.last_gw = max(self.last_gw, int(global_wm))
+        done = [
+            ws for ws in self.state
+            if ws + self.w + self.late <= self.last_gw
+        ]
+        rows_w: List[int] = []
+        rows_k: List[int] = []
+        rows_n: List[int] = []
+        rows_v: List[int] = []
+        for ws in sorted(done):
+            for k in sorted(self.state[ws]):
+                n, v = self.state[ws][k]
+                rows_w.append(ws)
+                rows_k.append(k)
+                rows_n.append(n)
+                rows_v.append(v)
+            del self.state[ws]
+        t = pa.table(
+            {"window_start": pa.array(rows_w, type=pa.int64()),
+             "key": pa.array(rows_k, type=pa.int64()),
+             "n_events": pa.array(rows_n, type=pa.int64()),
+             "value_sum": pa.array(rows_v, type=pa.int64())}
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as wr:
+            wr.write_table(t)
+        return sink.getvalue().to_pybytes()
+
+    def flush(self) -> bytes:
+        """End-of-stream: finalize everything still active."""
+        return self.poll_finalized(1 << 62)
+
+    def stats(self) -> dict:
+        return {"late_dropped": self.late_dropped,
+                "active_windows": len(self.state),
+                "local_watermark": self.local_wm}
+
+
+def _read_ipc(blob: bytes) -> pa.Table:
+    with pa.ipc.open_stream(pa.BufferReader(blob)) as rd:
+        return rd.read_all()
+
+
+class WindowedAggregator:
+    """Driver facade: key-hash routing to shard actors, min-of-shards
+    global watermark, exactly-once window emission.
+
+    ``add_batch(table)`` routes rows by ``splitmix64(key) & mask`` so a
+    (window, key) pair lives on exactly ONE shard — finalized outputs
+    concatenate with no cross-shard merge.  ``poll()`` advances the
+    global watermark and returns newly-finalized windows; ``flush()``
+    finalizes everything (end of stream).  Values must be pre-scaled
+    int64 (the engine's exact-integer discipline).
+    """
+
+    def __init__(
+        self,
+        window_seconds: float,
+        allowed_lateness_seconds: float = 0.0,
+        shards: int = 4,
+        key_col: str = "key",
+        ts_col: str = "ts",
+        value_col: Optional[str] = "value",
+    ):
+        if window_seconds <= 0:
+            raise ValueError("window_seconds must be > 0")
+        if allowed_lateness_seconds < 0:
+            raise ValueError("allowed_lateness_seconds must be >= 0")
+        shards = int(shards)
+        if shards < 1 or shards & (shards - 1):
+            raise ValueError(f"shards must be a power of two (got {shards})")
+        self.w_us = int(window_seconds * 1_000_000)
+        self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        self.n_shards = shards
+        self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
+        self.src_wm = -(1 << 62)
+        self.shards = [
+            WindowShard.remote(self.w_us, self.late_us)
+            for _ in range(shards)
+        ]
+
+    def _cols(self, batch: pa.Table):
+        keys = batch.column(self.key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ts = batch.column(self.ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        ts = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.value_col is None:
+            vals = np.ones(len(keys), dtype=np.int64)
+        else:
+            vals = batch.column(self.value_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        return keys, ts, vals
+
+    def add_batch(self, batch: pa.Table) -> None:
+        keys, ts, vals = self._cols(batch)
+        if len(ts):
+            self.src_wm = max(self.src_wm, int(ts.max()))
+        shard = (splitmix64(keys.view(U64)) & U64(self.n_shards - 1)).astype(
+            np.int64
+        )
+        refs = []
+        for s in range(self.n_shards):
+            m = shard == s
+            if m.any():
+                refs.append(
+                    self.shards[s].add_batch.remote(keys[m], ts[m], vals[m])
+                )
+        ray.get(refs)  # backpressure: one in-flight wave per caller batch
+
+    def global_watermark(self) -> int:
+        """The facade's SOURCE watermark (max ingested event ts) — see
+        the module docstring for the idle-shard rationale."""
+        return self.src_wm
+
+    def poll(self) -> pa.Table:
+        gw = self.global_watermark()
+        blobs = ray.get(
+            [s.poll_finalized.remote(gw) for s in self.shards]
+        )
+        parts = [_read_ipc(b) for b in blobs]
+        t = pa.concat_tables([p for p in parts if p.num_rows]
+                             or [_OUT_SCHEMA.empty_table()])
+        return t.sort_by([("window_start", "ascending"),
+                          ("key", "ascending")])
+
+    def flush(self) -> pa.Table:
+        blobs = ray.get([s.flush.remote() for s in self.shards])
+        parts = [_read_ipc(b) for b in blobs]
+        t = pa.concat_tables([p for p in parts if p.num_rows]
+                             or [_OUT_SCHEMA.empty_table()])
+        return t.sort_by([("window_start", "ascending"),
+                          ("key", "ascending")])
+
+    def late_dropped(self) -> int:
+        return sum(
+            s["late_dropped"]
+            for s in ray.get([sh.stats.remote() for sh in self.shards])
+        )
+
+    def active_windows(self) -> int:
+        return sum(
+            s["active_windows"]
+            for s in ray.get([sh.stats.remote() for sh in self.shards])
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
