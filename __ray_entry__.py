@@ -5226,6 +5226,59 @@ def _q_streaming_windowed_user_sums(sf_dir: str):
     )
 
 
+def _q_streaming_sliding_user_counts(sf_dir: str):
+    """Sliding (hopping) STREAMING windows ⊕oracle: 6-hour windows
+    every 3 hours — each event lands in exactly 2 overlapping windows
+    (bounded ×2 fan-out inside the shard fold), same watermark /
+    exactly-once / bounded-disorder machinery as the tumbling query.
+    Counts only (``value_col=None`` → value_sum == n_events), gated
+    bit-exact against the CROSS-JOIN-exploded batch SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hksketch.hashing import splitmix64
+    from hksketch.ray_glue.windows import WindowedAggregator
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hour = ts // 3_600_000_000
+    jig = splitmix64(ts.view(np.uint64) + np.uint64(11))
+    order = np.lexsort((jig, hour))
+    keys = t.column("user_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )[order]
+    ts_o = ts[order]
+
+    agg = WindowedAggregator(
+        window_seconds=6 * 3600, allowed_lateness_seconds=2 * 3600,
+        shards=4, key_col="key", ts_col="ts", value_col=None,
+        slide_seconds=3 * 3600,
+    )
+    parts = []
+    try:
+        for i in range(0, len(ts_o), 1000):
+            agg.add_batch(pa.table(
+                {"key": pa.array(keys[i:i+1000], type=pa.int64()),
+                 "ts": pa.array(ts_o[i:i+1000], type=pa.int64())}
+            ))
+            got = agg.poll()
+            if got.num_rows:
+                parts.append(got)
+        parts.append(agg.flush())
+        if agg.late_dropped() != 0:
+            raise AssertionError(
+                "bounded-disorder invariant broken: "
+                f"{agg.late_dropped()} late drops"
+            )
+    finally:
+        agg.shutdown()
+    out = pa.concat_tables(parts)
+    return out.sort_by(
+        [("window_start", "ascending"), ("key", "ascending")]
+    )
+
+
 def _q_docs_with_source_stats(sf_dir: str):
     """STRING-KEY distributed hash join ⊕oracle: every document joined
     to its source's aggregate profile ON THE SOURCE NAME — corpora join
@@ -6855,6 +6908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_user_window_counts": _q_zorder_user_window_counts,
         "docs_with_source_stats": _q_docs_with_source_stats,
         "streaming_windowed_user_sums": _q_streaming_windowed_user_sums,
+        "streaming_sliding_user_counts": _q_streaming_sliding_user_counts,
         "bm25_top_docs": _q_bm25_top_docs,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "active_sessions_at_signup": _q_active_sessions_at_signup,
@@ -8089,6 +8143,16 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "streaming_sliding_user_counts": """
+SELECT (epoch_us(ts) // 10800000000) * 10800000000
+         - j * 10800000000 AS window_start,
+       user_id AS key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS value_sum
+FROM events CROSS JOIN (VALUES (0), (1)) AS t(j)
+GROUP BY 1, 2
+ORDER BY window_start, key
 """,
         "streaming_windowed_user_sums": """
 SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start,

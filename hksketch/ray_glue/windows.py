@@ -64,9 +64,10 @@ class WindowShard:
     ``{window_start: {key: [n, sum]}}`` plus the local watermark and the
     last GLOBAL watermark this shard finalized against."""
 
-    def __init__(self, window_us: int, lateness_us: int):
+    def __init__(self, window_us: int, lateness_us: int, slide_us: int = 0):
         self.w = int(window_us)
         self.late = int(lateness_us)
+        self.slide = int(slide_us) or self.w
         self.state: dict = {}
         self.local_wm = -(1 << 62)
         self.last_gw = -(1 << 62)
@@ -74,13 +75,26 @@ class WindowShard:
 
     def add_batch(self, keys, ts, values) -> int:
         """Fold a batch (int64 arrays); returns this shard's local
-        watermark after the batch."""
+        watermark after the batch.  Sliding mode assigns each event to
+        its ``window/slide`` overlapping windows (bounded fan-out, the
+        hopping-window standard); ``late_dropped`` then counts dropped
+        (event, window) ASSIGNMENTS — an event can be late for its
+        oldest window yet on time for its newest."""
         keys = np.asarray(keys, dtype=np.int64)
         ts = np.asarray(ts, dtype=np.int64)
         values = np.asarray(values, dtype=np.int64)
         if len(ts):
             self.local_wm = max(self.local_wm, int(ts.max()))
-            win = (ts // self.w) * self.w
+            k = self.w // self.slide
+            win = (ts // self.slide) * self.slide  # newest window start
+            if k > 1:
+                reps = len(ts)
+                off = np.tile(
+                    np.arange(k, dtype=np.int64) * self.slide, reps
+                )
+                win = np.repeat(win, k) - off
+                keys = np.repeat(keys, k)
+                values = np.repeat(values, k)
             # late = the window was already finalized against last_gw
             late = (win + self.w + self.late) <= self.last_gw
             n_late = int(late.sum())
@@ -175,6 +189,7 @@ class WindowedAggregator:
         key_col: str = "key",
         ts_col: str = "ts",
         value_col: Optional[str] = "value",
+        slide_seconds: Optional[float] = None,
     ):
         if window_seconds <= 0:
             raise ValueError("window_seconds must be > 0")
@@ -185,11 +200,21 @@ class WindowedAggregator:
             raise ValueError(f"shards must be a power of two (got {shards})")
         self.w_us = int(window_seconds * 1_000_000)
         self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        slide_us = (
+            self.w_us if slide_seconds is None
+            else int(slide_seconds * 1_000_000)
+        )
+        if slide_us <= 0 or self.w_us % slide_us != 0:
+            raise ValueError(
+                f"slide ({slide_us}us) must be > 0 and divide the window "
+                f"({self.w_us}us)"
+            )
+        self.slide_us = slide_us
         self.n_shards = shards
         self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
         self.src_wm = -(1 << 62)
         self.shards = [
-            WindowShard.remote(self.w_us, self.late_us)
+            WindowShard.remote(self.w_us, self.late_us, slide_us)
             for _ in range(shards)
         ]
 

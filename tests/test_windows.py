@@ -160,3 +160,61 @@ def test_window_guards(ray_session):
         WindowedAggregator(window_seconds=1, allowed_lateness_seconds=-1)
     with pytest.raises(ValueError):
         WindowedAggregator(window_seconds=1, shards=3)
+
+
+def test_sliding_windows_match_batch_recompute(ray_session):
+    """Hopping mode (window 20s, slide 10s): every event lands in 2
+    windows; streamed totals equal the exploded batch recompute."""
+    import pandas as pd
+
+    from hksketch.ray_glue.windows import WindowedAggregator
+
+    rng = np.random.default_rng(2)
+    n = 5_000
+    ts = np.sort(rng.integers(0, 120_000_000, size=n))
+    keys = rng.integers(0, 8, size=n)
+    vals = rng.integers(1, 50, size=n)
+
+    agg = WindowedAggregator(
+        window_seconds=20, allowed_lateness_seconds=5, shards=2,
+        slide_seconds=10,
+    )
+    try:
+        parts = []
+        for i in range(0, n, 700):
+            agg.add_batch(_batch(keys[i:i+700], ts[i:i+700], vals[i:i+700]))
+            t = agg.poll()
+            if t.num_rows:
+                parts.append(t)
+        parts.append(agg.flush())
+        assert agg.late_dropped() == 0  # in-order feed
+        got = (
+            pa.concat_tables(parts).to_pandas()
+            .sort_values(["window_start", "key"]).reset_index(drop=True)
+        )
+        rows = []
+        for j in (0, 1):
+            w = (ts // 10_000_000) * 10_000_000 - j * 10_000_000
+            rows.append(pd.DataFrame(
+                {"window_start": w, "key": keys, "value": vals}
+            ))
+        want = (
+            pd.concat(rows)
+            .groupby(["window_start", "key"])
+            .agg(n_events=("value", "size"), value_sum=("value", "sum"))
+            .reset_index()
+            .sort_values(["window_start", "key"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n_events": "int64", "value_sum": "int64"}),
+            want.astype({"n_events": "int64", "value_sum": "int64"}),
+        )
+    finally:
+        agg.shutdown()
+
+
+def test_sliding_guard(ray_session):
+    from hksketch.ray_glue.windows import WindowedAggregator
+
+    with pytest.raises(ValueError, match="divide the window"):
+        WindowedAggregator(window_seconds=20, slide_seconds=7)
