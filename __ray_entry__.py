@@ -5279,6 +5279,76 @@ def _q_streaming_sliding_user_counts(sf_dir: str):
     )
 
 
+def _q_streaming_windowed_topk_users(sf_dir: str):
+    """Streaming per-window HEAVY HITTERS ⊕oracle — the flagship sketch
+    fused with the event-time window machinery
+    (``windows.WindowedTopK``): each 6-hour window's top-10 users by
+    event count, computed by per-shard BucketedTopK sketches that merge
+    cross-shard at finalization (C11 merge as the combiner — mergeable
+    sketches are exactly what makes per-window state cheap and
+    late-merged).  Same bounded-disorder replay and zero-drop proof as
+    the other streaming queries; width ≫ per-window user cardinality
+    puts the sketch in its exact regime, so the gated comparison is
+    bit-exact against the SQL per-window row_number top-10."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hksketch.hashing import splitmix64
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.windows import WindowedTopK
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hour = ts // 3_600_000_000
+    jig = splitmix64(ts.view(np.uint64) + np.uint64(13))
+    order = np.lexsort((jig, hour))
+    # string keys (the reference's native item type); ZERO-PADDED so the
+    # sketch's string tie order equals the SQL oracle's integer tie
+    # order at the top-k cutoff
+    users = t.column("user_id").to_numpy(zero_copy_only=False)[order]
+    keys = np.array([f"u{int(u):09d}" for u in users], dtype=object)
+    ts_o = ts[order]
+
+    # PQ capacity far above per-window user cardinality: with every
+    # user TRACKED, the count-1 tie group at the top-10 cutoff resolves
+    # by the deterministic (count desc, key asc) re-rank instead of by
+    # sketch insertion order — membership matches the SQL row_number
+    cfg = sketch_config(
+        "bucketed", k=4096, width=1 << 13, depth=4, decay=0.9, seed=12345
+    )
+    agg = WindowedTopK(
+        cfg, k=10, window_seconds=6 * 3600,
+        allowed_lateness_seconds=2 * 3600, shards=4,
+    )
+    parts = []
+    try:
+        for i in range(0, len(ts_o), 1000):
+            agg.add_batch(keys[i:i+1000], ts_o[i:i+1000])
+            got = agg.poll()
+            if got.num_rows:
+                parts.append(got)
+        parts.append(agg.flush())
+        if agg.late_dropped() != 0:
+            raise AssertionError(
+                f"bounded-disorder invariant broken: "
+                f"{agg.late_dropped()} late drops"
+            )
+    finally:
+        agg.shutdown()
+    out = pa.concat_tables(parts)
+    # u-prefixed keys → int user ids for the SQL comparison
+    uid = pa.array(
+        [int(k[1:]) for k in out.column("key").to_pylist()],
+        type=pa.int64(),
+    )
+    return pa.table(
+        {"window_start": out.column("window_start"),
+         "user_id": uid,
+         "n_events": out.column("count")}
+    )
+
+
 def _q_docs_with_source_stats(sf_dir: str):
     """STRING-KEY distributed hash join ⊕oracle: every document joined
     to its source's aggregate profile ON THE SOURCE NAME — corpora join
@@ -6909,6 +6979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_with_source_stats": _q_docs_with_source_stats,
         "streaming_windowed_user_sums": _q_streaming_windowed_user_sums,
         "streaming_sliding_user_counts": _q_streaming_sliding_user_counts,
+        "streaming_windowed_topk_users": _q_streaming_windowed_topk_users,
         "bm25_top_docs": _q_bm25_top_docs,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "active_sessions_at_signup": _q_active_sessions_at_signup,
@@ -8143,6 +8214,21 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "streaming_windowed_topk_users": """
+WITH w AS (
+  SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start,
+         user_id
+  FROM events
+), c AS (
+  SELECT window_start, user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM w GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_events FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY window_start ORDER BY n_events DESC, user_id
+) <= 10
+ORDER BY window_start, n_events DESC, user_id
 """,
         "streaming_sliding_user_counts": """
 SELECT (epoch_us(ts) // 10800000000) * 10800000000

@@ -169,6 +169,175 @@ def _read_ipc(blob: bytes) -> pa.Table:
         return rd.read_all()
 
 
+@ray.remote
+class WindowSketchShard:
+    """One shard of the windowed HEAVY-HITTER stream: state is one
+    MERGEABLE sketch per active window.  Keys route by hash (disjoint
+    key sets per shard → lower per-shard cardinality → better sketch
+    accuracy), and finalization returns per-window sketch BLOBS — the
+    facade merges shard blobs in shard-index order (C11 merge is the
+    cross-shard combiner, exactly the engine's core primitive) and
+    ranks.  Watermark / lateness / exactly-once semantics are identical
+    to :class:`WindowShard`."""
+
+    def __init__(self, window_us: int, lateness_us: int, cfg: dict):
+        from .aggregate import make_sketch
+
+        self.w = int(window_us)
+        self.late = int(lateness_us)
+        self.cfg = cfg
+        self._make = make_sketch
+        self.state: dict = {}
+        self.last_gw = -(1 << 62)
+        self.late_dropped = 0
+
+    def add_batch(self, keys, ts) -> None:
+        keys = np.asarray(keys)
+        ts = np.asarray(ts, dtype=np.int64)
+        if not len(ts):
+            return
+        win = (ts // self.w) * self.w
+        late = (win + self.w + self.late) <= self.last_gw
+        n_late = int(late.sum())
+        if n_late:
+            self.late_dropped += n_late
+            keep = ~late
+            keys, win = keys[keep], win[keep]
+        if not len(win):
+            return
+        order = np.argsort(win, kind="stable")
+        w_s, k_s = win[order], keys[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], w_s[1:] != w_s[:-1]))
+        )
+        ends = np.append(starts[1:], len(w_s))
+        for st, en in zip(starts, ends):
+            sk = self.state.get(int(w_s[st]))
+            if sk is None:
+                sk = self.state[int(w_s[st])] = self._make(self.cfg)
+            sk.add_batch(k_s[st:en])
+
+    def poll_finalized(self, global_wm: int) -> dict:
+        """{window_start: sketch blob} for every finalized window
+        (evicted — exactly-once)."""
+        self.last_gw = max(self.last_gw, int(global_wm))
+        done = sorted(
+            ws for ws in self.state
+            if ws + self.w + self.late <= self.last_gw
+        )
+        out = {}
+        for ws in done:
+            out[ws] = self.state.pop(ws).to_bytes()
+        return out
+
+    def flush(self) -> dict:
+        return self.poll_finalized(1 << 62)
+
+    def stats(self) -> dict:
+        return {"late_dropped": self.late_dropped,
+                "active_windows": len(self.state)}
+
+
+class WindowedTopK:
+    """Streaming per-window heavy hitters: the flagship HeavyKeeper
+    (or any registered sketch with ``list()``) behind the event-time
+    window/watermark machinery.  ``poll()``/``flush()`` return rows
+    ``(window_start, key, count)`` — each finalized window's merged
+    top-``k``, ranked (count desc, key asc) after the cross-shard
+    merge, emitted exactly once."""
+
+    def __init__(
+        self,
+        cfg: dict,
+        k: int,
+        window_seconds: float,
+        allowed_lateness_seconds: float = 0.0,
+        shards: int = 4,
+    ):
+        if window_seconds <= 0:
+            raise ValueError("window_seconds must be > 0")
+        shards = int(shards)
+        if shards < 1 or shards & (shards - 1):
+            raise ValueError(f"shards must be a power of two (got {shards})")
+        self.w_us = int(window_seconds * 1_000_000)
+        self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        self.k = int(k)
+        self.n_shards = shards
+        self.src_wm = -(1 << 62)
+        self.shards = [
+            WindowSketchShard.remote(self.w_us, self.late_us, cfg)
+            for _ in range(shards)
+        ]
+
+    def add_batch(self, keys, ts) -> None:
+        from ..hashing import hash_array
+
+        keys = np.asarray(keys)
+        ts = np.asarray(ts, dtype=np.int64)
+        if not len(ts):
+            return
+        self.src_wm = max(self.src_wm, int(ts.max()))
+        h = hash_array(pa.array(keys), 1, fn="hk64")
+        shard = (h & U64(self.n_shards - 1)).astype(np.int64)
+        refs = []
+        for s in range(self.n_shards):
+            m = shard == s
+            if m.any():
+                refs.append(
+                    self.shards[s].add_batch.remote(keys[m], ts[m])
+                )
+        ray.get(refs)
+
+    def _assemble(self, maps: List[dict]) -> pa.Table:
+        from ..sketch import sketch_from_bytes
+
+        wins = sorted({w for m in maps for w in m})
+        rows_w, rows_k, rows_c = [], [], []
+        for w in wins:
+            merged = None
+            for m in maps:  # shard-index order: deterministic merge
+                if w not in m:
+                    continue
+                sk = sketch_from_bytes(m[w])
+                if merged is None:
+                    merged = sk
+                else:
+                    merged.merge(sk)
+            items = merged.list()
+            items.sort(key=lambda r: (-int(r[1]), r[0]))
+            for key, cnt in items[: self.k]:
+                rows_w.append(w)
+                rows_k.append(key)
+                rows_c.append(int(cnt))
+        return pa.table(
+            {"window_start": pa.array(rows_w, type=pa.int64()),
+             "key": pa.array(rows_k),
+             "count": pa.array(rows_c, type=pa.int64())}
+        )
+
+    def poll(self) -> pa.Table:
+        maps = ray.get(
+            [s.poll_finalized.remote(self.src_wm) for s in self.shards]
+        )
+        return self._assemble(maps)
+
+    def flush(self) -> pa.Table:
+        return self._assemble(
+            ray.get([s.flush.remote() for s in self.shards])
+        )
+
+    def late_dropped(self) -> int:
+        return sum(
+            s["late_dropped"]
+            for s in ray.get([sh.stats.remote() for sh in self.shards])
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
 class WindowedAggregator:
     """Driver facade: key-hash routing to shard actors, min-of-shards
     global watermark, exactly-once window emission.

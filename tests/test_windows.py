@@ -218,3 +218,77 @@ def test_sliding_guard(ray_session):
 
     with pytest.raises(ValueError, match="divide the window"):
         WindowedAggregator(window_seconds=20, slide_seconds=7)
+
+
+def test_windowed_topk_exact_regime(ray_session):
+    """Streaming per-window heavy hitters: cross-shard sketch merge per
+    finalized window; in the exact regime (width >> keys) the merged
+    top-k equals the batch per-window top-k including tie order."""
+    from collections import Counter
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.windows import WindowedTopK
+
+    rng = np.random.default_rng(3)
+    n = 8_000
+    ts = np.sort(rng.integers(0, 120_000_000, size=n))  # two 60s windows
+    keys = np.array(
+        [f"u{v}" for v in rng.zipf(1.5, size=n) % 97], dtype=object
+    )
+    cfg = sketch_config(
+        "bucketed", k=10, width=1 << 12, depth=4, decay=0.9, seed=7
+    )
+    agg = WindowedTopK(
+        cfg, k=10, window_seconds=60, allowed_lateness_seconds=5, shards=4
+    )
+    try:
+        parts = []
+        for i in range(0, n, 900):
+            agg.add_batch(keys[i:i+900], ts[i:i+900])
+            t = agg.poll()
+            if t.num_rows:
+                parts.append(t)
+        parts.append(agg.flush())
+        assert agg.late_dropped() == 0
+        got = pa.concat_tables(parts).to_pydict()
+        # batch truth per window
+        win = (ts // 60_000_000) * 60_000_000
+        want_rows = []
+        for w in sorted(set(win.tolist())):
+            c = Counter(keys[win == w].tolist())
+            ranked = sorted(c.items(), key=lambda r: (-r[1], r[0]))[:10]
+            for k_, n_ in ranked:
+                want_rows.append((w, k_, n_))
+        got_rows = list(
+            zip(got["window_start"], got["key"], got["count"])
+        )
+        assert got_rows == want_rows
+    finally:
+        agg.shutdown()
+
+
+def test_windowed_topk_exactly_once_and_late(ray_session):
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.windows import WindowedTopK
+
+    cfg = sketch_config(
+        "bucketed", k=5, width=1 << 10, depth=4, decay=0.9, seed=1
+    )
+    agg = WindowedTopK(
+        cfg, k=5, window_seconds=10, allowed_lateness_seconds=0, shards=2
+    )
+    try:
+        agg.add_batch(np.array(["a", "a", "b"], dtype=object),
+                      np.array([1_000_000, 2_000_000, 3_000_000]))
+        agg.add_batch(np.array(["c"], dtype=object),
+                      np.array([11_000_000]))
+        out = agg.poll().to_pydict()
+        assert out["window_start"] == [0, 0]
+        assert out["key"] == ["a", "b"]
+        assert out["count"] == [2, 1]
+        assert agg.poll().num_rows == 0  # exactly once
+        agg.add_batch(np.array(["a"], dtype=object),
+                      np.array([500_000]))  # late for window 0
+        assert agg.late_dropped() == 1
+    finally:
+        agg.shutdown()
