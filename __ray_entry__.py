@@ -5349,6 +5349,61 @@ def _q_streaming_windowed_topk_users(sf_dir: str):
     )
 
 
+def _q_streaming_user_sessions(sf_dir: str):
+    """STREAMING SESSION windows ⊕oracle — the third window family
+    (data-driven extents that MERGE when a bridging event arrives:
+    ``windows.SessionWindows``): the events stream replayed with 1 h-
+    bounded disorder, sessionized per user at the 12 h gap with a 2 h
+    lateness budget; a session finalizes (exactly once) when the
+    watermark clears end+gap+lateness, so no on-time event can extend
+    it.  Merging is order-independent (sessions are the connected
+    components of the within-gap event graph), so the zero-drop replay
+    (disorder < lateness, asserted) is bit-exact against the batch
+    sessionization CTE."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hksketch.hashing import splitmix64
+    from hksketch.ray_glue.windows import SessionWindows
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hour = ts // 3_600_000_000
+    jig = splitmix64(ts.view(np.uint64) + np.uint64(17))
+    order = np.lexsort((jig, hour))
+    keys = t.column("user_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )[order]
+    ts_o = ts[order]
+
+    agg = SessionWindows(
+        gap_seconds=43200.0, allowed_lateness_seconds=2 * 3600, shards=4
+    )
+    parts = []
+    try:
+        for i in range(0, len(ts_o), 1000):
+            agg.add_batch(keys[i:i+1000], ts_o[i:i+1000])
+            got = agg.poll()
+            if got.num_rows:
+                parts.append(got)
+        parts.append(agg.flush())
+        if agg.late_dropped() != 0:
+            raise AssertionError(
+                f"bounded-disorder invariant broken: "
+                f"{agg.late_dropped()} late drops"
+            )
+    finally:
+        agg.shutdown()
+    out = pa.concat_tables(parts)
+    return pa.table(
+        {"user_id": out.column("key"),
+         "session_start": out.column("session_start"),
+         "session_end": out.column("session_end"),
+         "n_events": out.column("n_events")}
+    ).sort_by([("user_id", "ascending"), ("session_start", "ascending")])
+
+
 def _q_docs_with_source_stats(sf_dir: str):
     """STRING-KEY distributed hash join ⊕oracle: every document joined
     to its source's aggregate profile ON THE SOURCE NAME — corpora join
@@ -6980,6 +7035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_windowed_user_sums": _q_streaming_windowed_user_sums,
         "streaming_sliding_user_counts": _q_streaming_sliding_user_counts,
         "streaming_windowed_topk_users": _q_streaming_windowed_topk_users,
+        "streaming_user_sessions": _q_streaming_user_sessions,
         "bm25_top_docs": _q_bm25_top_docs,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "active_sessions_at_signup": _q_active_sessions_at_signup,
@@ -8214,6 +8270,29 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "streaming_user_sessions": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch(ts - prev) > 43200
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+)
+SELECT user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_start
 """,
         "streaming_windowed_topk_users": """
 WITH w AS (

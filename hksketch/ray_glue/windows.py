@@ -170,6 +170,192 @@ def _read_ipc(blob: bytes) -> pa.Table:
 
 
 @ray.remote
+class SessionShard:
+    """One key-hash shard of STREAMING SESSION windows (the third window
+    family: gap-based, data-driven extents that MERGE when an event
+    bridges two open sessions).  All events of a key live on one shard,
+    so merging is local: per batch, events sessionize vectorized within
+    the batch first, then each batch-session folds into the key's open
+    session list (splice/merge — touches only keys present in the
+    batch).  A session finalizes when
+    ``session_end + gap + lateness <= watermark``: no on-time event can
+    extend it any more (an extender would need ``ts < end + gap``,
+    which the lateness budget already classifies as late)."""
+
+    def __init__(self, gap_us: int, lateness_us: int):
+        self.gap = int(gap_us)
+        self.late = int(lateness_us)
+        self.state: dict = {}  # key -> sorted list of [start, end, n]
+        self.last_gw = -(1 << 62)
+        self.late_dropped = 0
+
+    def add_batch(self, keys, ts) -> None:
+        keys = np.asarray(keys, dtype=np.int64)
+        ts = np.asarray(ts, dtype=np.int64)
+        if not len(ts):
+            return
+        late = ts + self.late <= self.last_gw
+        n_late = int(late.sum())
+        if n_late:
+            self.late_dropped += n_late
+            keep = ~late
+            keys, ts = keys[keep], ts[keep]
+        if not len(ts):
+            return
+        order = np.lexsort((ts, keys))
+        k_s, t_s = keys[order], ts[order]
+        kstarts = np.flatnonzero(
+            np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        )
+        kends = np.append(kstarts[1:], len(k_s))
+        for st, en in zip(kstarts, kends):
+            key = int(k_s[st])
+            tt = t_s[st:en]
+            # sessionize within the batch slice (vectorized)
+            brk = np.flatnonzero(
+                np.concatenate(([True], (tt[1:] - tt[:-1]) > self.gap))
+            )
+            bends = np.append(brk[1:], len(tt))
+            sessions = self.state.setdefault(key, [])
+            for bs, be in zip(brk, bends):
+                self._fold(sessions, int(tt[bs]), int(tt[be - 1]),
+                           int(be - bs))
+
+    def _fold(self, sessions: list, s: int, e: int, n: int) -> None:
+        """Merge the new [s, e] run into the key's open sessions: absorb
+        every session within ``gap`` of it (list stays sorted, disjoint
+        beyond-gap)."""
+        lo, hi = s, e
+        cnt = n
+        keep = []
+        for sess in sessions:
+            if sess[1] + self.gap < lo or hi + self.gap < sess[0]:
+                keep.append(sess)
+            else:  # bridges: merge extents and counts
+                lo = min(lo, sess[0])
+                hi = max(hi, sess[1])
+                cnt += sess[2]
+        keep.append([lo, hi, cnt])
+        keep.sort()
+        sessions[:] = keep
+
+    def poll_finalized(self, global_wm: int) -> bytes:
+        self.last_gw = max(self.last_gw, int(global_wm))
+        rows_k, rows_s, rows_e, rows_n = [], [], [], []
+        dead_keys = []
+        for key in self.state:
+            sessions = self.state[key]
+            still = []
+            for sess in sessions:
+                if sess[1] + self.gap + self.late <= self.last_gw:
+                    rows_k.append(key)
+                    rows_s.append(sess[0])
+                    rows_e.append(sess[1])
+                    rows_n.append(sess[2])
+                else:
+                    still.append(sess)
+            if still:
+                self.state[key] = still
+            else:
+                dead_keys.append(key)
+        for key in dead_keys:
+            del self.state[key]
+        t = pa.table(
+            {"key": pa.array(rows_k, type=pa.int64()),
+             "session_start": pa.array(rows_s, type=pa.int64()),
+             "session_end": pa.array(rows_e, type=pa.int64()),
+             "n_events": pa.array(rows_n, type=pa.int64())}
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as wr:
+            wr.write_table(t)
+        return sink.getvalue().to_pybytes()
+
+    def flush(self) -> bytes:
+        return self.poll_finalized(1 << 62)
+
+    def stats(self) -> dict:
+        return {"late_dropped": self.late_dropped,
+                "active_sessions": sum(
+                     len(v) for v in self.state.values())}
+
+
+class SessionWindows:
+    """Driver facade for streaming session windows: key-hash routing
+    (a key's whole session history lives on one shard), source
+    watermark, exactly-once emission of ``(key, session_start,
+    session_end, n_events)`` rows."""
+
+    def __init__(
+        self,
+        gap_seconds: float,
+        allowed_lateness_seconds: float = 0.0,
+        shards: int = 4,
+    ):
+        if gap_seconds <= 0:
+            raise ValueError("gap_seconds must be > 0")
+        if allowed_lateness_seconds < 0:
+            raise ValueError("allowed_lateness_seconds must be >= 0")
+        shards = int(shards)
+        if shards < 1 or shards & (shards - 1):
+            raise ValueError(f"shards must be a power of two (got {shards})")
+        self.gap_us = int(gap_seconds * 1_000_000)
+        self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        self.n_shards = shards
+        self.src_wm = -(1 << 62)
+        self.shards = [
+            SessionShard.remote(self.gap_us, self.late_us)
+            for _ in range(shards)
+        ]
+
+    def add_batch(self, keys, ts) -> None:
+        keys = np.asarray(keys, dtype=np.int64)
+        ts = np.asarray(ts, dtype=np.int64)
+        if not len(ts):
+            return
+        self.src_wm = max(self.src_wm, int(ts.max()))
+        shard = (splitmix64(keys.view(U64)) & U64(self.n_shards - 1)).astype(
+            np.int64
+        )
+        refs = []
+        for s in range(self.n_shards):
+            m = shard == s
+            if m.any():
+                refs.append(self.shards[s].add_batch.remote(keys[m], ts[m]))
+        ray.get(refs)
+
+    def _collect(self, blobs: List[bytes]) -> pa.Table:
+        parts = [_read_ipc(b) for b in blobs]
+        t = pa.concat_tables([p for p in parts if p.num_rows] or parts[:1])
+        return t.sort_by(
+            [("key", "ascending"), ("session_start", "ascending")]
+        )
+
+    def poll(self) -> pa.Table:
+        return self._collect(
+            ray.get([
+                s.poll_finalized.remote(self.src_wm) for s in self.shards
+            ])
+        )
+
+    def flush(self) -> pa.Table:
+        return self._collect(
+            ray.get([s.flush.remote() for s in self.shards])
+        )
+
+    def late_dropped(self) -> int:
+        return sum(
+            s["late_dropped"]
+            for s in ray.get([sh.stats.remote() for sh in self.shards])
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+@ray.remote
 class WindowSketchShard:
     """One shard of the windowed HEAVY-HITTER stream: state is one
     MERGEABLE sketch per active window.  Keys route by hash (disjoint

@@ -292,3 +292,103 @@ def test_windowed_topk_exactly_once_and_late(ray_session):
         assert agg.late_dropped() == 1
     finally:
         agg.shutdown()
+
+
+def test_session_windows_merge_and_finalize(ray_session):
+    """Gap sessions: bridging event MERGES two open sessions; sessions
+    finalize only when the watermark clears end+gap+lateness; late
+    events counted."""
+    from hksketch.ray_glue.windows import SessionWindows
+
+    S = 1_000_000  # 1s in us
+    agg = SessionWindows(gap_seconds=10, allowed_lateness_seconds=15,
+                         shards=2)
+    try:
+        # key 1: events at 0s and 20s -> two open sessions (gap 10s);
+        # neither finalizes at wm 20s (0+10+15 > 20)
+        agg.add_batch(np.array([1, 1]), np.array([0, 20 * S]))
+        assert agg.poll().num_rows == 0
+        # bridge at 10s (exactly gap from both ends; on time): MERGE
+        agg.add_batch(np.array([1]), np.array([10 * S]))
+        # advance watermark to 50s with another key
+        agg.add_batch(np.array([2]), np.array([50 * S]))
+        out = agg.poll().to_pydict()
+        # merged session [0,20s] finalizes: 20+10+15 = 45 <= 50
+        assert out["key"] == [1]
+        assert out["session_start"] == [0]
+        assert out["session_end"] == [20 * S]
+        assert out["n_events"] == [3]
+        assert agg.poll().num_rows == 0  # exactly once
+        # late event behind the watermark is dropped + counted
+        agg.add_batch(np.array([1]), np.array([5 * S]))
+        assert agg.late_dropped() == 1
+        final = agg.flush().to_pydict()
+        assert final["key"] == [2]
+        assert final["n_events"] == [1]
+    finally:
+        agg.shutdown()
+
+
+def test_session_windows_match_batch_sessionize(ray_session):
+    """Bounded-disorder replay of a synthetic stream: streamed sessions
+    (extents, counts) equal the batch sessionization recompute."""
+    import pandas as pd
+
+    from hksketch.ray_glue.windows import SessionWindows
+
+    rng = np.random.default_rng(4)
+    n = 10_000
+    ts = np.sort(rng.integers(0, 3_600_000_000, size=n))  # 1h of events
+    idx = np.arange(n) + rng.integers(-32, 32, size=n)
+    order = np.argsort(idx, kind="stable")
+    ts_o = ts[order]
+    keys = rng.integers(0, 40, size=n)[order]
+
+    GAP = 5  # 5s gap
+    agg = SessionWindows(gap_seconds=GAP, allowed_lateness_seconds=30,
+                         shards=4)
+    try:
+        parts = []
+        for i in range(0, n, 800):
+            agg.add_batch(keys[i:i+800], ts_o[i:i+800])
+            t = agg.poll()
+            if t.num_rows:
+                parts.append(t)
+        parts.append(agg.flush())
+        assert agg.late_dropped() == 0
+        got = (
+            pa.concat_tables(parts).to_pandas()
+            .sort_values(["key", "session_start"]).reset_index(drop=True)
+        )
+        # batch recompute
+        df = pd.DataFrame({"key": keys, "ts": ts_o}).sort_values(
+            ["key", "ts"]
+        )
+        rows = []
+        for k, g in df.groupby("key"):
+            t_arr = g["ts"].to_numpy()
+            brk = np.flatnonzero(
+                np.concatenate(([True],
+                                (t_arr[1:] - t_arr[:-1]) > GAP * 1_000_000))
+            )
+            ends = np.append(brk[1:], len(t_arr))
+            for bs, be in zip(brk, ends):
+                rows.append((k, t_arr[bs], t_arr[be - 1], be - bs))
+        want = pd.DataFrame(
+            rows, columns=["key", "session_start", "session_end",
+                           "n_events"]
+        ).sort_values(["key", "session_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64")
+        )
+    finally:
+        agg.shutdown()
+
+
+def test_session_windows_guards(ray_session):
+    from hksketch.ray_glue.windows import SessionWindows
+
+    with pytest.raises(ValueError):
+        SessionWindows(gap_seconds=0)
+    with pytest.raises(ValueError):
+        SessionWindows(gap_seconds=1, shards=5)
