@@ -61,7 +61,20 @@ DEFAULT_SEED = 12345
 def _dataset_fingerprint(ds) -> str:
     from ..sim.ivf import _dataset_fingerprint as fp
 
-    return fp(ds)
+    base = fp(ds)
+    try:
+        files = ds.input_files()
+    except Exception:
+        files = []
+    if files:
+        return base  # path/size/mtime identity — strong for file inputs
+    # in-memory datasets: the row-count fallback collides for any two
+    # same-size tables (fatal for the append double-count guard) — add a
+    # head-content probe (cheap: 256 rows, deterministic)
+    import hashlib
+
+    head = ds.limit(256).to_pandas().to_csv(index=False).encode()
+    return hashlib.sha256(base.encode() + head).hexdigest()[:16]
 
 
 def term_partitions(
@@ -101,6 +114,28 @@ def build_inverted_index(
         if {k: old.get(k) for k in params} == params:
             return index_dir
     os.makedirs(index_dir, exist_ok=True)
+
+    n_docs, total_tokens = _write_index_files(
+        ds, index_dir, text_col, id_col, partitions, seed, mode="overwrite"
+    )
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {**params, "n_docs": n_docs, "total_tokens": total_tokens,
+             "appended_fingerprints": []}, f
+        )
+    os.replace(tmp, man_path)
+    return index_dir
+
+
+def _write_index_files(
+    ds, index_dir: str, text_col: str, id_col: str,
+    partitions: int, seed: int, mode: str,
+) -> tuple:
+    """The shared postings/doclens write pass (build AND append use the
+    same map fns so an appended index is file-for-file equivalent to a
+    bigger build); returns (n_docs, total_tokens) of ``ds``."""
+    from .tokenize import tokenize_column
 
     post_empty = pa.table(
         {"token": pa.array([], type=pa.large_string()),
@@ -164,25 +199,53 @@ def build_inverted_index(
         postings, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(
         os.path.join(index_dir, "postings"),
-        partition_cols=["partition"], mode="overwrite",
+        partition_cols=["partition"], mode=mode,
     )
     lens = ds.map_batches(
         doclens, batch_format="pyarrow", zero_copy_batch=True
     )
     lens.write_parquet(
         os.path.join(index_dir, "doclens"),
-        partition_cols=["dl_part"], mode="overwrite",
+        partition_cols=["dl_part"], mode=mode,
     )
     from ray.data.aggregate import Count, Sum
 
     tot = lens.aggregate(Count(), Sum("dl", alias_name="total"))
-    n_docs = int(tot["count()"])
-    total_tokens = int(tot["total"] or 0)
+    return int(tot["count()"]), int(tot["total"] or 0)
+
+
+def append_inverted_index(ds, index_dir: str) -> str:
+    """Incrementally ingest NEW documents into an existing index — the
+    production crawl-refresh path: new postings/doclens Parquet files
+    land inside the same hash partitions (``mode="append"``), so every
+    existing query path (pruned reads, AND/BM25, the doc-sharded
+    distributed intersection) sees the union with no rebuild and no
+    rewrite of prior files.  BM25's ``N``/``avgdl`` update through the
+    manifest.  Caller contract: appended docs are NEW ``doc_id``s
+    (re-appending is refused by fingerprint — double-counting guard);
+    the append runs with the INDEX's recorded params, not the caller's.
+    """
+    man = _read_manifest(index_dir)
+    fp = _dataset_fingerprint(ds)
+    seen = [man["data_fingerprint"]] + man.get("appended_fingerprints", [])
+    if fp in seen:
+        raise ValueError(
+            f"append_inverted_index: dataset fingerprint {fp} is already "
+            "in the index — appending it again would double-count"
+        )
+    n_docs, total_tokens = _write_index_files(
+        ds, index_dir, man["text_col"], man["id_col"],
+        int(man["partitions"]), int(man["seed"]), mode="append",
+    )
+    man["n_docs"] = int(man["n_docs"]) + n_docs
+    man["total_tokens"] = int(man["total_tokens"]) + total_tokens
+    man["appended_fingerprints"] = man.get(
+        "appended_fingerprints", []
+    ) + [fp]
+    man_path = os.path.join(index_dir, "MANIFEST.json")
     tmp = man_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(
-            {**params, "n_docs": n_docs, "total_tokens": total_tokens}, f
-        )
+        json.dump(man, f)
     os.replace(tmp, man_path)
     return index_dir
 

@@ -171,3 +171,49 @@ def test_search_and_distributed_guards(built):
         search_and_distributed(idx, [])
     with pytest.raises(ValueError):
         search_and_distributed(idx, ["waa"], doc_shards=12)
+
+
+def test_append_equals_full_build(ray_session, tmp_path):
+    """Incremental ingestion: build on half the corpus, append the other
+    half — every query path answers identically to the single-shot
+    index (files land in the same partitions; manifest N/avgdl update)."""
+    import ray.data as rd
+
+    from hksketch.text.index import (
+        append_inverted_index,
+        bm25_search,
+        build_inverted_index,
+        search_and,
+        search_and_distributed,
+    )
+
+    rng = np.random.default_rng(5)
+    docs = _corpus(rng, n_docs=60)
+    half_a = docs.slice(0, 30)
+    half_b = docs.slice(30)
+
+    full = build_inverted_index(
+        rd.from_arrow(docs).repartition(3), str(tmp_path / "full"),
+        partitions=8,
+    )
+    inc = build_inverted_index(
+        rd.from_arrow(half_a).repartition(2), str(tmp_path / "inc"),
+        partitions=8,
+    )
+    append_inverted_index(rd.from_arrow(half_b).repartition(2), inc)
+
+    terms = ["waa", "wab"]
+    a1 = search_and(full, terms, k=100).to_pydict()
+    a2 = search_and(inc, terms, k=100).to_pydict()
+    assert a1 == a2
+    d1 = search_and_distributed(full, terms, k=100).to_pydict()
+    d2 = search_and_distributed(inc, terms, k=100).to_pydict()
+    assert d1 == d2
+    b1 = bm25_search(full, terms, k=100).to_pandas()
+    b2 = bm25_search(inc, terms, k=100).to_pandas()
+    assert b1["doc_id"].tolist() == b2["doc_id"].tolist()
+    np.testing.assert_allclose(b1["score"], b2["score"], rtol=1e-12)
+
+    # double-append refused by fingerprint
+    with pytest.raises(ValueError, match="double-count"):
+        append_inverted_index(rd.from_arrow(half_b).repartition(2), inc)
