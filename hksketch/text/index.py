@@ -250,6 +250,55 @@ def append_inverted_index(ds, index_dir: str) -> str:
     return index_dir
 
 
+def compact_inverted_index(index_dir: str) -> dict:
+    """Maintenance pass for an appended index — the lakehouse
+    small-files problem: each append adds files to every partition, and
+    read cost grows with file count.  Compaction rewrites each
+    postings/doclens partition as ONE file sorted by (token, doc_id) /
+    doc_id (restoring locality appends can't provide).  Swap discipline
+    per partition: write into ``<dir>.tmp``, rename live → ``.old``,
+    ``.tmp`` → live, delete ``.old`` — a crash leaves ``.tmp``/``.old``
+    residue that readers never touch (they resolve only the live name);
+    single-writer maintenance op, run it offline like any OPTIMIZE.
+    Returns ``{"partitions_compacted": n, "files_before": m,
+    "files_after": k}``."""
+    import shutil
+
+    stats = {"partitions_compacted": 0, "files_before": 0,
+             "files_after": 0}
+    for sub, sort_keys in (
+        ("postings", [("token", "ascending"), ("doc_id", "ascending")]),
+        ("doclens", [("doc_id", "ascending")]),
+    ):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for part in sorted(os.listdir(root)):
+            live = os.path.join(root, part)
+            if not os.path.isdir(live) or "=" not in part or \
+                    part.endswith((".tmp", ".old")):
+                continue
+            files = [f for f in os.listdir(live) if f.endswith(".parquet")]
+            stats["files_before"] += len(files)
+            if len(files) <= 1:
+                stats["files_after"] += len(files)
+                continue
+            t = pq.read_table(live)
+            t = t.sort_by(sort_keys)
+            tmp = live + ".tmp"
+            old = live + ".old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            os.makedirs(tmp)
+            pq.write_table(t, os.path.join(tmp, "compacted-0.parquet"))
+            os.rename(live, old)
+            os.rename(tmp, live)
+            shutil.rmtree(old)
+            stats["partitions_compacted"] += 1
+            stats["files_after"] += 1
+    return stats
+
+
 def _read_manifest(index_dir: str) -> dict:
     return json.load(open(os.path.join(index_dir, "MANIFEST.json")))
 

@@ -217,3 +217,41 @@ def test_append_equals_full_build(ray_session, tmp_path):
     # double-append refused by fingerprint
     with pytest.raises(ValueError, match="double-count"):
         append_inverted_index(rd.from_arrow(half_b).repartition(2), inc)
+
+
+def test_compaction_preserves_results(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from hksketch.text.index import (
+        append_inverted_index,
+        bm25_search,
+        build_inverted_index,
+        compact_inverted_index,
+        search_and,
+    )
+
+    rng = np.random.default_rng(6)
+    docs = _corpus(rng, n_docs=40)
+    idx = build_inverted_index(
+        rd.from_arrow(docs.slice(0, 20)).repartition(2),
+        str(tmp_path / "c"), partitions=4,
+    )
+    append_inverted_index(rd.from_arrow(docs.slice(20)).repartition(2), idx)
+    before_and = search_and(idx, ["waa", "wab"], k=100).to_pydict()
+    before_bm = bm25_search(idx, ["waa", "wab"], k=100).to_pydict()
+    stats = compact_inverted_index(idx)
+    assert stats["partitions_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    # every live partition is now a single file; no residue dirs
+    pdir = os.path.join(idx, "postings")
+    for part in os.listdir(pdir):
+        assert not part.endswith((".tmp", ".old"))
+        files = os.listdir(os.path.join(pdir, part))
+        assert len([f for f in files if f.endswith(".parquet")]) == 1
+    assert search_and(idx, ["waa", "wab"], k=100).to_pydict() == before_and
+    assert bm25_search(idx, ["waa", "wab"], k=100).to_pydict() == before_bm
+    # idempotent
+    stats2 = compact_inverted_index(idx)
+    assert stats2["partitions_compacted"] == 0
