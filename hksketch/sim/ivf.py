@@ -37,9 +37,12 @@ from .knn import _emb_matrix, _normalize, _train_centroids, scattered_sample_mat
 
 
 def _dataset_fingerprint(ds) -> str:
-    """Cheap identity of the indexed data: sorted (path, size, mtime) of the
-    input files when file-backed, else the row count — so a regenerated
-    dataset at the same path never silently reuses a stale index."""
+    """Cheap identity of the indexed data: sorted (path, size, mtime) of
+    the input files when file-backed — so a regenerated dataset at the
+    same path never silently reuses a stale index.  In-memory datasets
+    get row count + a 256-row head-content probe: a bare row-count
+    fallback collides for any two same-size tables, which would defeat
+    the append double-count guards."""
     import hashlib
 
     try:
@@ -54,10 +57,11 @@ def _dataset_fingerprint(ds) -> str:
                 parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
             except OSError:
                 parts.append(f)
-        payload = "|".join(parts)
+        payload = "|".join(parts).encode()
     else:
-        payload = f"rows:{ds.count()}"
-    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+        head = ds.limit(256).to_pandas().to_csv(index=False).encode()
+        payload = f"rows:{ds.count()}|".encode() + head
+    return hashlib.sha256(payload).hexdigest()[:16]
 
 
 def build_ivf_index(
@@ -121,6 +125,64 @@ def build_ivf_index(
     tmp = man_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({**params, "dim": int(C.shape[1])}, f)
+    os.replace(tmp, man_path)
+    return index_dir
+
+
+def append_ivf_index(ds, index_dir: str) -> str:
+    """Incrementally ingest NEW vectors into an existing IVF index — the
+    vector-side twin of ``text.index.append_inverted_index``: new rows
+    are assigned to the EXISTING centroids (the coarse quantizer is
+    frozen — the standard IVF maintenance contract; retrain+rebuild
+    when drift accumulates) and land as additional Parquet files inside
+    the same cluster partitions (``mode="append"``), so probed reads
+    see the union with no rebuild.  Re-appending the same dataset is
+    refused by fingerprint.  Recall caveat recorded in the manifest:
+    appended vectors far from every existing centroid degrade list
+    balance; ``appended_rows`` lets callers schedule a retrain."""
+    import ray
+
+    man_path = os.path.join(index_dir, "MANIFEST.json")
+    man = json.load(open(man_path))
+    fp = _dataset_fingerprint(ds)
+    seen = [man["data_fingerprint"]] + man.get("appended_fingerprints", [])
+    if fp in seen:
+        raise ValueError(
+            f"append_ivf_index: dataset fingerprint {fp} is already in "
+            "the index — appending it again would double-count"
+        )
+    emb_col, id_col = man["emb_col"], man["id_col"]
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    C = np.array([np.asarray(c) for c in ct.column("centroid").to_pylist()])
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(b.column(emb_col)))
+            assign = np.argmax(m @ self.C.T, axis=1).astype(np.int32)
+            return pa.table(
+                {id_col: b.column(id_col),
+                 emb_col: b.column(emb_col),
+                 "cluster": pa.array(assign)}
+            )
+
+    n_new = ds.count()
+    ds.map_batches(
+        Assign, batch_format="pyarrow", concurrency=2, zero_copy_batch=True
+    ).write_parquet(
+        os.path.join(index_dir, "lists"),
+        partition_cols=["cluster"], mode="append",
+    )
+    man["appended_fingerprints"] = man.get(
+        "appended_fingerprints", []
+    ) + [fp]
+    man["appended_rows"] = int(man.get("appended_rows", 0)) + int(n_new)
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
     os.replace(tmp, man_path)
     return index_dir
 

@@ -59,22 +59,11 @@ DEFAULT_SEED = 12345
 
 
 def _dataset_fingerprint(ds) -> str:
+    # one shared implementation (file stats, or row count + head-content
+    # probe for in-memory inputs) — see sim/ivf.py for the rationale
     from ..sim.ivf import _dataset_fingerprint as fp
 
-    base = fp(ds)
-    try:
-        files = ds.input_files()
-    except Exception:
-        files = []
-    if files:
-        return base  # path/size/mtime identity — strong for file inputs
-    # in-memory datasets: the row-count fallback collides for any two
-    # same-size tables (fatal for the append double-count guard) — add a
-    # head-content probe (cheap: 256 rows, deterministic)
-    import hashlib
-
-    head = ds.limit(256).to_pandas().to_csv(index=False).encode()
-    return hashlib.sha256(base.encode() + head).hexdigest()[:16]
+    return fp(ds)
 
 
 def term_partitions(

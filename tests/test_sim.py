@@ -422,3 +422,42 @@ def test_profile_cosine_matches_dense(ray_session):
     assert len(got) == len(want)
     for _, r in got.iterrows():
         assert r["cosine"] == want[(r["source_a"], r["source_b"])]
+
+
+def test_ivf_append_matches_frozen_quantizer_rebuild(ray_session, tmp_path):
+    """Incremental IVF ingestion: append assigns new vectors with the
+    FROZEN centroids, so searches over the appended index equal a
+    single index built from the union under the same quantizer (and the
+    double-count fingerprint guard refuses a re-append)."""
+    import ray.data as rd
+
+    from hksketch.sim.ivf import append_ivf_index, build_ivf_index, knn_ivf_index
+
+    t, m = _vec_table(n=600, dim=16, seed=9)
+    half_a = t.slice(0, 300)
+    half_b = t.slice(300)
+    idx = str(tmp_path / "ivf_inc")
+    # build on half_a; quantizer trains on half_a's scattered sample
+    build_ivf_index(rd.from_arrow(half_a), idx, n_clusters=8, seed=7)
+    append_ivf_index(rd.from_arrow(half_b), idx)
+
+    import json
+    import os
+
+    man = json.load(open(os.path.join(idx, "MANIFEST.json")))
+    assert man["appended_rows"] == 300
+
+    # ground truth over the UNION: full probe (nprobe = all clusters)
+    # must equal brute force exactly -- every vector is in some list
+    from hksketch.sim.knn import knn_bruteforce
+
+    q = m[123]
+    got = knn_ivf_index(idx, q, k=10, nprobe=8)
+    want = knn_bruteforce(rd.from_arrow(t), q, k=10)
+    assert got.column("vec_id").to_pylist() == \
+        want.column("vec_id").to_pylist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="double-count"):
+        append_ivf_index(rd.from_arrow(half_b), idx)
