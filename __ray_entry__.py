@@ -5404,6 +5404,47 @@ def _q_streaming_user_sessions(sf_dir: str):
     ).sort_by([("user_id", "ascending"), ("session_start", "ascending")])
 
 
+def _q_hourly_click_purchase_full_join(sf_dir: str):
+    """FULL OUTER join ⊕oracle (round-4 join-surface completion —
+    unmatched rows of BOTH sides survive with nulls; only the sharded
+    plan can express it, and ``auto_join`` refuses to broadcast it):
+    hourly click counts ⟗ hourly purchase counts — at ~2.8 events/type/
+    hour many hours lack one side, so the null-bearing rows are real.
+    Exact integer counts, hash-exact vs SQL FULL JOIN + COALESCE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import exact_counts, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def hours_of(kind, out_name):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("event_type"), pa.scalar(kind))
+            ts = b.filter(m).column("ts").cast(pa.int64())
+            hour = pc.multiply(
+                pc.divide(ts, pa.scalar(3_600_000_000)),
+                pa.scalar(3_600_000_000),
+            )
+            return pa.table({"hour": hour})
+        cnt = exact_counts(
+            ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+            "hour", count_name=out_name,
+        )
+        return cnt
+
+    clicks = hours_of("click", "n_clicks")
+    purchases = hours_of("purchase", "n_purchases")
+    schema_c = pa.schema([("hour", pa.int64()), ("n_clicks", pa.int64())])
+    schema_p = pa.schema([("hour", pa.int64()), ("n_purchases", pa.int64())])
+    out = hash_join(
+        clicks, purchases, "hour", how="full", shards=32,
+        lschema=schema_c, rschema=schema_p,
+    )
+    return out.select_columns(["hour", "n_clicks", "n_purchases"]).sort("hour")
+
+
 def _q_docs_with_source_stats(sf_dir: str):
     """STRING-KEY distributed hash join ⊕oracle: every document joined
     to its source's aggregate profile ON THE SOURCE NAME — corpora join
@@ -7032,6 +7073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_top_cooccurring_docs": _q_search_top_cooccurring_docs,
         "zorder_user_window_counts": _q_zorder_user_window_counts,
         "docs_with_source_stats": _q_docs_with_source_stats,
+        "hourly_click_purchase_full_join": _q_hourly_click_purchase_full_join,
         "streaming_windowed_user_sums": _q_streaming_windowed_user_sums,
         "streaming_sliding_user_counts": _q_streaming_sliding_user_counts,
         "streaming_windowed_topk_users": _q_streaming_windowed_topk_users,
@@ -8328,6 +8370,20 @@ SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start,
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, key
+""",
+        "hourly_click_purchase_full_join": """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(c.hour, p.hour) AS hour, c.n_clicks, p.n_purchases
+FROM c FULL JOIN p ON c.hour = p.hour
+ORDER BY hour
 """,
         "docs_with_source_stats": """
 WITH s AS (

@@ -118,9 +118,12 @@ def hash_join(
     """Equi-join two Datasets on an integer or string key; returns a
     Dataset.
 
-    ``how``: ``"inner"`` or ``"left"``.  Right-side columns whose names
-    clash with left-side ones get ``suffix``.  The key appears once, named
-    ``on``.
+    ``how``: ``"inner"``, ``"left"`` or ``"full"`` (full outer —
+    unmatched rows of BOTH sides survive with nulls; only the sharded
+    plan can express it, since a broadcast side cannot know globally
+    which of its rows went unmatched).  Right-side columns whose names
+    clash with left-side ones get ``suffix``.  The key appears once,
+    named ``on``.
 
     ``lschema`` / ``rschema``: pass the side's known ``pa.Schema`` to skip
     the ``Dataset.schema()`` probe.  This matters when a side sits behind
@@ -133,8 +136,10 @@ def hash_join(
     from .partitioning import auto_shards, estimate_rows
 
     right_on = right_on or on
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'full', got {how!r}"
+        )
 
     if lschema is None:  # `or` would discard a zero-field schema (falsy)
         lschema = left.schema()
@@ -170,9 +175,11 @@ def hash_join(
 
     def norm(side: int, key_col: str):
         # SQL semantics: null keys never match.  Inner (and the right side
-        # of a left join) drops them at the map stage; the LEFT side of a
-        # left join keeps them — they ride to shard 0 and surface unmatched.
-        keep_nulls = how == "left" and side == 0
+        # of a left join) drops them at the map stage; sides whose
+        # unmatched rows must SURVIVE (left side of a left join, both
+        # sides of a full join) keep them — they ride to one shard and
+        # surface unmatched (polars join_nulls=False never matches them).
+        keep_nulls = (how == "left" and side == 0) or how == "full"
 
         def fn(batch: pa.Table) -> pa.Table:
             key = batch.column(key_col)
@@ -230,7 +237,10 @@ def hash_join(
             grp.select(["__key"] + [n for n, _ in rfields])
             .filter(pa.array(side == 1))
         )
-        j = lt.join(rt, on="__key", how=how, maintain_order="left")
+        j = lt.join(
+            rt, on="__key", how=how, maintain_order="left",
+            coalesce=True if how == "full" else None,
+        )
         t = j.to_arrow()
         cols = {}
         for f in out_schema:
@@ -343,7 +353,10 @@ def auto_join(
     from .partitioning import estimate_rows
 
     est = estimate_rows(right)
-    if est is not None and est <= broadcast_threshold_rows:
+    # full outer is only expressible on the sharded plan (a broadcast
+    # side cannot know globally which rows went unmatched)
+    if (est is not None and est <= broadcast_threshold_rows
+            and how != "full"):
         ds = broadcast_join(
             left, right, on, right_on=right_on, how=how, suffix=suffix,
             lschema=lschema, rschema=rschema,

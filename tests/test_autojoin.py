@@ -298,3 +298,60 @@ def test_skew_join_string_keys(ray_session):
     pd.testing.assert_frame_equal(
         got[["host", "n", "w"]], want[["host", "n", "w"]]
     )
+
+
+@pytest.mark.parametrize("fixture", ["int", "str"])
+def test_full_outer_join_matches_duckdb(ray_session, fixture):
+    """FULL OUTER on the sharded plan: unmatched rows of both sides
+    survive with nulls; null keys never match but survive."""
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join
+
+    lt_t, rt_t, key = (LT, RT, "k") if fixture == "int" else (SLT, SRT, "src")
+    con = duckdb.connect()
+    con.register("lt", lt_t)
+    con.register("rt", rt_t)
+    want = (
+        con.sql(
+            f"""SELECT COALESCE(lt.{key}, rt.{key}) AS {key},
+                       lt.a, lt.n, rt.a AS a_r, rt.w
+                FROM lt FULL JOIN rt ON lt.{key} = rt.{key}"""
+        )
+        .df()
+        .sort_values(["n", "w", "a_r"], na_position="last")
+        .reset_index(drop=True)
+    )
+    out = hash_join(
+        rd.from_arrow(lt_t).repartition(3),
+        rd.from_arrow(rt_t).repartition(2),
+        key, how="full", shards=8,
+        lschema=lt_t.schema, rschema=rt_t.schema,
+    )
+    got = (
+        out.to_pandas()[[key, "a", "n", "a_r", "w"]]
+        .sort_values(["n", "w", "a_r"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"w": "float64", "n": "float64"}),
+        want.astype({"w": "float64", "n": "float64"}),
+        check_dtype=False,
+    )
+
+
+def test_full_outer_rejected_on_broadcast(ray_session):
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import auto_join, broadcast_join
+
+    lt = rd.from_arrow(LT)
+    rt = rd.from_arrow(RT)
+    with pytest.raises(ValueError):
+        broadcast_join(lt, rt, "k", how="full",
+                       lschema=LT.schema, rschema=RT.schema)
+    # auto_join must route full to the sharded plan even for a tiny side
+    ds, plan = auto_join(lt, rt, "k", how="full", explain=True,
+                         lschema=LT.schema, rschema=RT.schema, shards=8)
+    assert plan == "hash"
+    assert ds.count() > 0
