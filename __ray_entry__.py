@@ -5445,6 +5445,59 @@ def _q_hourly_click_purchase_full_join(sf_dir: str):
     return out.select_columns(["hour", "n_clicks", "n_purchases"]).sort("hour")
 
 
+def _q_streaming_windowed_distinct_users(sf_dir: str):
+    """Streaming per-window DISTINCT counting ⊕oracle
+    (``windows.WindowedDistinct``): one mergeable KMV per 6-hour window
+    per shard, merged cross-shard at finalization.  The sketch k (8192)
+    far exceeds per-window user cardinality at every test scale, so the
+    KMV sits in its EXACT regime (fewer than k tags retained ⇒ it has
+    seen every distinct value) and the streamed result gates bit-exact
+    against SQL COUNT(DISTINCT); beyond the regime the (k-1)/U_(k)
+    estimator takes over with its published error.  Same
+    bounded-disorder zero-drop replay as the other streaming queries."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hksketch.hashing import splitmix64
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.windows import WindowedDistinct
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hour = ts // 3_600_000_000
+    jig = splitmix64(ts.view(np.uint64) + np.uint64(19))
+    order = np.lexsort((jig, hour))
+    keys = t.column("user_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )[order]
+    ts_o = ts[order]
+
+    cfg = sketch_config("reservoir", k=8192, seed=12345)
+    agg = WindowedDistinct(
+        cfg, window_seconds=6 * 3600, allowed_lateness_seconds=2 * 3600,
+        shards=4,
+    )
+    parts = []
+    try:
+        for i in range(0, len(ts_o), 1000):
+            agg.add_batch(keys[i:i+1000], ts_o[i:i+1000])
+            got = agg.poll()
+            if got.num_rows:
+                parts.append(got)
+        parts.append(agg.flush())
+        if agg.late_dropped() != 0:
+            raise AssertionError(
+                f"bounded-disorder invariant broken: "
+                f"{agg.late_dropped()} late drops"
+            )
+    finally:
+        agg.shutdown()
+    return pa.concat_tables(parts).sort_by(
+        [("window_start", "ascending")]
+    )
+
+
 def _q_docs_with_source_stats(sf_dir: str):
     """STRING-KEY distributed hash join ⊕oracle: every document joined
     to its source's aggregate profile ON THE SOURCE NAME — corpora join
@@ -7078,6 +7131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sliding_user_counts": _q_streaming_sliding_user_counts,
         "streaming_windowed_topk_users": _q_streaming_windowed_topk_users,
         "streaming_user_sessions": _q_streaming_user_sessions,
+        "streaming_windowed_distinct_users": (
+            _q_streaming_windowed_distinct_users
+        ),
         "bm25_top_docs": _q_bm25_top_docs,
         "concurrent_errors_near_purchases": _q_concurrent_errors_near_purchases,
         "active_sessions_at_signup": _q_active_sessions_at_signup,
@@ -8312,6 +8368,13 @@ LEFT JOIN events e
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 ORDER BY p.event_id
+""",
+        "streaming_windowed_distinct_users": """
+SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY 1
+ORDER BY window_start
 """,
         "streaming_user_sessions": """
 WITH o AS (

@@ -480,6 +480,98 @@ class WindowSketchShard:
                 "active_windows": len(self.state)}
 
 
+class WindowedDistinct:
+    """Streaming per-window DISTINCT counting: one mergeable KMV
+    (``"reservoir"`` cfg) per window per shard behind the same
+    watermark machinery, merged cross-shard at finalization.  In the
+    exact regime (sketch ``k`` > per-window cardinality) the estimate
+    IS the exact COUNT(DISTINCT) — deterministic, SQL-gateable;
+    beyond it, the KMV (k-1)/U_(k) estimator with its published error
+    takes over (document which regime a deployment sits in).  Emits
+    ``(window_start, n_distinct)`` exactly once per window."""
+
+    def __init__(
+        self,
+        cfg: dict,
+        window_seconds: float,
+        allowed_lateness_seconds: float = 0.0,
+        shards: int = 4,
+    ):
+        if window_seconds <= 0:
+            raise ValueError("window_seconds must be > 0")
+        shards = int(shards)
+        if shards < 1 or shards & (shards - 1):
+            raise ValueError(f"shards must be a power of two (got {shards})")
+        self.w_us = int(window_seconds * 1_000_000)
+        self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        self.n_shards = shards
+        self.src_wm = -(1 << 62)
+        self.shards = [
+            WindowSketchShard.remote(self.w_us, self.late_us, cfg)
+            for _ in range(shards)
+        ]
+
+    def add_batch(self, keys, ts) -> None:
+        from ..hashing import hash_array
+
+        keys = np.asarray(keys)
+        ts = np.asarray(ts, dtype=np.int64)
+        if not len(ts):
+            return
+        self.src_wm = max(self.src_wm, int(ts.max()))
+        h = hash_array(pa.array(keys), 1, fn="hk64")
+        shard = (h & U64(self.n_shards - 1)).astype(np.int64)
+        refs = []
+        for s in range(self.n_shards):
+            m = shard == s
+            if m.any():
+                refs.append(self.shards[s].add_batch.remote(keys[m], ts[m]))
+        ray.get(refs)
+
+    def _assemble(self, maps: List[dict]) -> pa.Table:
+        from ..sketch import sketch_from_bytes
+
+        wins = sorted({w for m in maps for w in m})
+        rows_w, rows_n = [], []
+        for w in wins:
+            merged = None
+            for m in maps:
+                if w not in m:
+                    continue
+                sk = sketch_from_bytes(m[w])
+                if merged is None:
+                    merged = sk
+                else:
+                    merged.merge(sk)
+            rows_w.append(w)
+            rows_n.append(int(round(merged.estimate())))
+        return pa.table(
+            {"window_start": pa.array(rows_w, type=pa.int64()),
+             "n_distinct": pa.array(rows_n, type=pa.int64())}
+        )
+
+    def poll(self) -> pa.Table:
+        return self._assemble(ray.get(
+            [s.poll_finalized.remote(self.src_wm) for s in self.shards]
+        ))
+
+    def flush(self) -> pa.Table:
+        return self._assemble(
+            ray.get([s.flush.remote() for s in self.shards])
+        )
+
+    def late_dropped(self) -> int:
+        return sum(
+            s["late_dropped"]
+            for s in ray.get([sh.stats.remote() for sh in self.shards])
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
 class WindowedTopK:
     """Streaming per-window heavy hitters: the flagship HeavyKeeper
     (or any registered sketch with ``list()``) behind the event-time

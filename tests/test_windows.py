@@ -535,3 +535,36 @@ def test_actor_crash_recovery_via_checkpoint_replay(ray_session):
     # exactly-once across the crash: no duplicated (window, key) rows
     assert not b.duplicated(["window_start", "key"]).any()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_windowed_distinct_exact_regime(ray_session):
+    """Per-window KMV distinct counts: exact when sketch k exceeds
+    per-window cardinality, merged across key-hash shards."""
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.windows import WindowedDistinct
+
+    rng = np.random.default_rng(9)
+    n = 6_000
+    ts = np.sort(rng.integers(0, 120_000_000, size=n))  # two 60s windows
+    keys = rng.integers(0, 300, size=n)
+    cfg = sketch_config("reservoir", k=2048, seed=5)
+    agg = WindowedDistinct(
+        cfg, window_seconds=60, allowed_lateness_seconds=5, shards=4
+    )
+    try:
+        parts = []
+        for i in range(0, n, 900):
+            agg.add_batch(keys[i:i+900], ts[i:i+900])
+            t = agg.poll()
+            if t.num_rows:
+                parts.append(t)
+        parts.append(agg.flush())
+        assert agg.late_dropped() == 0
+        got = pa.concat_tables(parts).to_pydict()
+        win = (ts // 60_000_000) * 60_000_000
+        want_w = sorted(set(win.tolist()))
+        want_n = [len(set(keys[win == w].tolist())) for w in want_w]
+        assert got["window_start"] == want_w
+        assert got["n_distinct"] == want_n
+    finally:
+        agg.shutdown()
