@@ -335,6 +335,51 @@ class SessionShard:
                 "active_sessions": sum(
                      len(v) for v in self.state.values())}
 
+    def checkpoint(self) -> bytes:
+        rows_k, rows_s, rows_e, rows_n = [], [], [], []
+        for key in sorted(self.state):
+            for s, e, n in self.state[key]:
+                rows_k.append(key)
+                rows_s.append(s)
+                rows_e.append(e)
+                rows_n.append(n)
+        t = pa.table(
+            {"k": pa.array(rows_k, type=pa.int64()),
+             "s": pa.array(rows_s, type=pa.int64()),
+             "e": pa.array(rows_e, type=pa.int64()),
+             "n": pa.array(rows_n, type=pa.int64())}
+        ).replace_schema_metadata(
+            {"last_gw": str(self.last_gw),
+             "late_dropped": str(self.late_dropped),
+             "gap_us": str(self.gap), "late_us": str(self.late)}
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as wr:
+            wr.write_table(t)
+        return sink.getvalue().to_pybytes()
+
+    def restore(self, blob: bytes) -> None:
+        t = _read_ipc(blob)
+        meta = {k.decode(): v.decode()
+                for k, v in (t.schema.metadata or {}).items()}
+        if (int(meta["gap_us"]), int(meta["late_us"])) != (
+                self.gap, self.late):
+            raise ValueError(
+                "session checkpoint params mismatch: saved "
+                f"(gap={meta['gap_us']}, late={meta['late_us']}) vs "
+                f"(gap={self.gap}, late={self.late})"
+            )
+        self.state = {}
+        for k, s, e, n in zip(
+            t.column("k").to_pylist(), t.column("s").to_pylist(),
+            t.column("e").to_pylist(), t.column("n").to_pylist(),
+        ):
+            self.state.setdefault(int(k), []).append(
+                [int(s), int(e), int(n)]
+            )
+        self.last_gw = int(meta["last_gw"])
+        self.late_dropped = int(meta["late_dropped"])
+
 
 class SessionWindows:
     """Driver facade for streaming session windows: key-hash routing
@@ -404,6 +449,31 @@ class SessionWindows:
             s["late_dropped"]
             for s in ray.get([sh.stats.remote() for sh in self.shards])
         )
+
+    def checkpoint(self) -> dict:
+        return {
+            "shards": ray.get(
+                [s.checkpoint.remote() for s in self.shards]
+            ),
+            "src_wm": self.src_wm,
+            "params": {"gap_us": self.gap_us, "late_us": self.late_us,
+                       "n_shards": self.n_shards},
+        }
+
+    @classmethod
+    def from_checkpoint(cls, chk: dict) -> "SessionWindows":
+        p = chk["params"]
+        agg = cls(
+            gap_seconds=p["gap_us"] / 1e6,
+            allowed_lateness_seconds=p["late_us"] / 1e6,
+            shards=p["n_shards"],
+        )
+        ray.get([
+            s.restore.remote(b)
+            for s, b in zip(agg.shards, chk["shards"])
+        ])
+        agg.src_wm = chk["src_wm"]
+        return agg
 
     def shutdown(self) -> None:
         for s in self.shards:

@@ -568,3 +568,45 @@ def test_windowed_distinct_exact_regime(ray_session):
         assert got["n_distinct"] == want_n
     finally:
         agg.shutdown()
+
+
+def test_session_checkpoint_restore_equals_uninterrupted(ray_session):
+    import pandas as pd
+
+    from hksketch.ray_glue.windows import SessionWindows
+
+    rng = np.random.default_rng(11)
+    n = 6_000
+    ts = np.sort(rng.integers(0, 1_200_000_000, size=n))
+    keys = rng.integers(0, 25, size=n)
+
+    def run(split):
+        agg = SessionWindows(gap_seconds=4, allowed_lateness_seconds=10,
+                             shards=2)
+        parts = []
+        try:
+            for i in range(0, split, 700):
+                j = min(i + 700, split)
+                agg.add_batch(keys[i:j], ts[i:j])
+                t = agg.poll()
+                if t.num_rows:
+                    parts.append(t)
+            if split < n:
+                chk = agg.checkpoint()
+                agg.shutdown()
+                agg = SessionWindows.from_checkpoint(chk)
+                for i in range(split, n, 700):
+                    agg.add_batch(keys[i:i+700], ts[i:i+700])
+                    t = agg.poll()
+                    if t.num_rows:
+                        parts.append(t)
+            parts.append(agg.flush())
+            return (
+                pa.concat_tables(parts).to_pandas()
+                .sort_values(["key", "session_start"])
+                .reset_index(drop=True)
+            )
+        finally:
+            agg.shutdown()
+
+    pd.testing.assert_frame_equal(run(n), run(n // 2 + 111))
