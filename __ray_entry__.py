@@ -5498,6 +5498,33 @@ def _q_streaming_windowed_distinct_users(sf_dir: str):
     )
 
 
+def _q_pca_explained_variance(sf_dir: str):
+    """Distributed PCA over the embeddings table (``sim/pca.py``): one
+    streamed pass of EXACT fixed-point integer moment partials (n, Σx,
+    Σxxᵀ — the k-means bit-determinism discipline) tree-folded on
+    workers, dim×dim eigendecomposition on the driver, canonical
+    eigenvector signs.  Returns the top-8 (rank, eigval,
+    explained_ratio) — bit-deterministic for any block layout (tested),
+    but eigendecomposition is not SQL-expressible → rows-only;
+    ``test_pca.py`` pins moment equality vs a local recompute and
+    projected-variance == eigval."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.sim.pca import pca_fit
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, k=8)
+    k = 8
+    return pa.table(
+        {"rank": pa.array(range(k), type=pa.int64()),
+         "eigval": pa.array(model["eigvals"][:k], type=pa.float64()),
+         "explained_ratio": pa.array(
+             model["explained_ratio"][:k], type=pa.float64())}
+    )
+
+
 def _q_docs_with_source_stats(sf_dir: str):
     """STRING-KEY distributed hash join ⊕oracle: every document joined
     to its source's aggregate profile ON THE SOURCE NAME — corpora join
@@ -7127,6 +7154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_user_window_counts": _q_zorder_user_window_counts,
         "docs_with_source_stats": _q_docs_with_source_stats,
         "hourly_click_purchase_full_join": _q_hourly_click_purchase_full_join,
+        "pca_explained_variance": _q_pca_explained_variance,
         "streaming_windowed_user_sums": _q_streaming_windowed_user_sums,
         "streaming_sliding_user_counts": _q_streaming_sliding_user_counts,
         "streaming_windowed_topk_users": _q_streaming_windowed_topk_users,
