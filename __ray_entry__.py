@@ -5525,6 +5525,86 @@ def _q_pca_explained_variance(sf_dir: str):
     )
 
 
+def _q_user_value_trend(sf_dir: str):
+    """Per-user OLS trend ⊕oracle (the regression shape): slope of
+    event value (milli-units) over time (epoch seconds) per user, from
+    EXACT integer moment sums — n, Σx, Σy, Σxy, Σx² accumulate as
+    int64 per (batch, user) partials through ONE combiner shuffle, so
+    the closed-form numerator ``nΣxy − ΣxΣy`` and denominator
+    ``nΣx² − (Σx)²`` are bit-exact integers on both engines and the
+    slope is a single IEEE division.  Users need ≥ 2 distinct
+    timestamps (den > 0).  Magnitudes fit int64 with ~10⁶× headroom at
+    sf0.1 (30-day second offsets × milli values)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import read_table
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        u = b.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # seconds RELATIVE to a fixed epoch: the OLS numerator and
+        # denominator are shift-invariant, and absolute 2024 epoch
+        # seconds squared would overflow int64 at Σx² scale
+        x = (
+            b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000
+        ) - 1_700_000_000
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        y = np.rint(v * 1000.0).astype(np.int64)
+        df = pl.DataFrame(
+            {"user_id": u, "x": x, "y": y,
+             "xy": x * y, "xx": x * x}
+        )
+        g = df.group_by("user_id").agg(
+            pl.len().alias("n"), pl.col("x").sum().alias("sx"),
+            pl.col("y").sum().alias("sy"),
+            pl.col("xy").sum().alias("sxy"),
+            pl.col("xx").sum().alias("sxx"),
+        )
+        return g.to_arrow()
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = b.column("n").cast(pa.int64()).to_numpy()
+        sx = b.column("sx").to_numpy()
+        sy = b.column("sy").to_numpy()
+        sxy = b.column("sxy").to_numpy()
+        sxx = b.column("sxx").to_numpy()
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        keep = (n >= 2) & (den > 0)
+        slope = num[keep].astype(np.float64) / den[keep].astype(np.float64)
+        return pa.table(
+            {"user_id": b.column("user_id").filter(pa.array(keep)),
+             "n_events": pa.array(n[keep], type=pa.int64()),
+             "trend_num": pa.array(num[keep], type=pa.int64()),
+             "trend_den": pa.array(den[keep], type=pa.int64()),
+             "slope": pa.array(slope, type=pa.float64())}
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("user_id")
+
+
 def _q_docs_with_source_stats(sf_dir: str):
     """STRING-KEY distributed hash join ⊕oracle: every document joined
     to its source's aggregate profile ON THE SOURCE NAME — corpora join
@@ -7155,6 +7235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_with_source_stats": _q_docs_with_source_stats,
         "hourly_click_purchase_full_join": _q_hourly_click_purchase_full_join,
         "pca_explained_variance": _q_pca_explained_variance,
+        "user_value_trend": _q_user_value_trend,
         "streaming_windowed_user_sums": _q_streaming_windowed_user_sums,
         "streaming_sliding_user_counts": _q_streaming_sliding_user_counts,
         "streaming_windowed_topk_users": _q_streaming_windowed_topk_users,
@@ -8475,6 +8556,27 @@ WITH c AS (
 SELECT COALESCE(c.hour, p.hour) AS hour, c.n_clicks, p.n_purchases
 FROM c FULL JOIN p ON c.hour = p.hour
 ORDER BY hour
+""",
+        "user_value_trend": """
+WITH m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(epoch_us(ts) // 1000000 - 1700000000) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum((epoch_us(ts) // 1000000 - 1700000000)
+                  * CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum((epoch_us(ts) // 1000000 - 1700000000)
+                  * (epoch_us(ts) // 1000000 - 1700000000)) AS BIGINT) AS sxx
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n AS n_events,
+       n * sxy - sx * sy AS trend_num,
+       n * sxx - sx * sx AS trend_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0
+ORDER BY user_id
 """,
         "docs_with_source_stats": """
 WITH s AS (
