@@ -1,9 +1,13 @@
 """Event-time streaming windows with watermarks and allowed lateness.
 
-The streaming-window member of the engine's live surface (the prompt's
-"streaming window" custom operator; ``streaming.py`` covers
-query-at-any-time SKETCHES — this covers Flink-style event-time
-TUMBLING-WINDOW aggregation over an unbounded, out-of-order stream):
+The streaming-window member of the engine's live surface
+(``streaming.py`` covers query-at-any-time SKETCHES — this module
+covers Flink-style event-time windowing over an unbounded,
+out-of-order stream): tumbling and hopping aggregation
+(:class:`WindowedAggregator`), gap sessions with merge-on-arrival
+(:class:`SessionWindows`), per-window heavy hitters
+(:class:`WindowedTopK`) and per-window distinct counts
+(:class:`WindowedDistinct`) via cross-shard mergeable-sketch folds:
 
 - events carry their own (event-time) timestamps and arrive out of
   order; each is assigned to the tumbling window ``ts // W * W``;
