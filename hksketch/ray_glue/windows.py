@@ -553,6 +553,36 @@ class WindowSketchShard:
         return {"late_dropped": self.late_dropped,
                 "active_windows": len(self.state)}
 
+    def checkpoint(self) -> dict:
+        """Open-window sketch blobs + frontier/late state (sketches
+        already serialize; params ride along for refusal on restore)."""
+        return {
+            "windows": {ws: sk.to_bytes()
+                        for ws, sk in sorted(self.state.items())},
+            "last_gw": self.last_gw,
+            "late_dropped": self.late_dropped,
+            "w_us": self.w, "late_us": self.late,
+            "cfg": self.cfg,
+        }
+
+    def restore(self, chk: dict) -> None:
+        from ..sketch import sketch_from_bytes
+
+        if (int(chk["w_us"]), int(chk["late_us"]),
+                chk["cfg"]) != (self.w, self.late, self.cfg):
+            raise ValueError(
+                "sketch-window checkpoint params mismatch: saved "
+                f"(w={chk['w_us']}, late={chk['late_us']}, "
+                f"cfg={chk['cfg']}) vs (w={self.w}, late={self.late}, "
+                f"cfg={self.cfg})"
+            )
+        self.state = {
+            int(ws): sketch_from_bytes(b)
+            for ws, b in chk["windows"].items()
+        }
+        self.last_gw = int(chk["last_gw"])
+        self.late_dropped = int(chk["late_dropped"])
+
 
 class WindowedDistinct:
     """Streaming per-window DISTINCT counting: one mergeable KMV
@@ -580,6 +610,7 @@ class WindowedDistinct:
         self.late_us = int(allowed_lateness_seconds * 1_000_000)
         self.n_shards = shards
         self.src_wm = -(1 << 62)
+        self._cfg = cfg
         self.shards = [
             WindowSketchShard.remote(self.w_us, self.late_us, cfg)
             for _ in range(shards)
@@ -639,6 +670,30 @@ class WindowedDistinct:
             s["late_dropped"]
             for s in ray.get([sh.stats.remote() for sh in self.shards])
         )
+
+    def checkpoint(self) -> dict:
+        return {
+            "shards": ray.get([s.checkpoint.remote() for s in self.shards]),
+            "src_wm": self.src_wm,
+            "params": {"w_us": self.w_us, "late_us": self.late_us,
+                       "n_shards": self.n_shards},
+            "cfg": self._cfg,
+        }
+
+    @classmethod
+    def from_checkpoint(cls, chk: dict) -> "WindowedDistinct":
+        p = chk["params"]
+        agg = cls(
+            chk["cfg"], window_seconds=p["w_us"] / 1e6,
+            allowed_lateness_seconds=p["late_us"] / 1e6,
+            shards=p["n_shards"],
+        )
+        ray.get([
+            s.restore.remote(b)
+            for s, b in zip(agg.shards, chk["shards"])
+        ])
+        agg.src_wm = chk["src_wm"]
+        return agg
 
     def shutdown(self) -> None:
         for s in self.shards:

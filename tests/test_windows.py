@@ -610,3 +610,48 @@ def test_session_checkpoint_restore_equals_uninterrupted(ray_session):
             agg.shutdown()
 
     pd.testing.assert_frame_equal(run(n), run(n // 2 + 111))
+
+
+def test_sketch_window_checkpoint_restore(ray_session):
+    """WindowedDistinct checkpoint mid-stream; restored run equals the
+    uninterrupted one (sketch blobs round-trip with the frontier)."""
+    import pandas as pd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.windows import WindowedDistinct
+
+    rng = np.random.default_rng(12)
+    n = 6_000
+    ts = np.sort(rng.integers(0, 180_000_000, size=n))
+    keys = rng.integers(0, 200, size=n)
+    cfg = sketch_config("reservoir", k=1024, seed=3)
+
+    def run(split):
+        agg = WindowedDistinct(cfg, window_seconds=15,
+                               allowed_lateness_seconds=5, shards=2)
+        parts = []
+        try:
+            for i in range(0, split, 700):
+                j = min(i + 700, split)
+                agg.add_batch(keys[i:j], ts[i:j])
+                t = agg.poll()
+                if t.num_rows:
+                    parts.append(t)
+            if split < n:
+                chk = agg.checkpoint()
+                agg.shutdown()
+                agg = WindowedDistinct.from_checkpoint(chk)
+                for i in range(split, n, 700):
+                    agg.add_batch(keys[i:i+700], ts[i:i+700])
+                    t = agg.poll()
+                    if t.num_rows:
+                        parts.append(t)
+            parts.append(agg.flush())
+            return (
+                pa.concat_tables(parts).to_pandas()
+                .sort_values("window_start").reset_index(drop=True)
+            )
+        finally:
+            agg.shutdown()
+
+    pd.testing.assert_frame_equal(run(n), run(n // 2 + 53))
