@@ -727,10 +727,35 @@ class WindowedTopK:
         self.k = int(k)
         self.n_shards = shards
         self.src_wm = -(1 << 62)
+        self._cfg = cfg
         self.shards = [
             WindowSketchShard.remote(self.w_us, self.late_us, cfg)
             for _ in range(shards)
         ]
+
+    def checkpoint(self) -> dict:
+        return {
+            "shards": ray.get([s.checkpoint.remote() for s in self.shards]),
+            "src_wm": self.src_wm,
+            "params": {"w_us": self.w_us, "late_us": self.late_us,
+                       "n_shards": self.n_shards, "k": self.k},
+            "cfg": self._cfg,
+        }
+
+    @classmethod
+    def from_checkpoint(cls, chk: dict) -> "WindowedTopK":
+        p = chk["params"]
+        agg = cls(
+            chk["cfg"], k=p["k"], window_seconds=p["w_us"] / 1e6,
+            allowed_lateness_seconds=p["late_us"] / 1e6,
+            shards=p["n_shards"],
+        )
+        ray.get([
+            s.restore.remote(b)
+            for s, b in zip(agg.shards, chk["shards"])
+        ])
+        agg.src_wm = chk["src_wm"]
+        return agg
 
     def add_batch(self, keys, ts) -> None:
         from ..hashing import hash_array

@@ -655,3 +655,48 @@ def test_sketch_window_checkpoint_restore(ray_session):
             agg.shutdown()
 
     pd.testing.assert_frame_equal(run(n), run(n // 2 + 53))
+
+
+def test_topk_window_checkpoint_restore(ray_session):
+    import pandas as pd
+
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.windows import WindowedTopK
+
+    rng = np.random.default_rng(13)
+    n = 5_000
+    ts = np.sort(rng.integers(0, 120_000_000, size=n))
+    keys = np.array([f"u{v}" for v in rng.zipf(1.5, size=n) % 50],
+                    dtype=object)
+    cfg = sketch_config("bucketed", k=512, width=1 << 11, depth=4,
+                        decay=0.9, seed=2)
+
+    def run(split):
+        agg = WindowedTopK(cfg, k=8, window_seconds=30,
+                           allowed_lateness_seconds=5, shards=2)
+        parts = []
+        try:
+            for i in range(0, split, 600):
+                j = min(i + 600, split)
+                agg.add_batch(keys[i:j], ts[i:j])
+                t = agg.poll()
+                if t.num_rows:
+                    parts.append(t)
+            if split < n:
+                chk = agg.checkpoint()
+                agg.shutdown()
+                agg = WindowedTopK.from_checkpoint(chk)
+                for i in range(split, n, 600):
+                    agg.add_batch(keys[i:i+600], ts[i:i+600])
+                    t = agg.poll()
+                    if t.num_rows:
+                        parts.append(t)
+            parts.append(agg.flush())
+            return (
+                pa.concat_tables(parts).to_pandas()
+                .reset_index(drop=True)
+            )
+        finally:
+            agg.shutdown()
+
+    pd.testing.assert_frame_equal(run(n), run(n // 2 + 29))
