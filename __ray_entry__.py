@@ -5011,10 +5011,13 @@ def _q_active_sessions_at_signup(sf_dir: str):
     ).sort("event_id")
 
 
-@_functools.lru_cache(maxsize=4)
 def _built_index(sf_dir: str) -> str:
-    """Build-once (fingerprint-guarded) inverted index for the retrieval
-    queries; rebuilds automatically when the corpus files change."""
+    """Fingerprint-guarded inverted index for the retrieval queries;
+    rebuilds automatically when the corpus files change.  Deliberately
+    NOT lru_cache'd: ``build_inverted_index`` is already idempotent via
+    its MANIFEST data-fingerprint check (a no-op when the corpus is
+    unchanged), and a process-local cache would serve a stale index if
+    the corpus were regenerated mid-process."""
     import os
 
     from hksketch.pipelines.ops import read_table

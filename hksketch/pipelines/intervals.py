@@ -146,9 +146,7 @@ def interval_count_join(
         total = int(rep.sum())
         src = np.repeat(np.arange(len(s)), rep)
         # bucket offset within each interval's replica run
-        first = np.zeros(total, dtype=np.int64)
         starts = np.cumsum(np.concatenate(([0], rep[:-1])))
-        first[starts] = 1
         offset = np.arange(total) - np.repeat(starts, rep)
         b = b0[src] + offset
         z = np.zeros(total, dtype=np.int64)

@@ -36,6 +36,7 @@ surface.
 from __future__ import annotations
 
 import os
+from datetime import datetime, timezone
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -198,9 +199,20 @@ def pruned_range_count(
 
 def _as_f(v) -> float:
     """Row-group stat → comparable float (timestamps arrive as
-    datetime)."""
-    if hasattr(v, "timestamp"):
-        return v.timestamp() * 1e6
+    datetime).
+
+    Parquet timestamp statistics come back as NAIVE datetimes whose
+    wall-clock values are the stored (UTC-based) instants; converting
+    via ``datetime.timestamp()`` would interpret them in the process's
+    LOCAL timezone and shift the comparison by the UTC offset —
+    silently skipping row groups that overlap the query box on any
+    non-UTC host.  Route through Arrow's lossless int64-µs cast
+    instead, which never consults the local zone.
+    """
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return float(pa.scalar(v, pa.timestamp("us")).cast(pa.int64()).as_py())
     return float(v)
 
 

@@ -224,6 +224,27 @@ class WindowShard:
         self.late_dropped = int(meta["late_dropped"])
 
 
+def _sync_exact_us(agg, params: dict, fields, rebuild) -> None:
+    """Force a checkpoint-restored facade onto the EXACT integer µs
+    params saved in the checkpoint.
+
+    ``from_checkpoint`` reconstructs through float seconds
+    (``p["w_us"] / 1e6`` → ctor → ``round(x * 1e6)``); ``round()``
+    round-trips every duration below ~2^51 µs (~71 years), but if the
+    reconstruction ever drifts (astronomical params), the facade and
+    the saved shard blobs would disagree and ``restore()`` would raise
+    a spurious param-mismatch.  Overwrite the facade fields with the
+    exact ints and rebuild the shard actors with them instead.
+    """
+    if all(getattr(agg, f) == int(params[f]) for f in fields):
+        return
+    for f in fields:
+        setattr(agg, f, int(params[f]))
+    for s in agg.shards:
+        ray.kill(s)
+    agg.shards = [rebuild(agg) for _ in range(agg.n_shards)]
+
+
 def _read_ipc(blob: bytes) -> pa.Table:
     with pa.ipc.open_stream(pa.BufferReader(blob)) as rd:
         return rd.read_all()
@@ -404,8 +425,8 @@ class SessionWindows:
         shards = int(shards)
         if shards < 1 or shards & (shards - 1):
             raise ValueError(f"shards must be a power of two (got {shards})")
-        self.gap_us = int(gap_seconds * 1_000_000)
-        self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        self.gap_us = round(gap_seconds * 1_000_000)
+        self.late_us = round(allowed_lateness_seconds * 1_000_000)
         self.n_shards = shards
         self.src_wm = -(1 << 62)
         self.shards = [
@@ -471,6 +492,10 @@ class SessionWindows:
             gap_seconds=p["gap_us"] / 1e6,
             allowed_lateness_seconds=p["late_us"] / 1e6,
             shards=p["n_shards"],
+        )
+        _sync_exact_us(
+            agg, p, ("gap_us", "late_us"),
+            lambda a: SessionShard.remote(a.gap_us, a.late_us),
         )
         ray.get([
             s.restore.remote(b)
@@ -606,8 +631,8 @@ class WindowedDistinct:
         shards = int(shards)
         if shards < 1 or shards & (shards - 1):
             raise ValueError(f"shards must be a power of two (got {shards})")
-        self.w_us = int(window_seconds * 1_000_000)
-        self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        self.w_us = round(window_seconds * 1_000_000)
+        self.late_us = round(allowed_lateness_seconds * 1_000_000)
         self.n_shards = shards
         self.src_wm = -(1 << 62)
         self._cfg = cfg
@@ -688,6 +713,10 @@ class WindowedDistinct:
             allowed_lateness_seconds=p["late_us"] / 1e6,
             shards=p["n_shards"],
         )
+        _sync_exact_us(
+            agg, p, ("w_us", "late_us"),
+            lambda a: WindowSketchShard.remote(a.w_us, a.late_us, a._cfg),
+        )
         ray.get([
             s.restore.remote(b)
             for s, b in zip(agg.shards, chk["shards"])
@@ -722,8 +751,8 @@ class WindowedTopK:
         shards = int(shards)
         if shards < 1 or shards & (shards - 1):
             raise ValueError(f"shards must be a power of two (got {shards})")
-        self.w_us = int(window_seconds * 1_000_000)
-        self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        self.w_us = round(window_seconds * 1_000_000)
+        self.late_us = round(allowed_lateness_seconds * 1_000_000)
         self.k = int(k)
         self.n_shards = shards
         self.src_wm = -(1 << 62)
@@ -749,6 +778,10 @@ class WindowedTopK:
             chk["cfg"], k=p["k"], window_seconds=p["w_us"] / 1e6,
             allowed_lateness_seconds=p["late_us"] / 1e6,
             shards=p["n_shards"],
+        )
+        _sync_exact_us(
+            agg, p, ("w_us", "late_us"),
+            lambda a: WindowSketchShard.remote(a.w_us, a.late_us, a._cfg),
         )
         ray.get([
             s.restore.remote(b)
@@ -827,8 +860,10 @@ class WindowedTopK:
 
 
 class WindowedAggregator:
-    """Driver facade: key-hash routing to shard actors, min-of-shards
-    global watermark, exactly-once window emission.
+    """Driver facade: key-hash routing to shard actors, SOURCE
+    watermark (max ingested event ts — idle shards must not stall
+    finalization; the multi-facade min rule lives in the module
+    docstring), exactly-once window emission.
 
     ``add_batch(table)`` routes rows by ``splitmix64(key) & mask`` so a
     (window, key) pair lives on exactly ONE shard — finalized outputs
@@ -855,11 +890,11 @@ class WindowedAggregator:
         shards = int(shards)
         if shards < 1 or shards & (shards - 1):
             raise ValueError(f"shards must be a power of two (got {shards})")
-        self.w_us = int(window_seconds * 1_000_000)
-        self.late_us = int(allowed_lateness_seconds * 1_000_000)
+        self.w_us = round(window_seconds * 1_000_000)
+        self.late_us = round(allowed_lateness_seconds * 1_000_000)
         slide_us = (
             self.w_us if slide_seconds is None
-            else int(slide_seconds * 1_000_000)
+            else round(slide_seconds * 1_000_000)
         )
         if slide_us <= 0 or self.w_us % slide_us != 0:
             raise ValueError(
@@ -974,6 +1009,10 @@ class WindowedAggregator:
             shards=p["n_shards"],
             key_col=key_col, ts_col=ts_col, value_col=value_col,
             slide_seconds=p["slide_us"] / 1e6,
+        )
+        _sync_exact_us(
+            agg, p, ("w_us", "late_us", "slide_us"),
+            lambda a: WindowShard.remote(a.w_us, a.late_us, a.slide_us),
         )
         ray.get([
             s.restore.remote(b)

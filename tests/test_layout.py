@@ -1,6 +1,7 @@
 """Z-order layout: Morton kernel exactness, row-group pruning advantage
 over single-column sort, count correctness, degenerate axes."""
 
+import os
 import tempfile
 
 import numpy as np
@@ -120,3 +121,35 @@ def test_zorder_constant_axis_degenerate(ray_session, tmp_path):
     assert c == 10
     c0, _, _ = pruned_range_count(d, "u", (8.0, 9.0), "ts", (0.0, 99.0))
     assert c0 == 0
+
+
+def test_stat_conversion_is_timezone_independent():
+    """Row-group timestamp stats are naive UTC instants; converting
+    them through the process-local timezone would shift pruning bounds
+    by the UTC offset and silently skip overlapping row groups."""
+    import time
+    from datetime import datetime, timezone
+
+    from hksketch.ray_glue.layout import _as_f
+
+    naive = datetime(2023, 11, 14, 22, 13, 20)  # 1_700_000_000 s UTC
+    want_us = 1_700_000_000 * 1_000_000.0
+
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            os.environ["TZ"] = tz
+            time.tzset()
+            assert _as_f(naive) == want_us, tz
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+    # tz-aware stats (some writers) normalize to UTC too
+    aware = naive.replace(tzinfo=timezone.utc)
+    assert _as_f(aware) == want_us
+    # non-datetime stats pass through
+    assert _as_f(42) == 42.0

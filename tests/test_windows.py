@@ -700,3 +700,50 @@ def test_topk_window_checkpoint_restore(ray_session):
             agg.shutdown()
 
     pd.testing.assert_frame_equal(run(n), run(n // 2 + 29))
+
+
+def test_checkpoint_restores_non_round_us_params(ray_session):
+    """Regression: from_checkpoint rebuilds µs params through float
+    seconds; int() truncation turned 1_000_001 µs into 1_000_000 µs and
+    the shard restore raised a spurious param mismatch.  round() (plus
+    the exact-int sync) must make every integer-µs setting restorable."""
+    from hksketch.ray_glue.windows import (
+        SessionWindows, WindowedAggregator,
+    )
+
+    # 1.000001 s window, 2.3 s lateness, 0.200001 s slide — none of
+    # these µs values survive int(x/1e6*1e6) truncation.
+    w_us, late_us = 1_000_001 * 5, 2_300_000
+    a = WindowedAggregator(
+        window_seconds=(w_us) / 1e6,
+        allowed_lateness_seconds=late_us / 1e6,
+        slide_seconds=(w_us // 5) / 1e6,
+        shards=2,
+    )
+    try:
+        assert (a.w_us, a.late_us, a.slide_us) == (w_us, late_us, w_us // 5)
+        a.add_batch(_batch([1, 2], [500_000, 2_500_000], [3, 4]))
+        chk = a.checkpoint()
+    finally:
+        a.shutdown()
+    b = WindowedAggregator.from_checkpoint(chk)  # must not raise
+    try:
+        assert (b.w_us, b.late_us, b.slide_us) == (w_us, late_us, w_us // 5)
+        t = b.flush()
+        assert t.num_rows == 10  # 2 events × (w/slide = 5) sliding panes
+    finally:
+        b.shutdown()
+
+    s = SessionWindows(gap_seconds=2.3, allowed_lateness_seconds=0.000001)
+    try:
+        assert (s.gap_us, s.late_us) == (2_300_000, 1)
+        s.add_batch([7], [1_000_000])
+        chk = s.checkpoint()
+    finally:
+        s.shutdown()
+    s2 = SessionWindows.from_checkpoint(chk)
+    try:
+        assert (s2.gap_us, s2.late_us) == (2_300_000, 1)
+        assert s2.flush().num_rows == 1
+    finally:
+        s2.shutdown()
