@@ -847,9 +847,11 @@ def _q_pmi_bigrams(sf_dir: str):
     pairs with count ≥ 5 — the statistic that separates true collocations
     from merely frequent pairs.  Distributed shape: bigram counts and
     unigram counts (both pre-aggregated), then the unigram counts attach
-    to bigram rows through TWO ``groupby(token)`` cogroups (first word,
-    then second) — string-exact, no vocabulary broadcast, the same
-    df-attach shape as ``source_distinctive_terms``.  The score arithmetic
+    to bigram rows through TWO sharded ``hash_join``s (first word, then
+    second) — string-exact, no vocabulary broadcast, and no per-distinct-
+    token Python group call (the vocabulary grows with the data; the
+    shard count does not) — the same df-attach shape as
+    ``source_distinctive_terms``.  The score arithmetic
     mirrors the SQL expression operation-for-operation and is published
     milli-rounded (the tfidf float-parity discipline)."""
     import numpy as np
@@ -930,75 +932,38 @@ def _q_pmi_bigrams(sf_dir: str):
         support, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def attach(which: str):
-        # union (bigram rows keyed by one of their words) with (unigram
-        # count rows); a token-group sees both and attaches the count
-        out_col = "ca" if which == "first" else "cb"
+    # attach each word's unigram count via the SHARDED hash join — one
+    # polars (Rust) hash join per key-range shard, never a Python call
+    # per distinct token (the vocabulary is unbounded at web scale; a
+    # groupby(token).map_groups cogroup here is a per-key loop).  Every
+    # bigram word has a unigram row by construction, so inner preserves
+    # all (supported) bigrams.
+    from hksketch.ray_glue.joins import hash_join
 
-        def fold(g: pa.Table) -> pa.Table:
-            import polars as pl
-
-            df = pl.from_arrow(g)
-            cval = df.filter(pl.col("cab").is_null())["c"]
-            big = df.filter(pl.col("cab").is_not_null())
-            schema = {**{f.name: f.type for f in g.schema}, out_col: pa.int64()}
-            schema.pop("c")
-            schema.pop("token")
-            if big.height == 0:
-                return pa.table({n: pa.array([], type=t) for n, t in schema.items()})
-            assert cval.len() == 1, "every bigram word must have a unigram row"
-            out = big.with_columns(pl.lit(int(cval[0])).cast(pl.Int64).alias(out_col))
-            a = out.drop("c", "token").to_arrow()
-            return pa.table({n: a.column(n).cast(t) for n, t in schema.items()})
-
-        return fold
-
-    side_b = bc.map_batches(
-        lambda b: b.append_column("token", b.column("first")).append_column(
-            "c", pa.nulls(b.num_rows, type=pa.int64())
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    side_u = uc.map_batches(
-        lambda b: pa.table(
-            {"token": b.column("token"),
-             "first": pa.nulls(b.num_rows, type=pa.string()),
-             "second": pa.nulls(b.num_rows, type=pa.string()),
-             "cab": pa.nulls(b.num_rows, type=pa.int64()),
-             "c": b.column("c")}
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    joined1 = (
-        side_b.select_columns(["token", "first", "second", "cab", "c"])
-        .union(side_u)
-        .groupby("token")
-        .map_groups(attach("first"), batch_format="pyarrow")
+    uschema = pa.schema([("token", pa.string()), ("c", pa.int64())])
+    bschema = pa.schema([("first", pa.string()), ("second", pa.string()),
+                         ("cab", pa.int64())])
+    j1 = hash_join(
+        bc, uc, on="first", right_on="token",
+        lschema=bschema, rschema=uschema,
     )
 
-    side_b2 = joined1.map_batches(
-        lambda b: b.append_column("token", b.column("second")).append_column(
-            "c", pa.nulls(b.num_rows, type=pa.int64())
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+    def ren(col_from: str, col_to: str):
+        def fn(b: pa.Table) -> pa.Table:
+            names = [col_to if n == col_from else n for n in b.column_names]
+            return b.rename_columns(names)
+        return fn
+
+    j1 = j1.map_batches(
+        ren("c", "ca"), batch_format="pyarrow", zero_copy_batch=True
     )
-    side_u2 = uc.map_batches(
-        lambda b: pa.table(
-            {"token": b.column("token"),
-             "first": pa.nulls(b.num_rows, type=pa.string()),
-             "second": pa.nulls(b.num_rows, type=pa.string()),
-             "cab": pa.nulls(b.num_rows, type=pa.int64()),
-             "ca": pa.nulls(b.num_rows, type=pa.int64()),
-             "c": b.column("c")}
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    joined2 = (
-        side_b2.select_columns(["token", "first", "second", "cab", "ca", "c"])
-        .union(side_u2)
-        .groupby("token")
-        .map_groups(attach("second"), batch_format="pyarrow")
-    )
+    j1schema = pa.schema([("first", pa.large_string()),
+                          ("second", pa.string()),
+                          ("cab", pa.int64()), ("ca", pa.int64())])
+    joined2 = hash_join(
+        j1, uc, on="second", right_on="token",
+        lschema=j1schema, rschema=uschema,
+    ).map_batches(ren("c", "cb"), batch_format="pyarrow", zero_copy_batch=True)
 
     def score(b: pa.Table) -> pa.Table:
         keep = pc.greater_equal(b.column("cab"), pa.scalar(5, type=pa.int64()))
@@ -1030,9 +995,10 @@ def _q_source_distinctive_terms(sf_dir: str):
     """Top-5 distinctive terms PER SOURCE by group-wise TF-IDF: tf(source,
     token) × ln(n_sources / sources_with(token)) — "what vocabulary
     characterizes each feed", the per-group variant of ``tfidf_top_terms``.
-    Two shuffles: one ``groupby(token)`` cogroup that sees every source's
-    tf for a token and attaches the source-df (no broadcast of the token
-    vocabulary, which is unbounded at web scale), then one
+    Shape: one vectorized ``groupby(token)`` Count gives each token's
+    source-df; a sharded ``hash_join`` attaches it back to the tf rows
+    (no broadcast of the token vocabulary, which is unbounded at web
+    scale, and no per-distinct-token Python group call); then one
     ``groupby(source)`` top-5.  Same milli-rounded half-away score as the
     corpus operator, so the oracle hash-matches."""
     import numpy as np
@@ -1071,19 +1037,36 @@ def _q_source_distinctive_terms(sf_dir: str):
         .aggregate(Sum("tf", alias_name="tf"))
     )
 
-    def score_token_group(grp) -> pa.Table:
-        # one group = one token across ALL sources: df is just the group
-        # height, so no second dataset or join is needed
-        tfv = grp["tf"].to_numpy().astype(np.float64)
-        df = float(len(grp))
-        x = tfv * np.log(n_src / df)
+    # per-token source-df via ONE vectorized groupby aggregate, attached
+    # back with the sharded hash_join — one polars join per key-range
+    # shard, not a Python call per distinct token (vocabulary cardinality
+    # grows with the data; a groupby(token).map_groups here is a per-key
+    # loop at web scale)
+    from ray.data.aggregate import Count
+
+    from hksketch.ray_glue.joins import hash_join
+
+    dfc = tf.groupby("token").aggregate(Count(alias_name="df"))
+    tf_schema = pa.schema([("source", pa.string()), ("token", pa.string()),
+                           ("tf", pa.int64())])
+    df_schema = pa.schema([("token", pa.string()), ("df", pa.int64())])
+    joined = hash_join(
+        tf, dfc, on="token", lschema=tf_schema, rschema=df_schema
+    )
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        tfv = b.column("tf").to_numpy().astype(np.float64)
+        dfv = b.column("df").to_numpy().astype(np.float64)
+        x = tfv * np.log(n_src / dfv)
         tfidf = np.floor(x * 1000.0 + 0.5) / 1000.0
-        return pa.table({"source": pa.array(grp["source"], type=pa.string()),
-                         "token": pa.array(grp["token"], type=pa.string()),
-                         "tf": pa.array(grp["tf"], type=pa.int64()),
+        return pa.table({"source": b.column("source").cast(pa.string()),
+                         "token": b.column("token").cast(pa.string()),
+                         "tf": b.column("tf"),
                          "tfidf": pa.array(tfidf, type=pa.float64())})
 
-    scored = tf.groupby("token").map_groups(score_token_group, batch_format="pandas")
+    scored = joined.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def top5(g: pa.Table) -> pa.Table:
         import numpy as np

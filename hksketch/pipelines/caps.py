@@ -14,6 +14,12 @@ dominating the training mix), as a bounded-shuffle Ray Data operator:
   carries at most N rows per (batch, group) — the per-group partial
   top-N pushdown — and the final per-group selection touches ≤ N×#batches
   rows per group regardless of how hot the group is.
+- **Shard-grouped final (the group-COUNT story)**: the reduce side
+  groups by a fixed-cardinality key-hash shard, not by the raw group
+  key — group count (hosts/sources) is unbounded at web scale and a
+  ``groupby(group).map_groups`` would make one Python call per group;
+  inside each shard the selection is ONE lexsort + run-scan over all of
+  that shard's groups (the ``sessions.py`` discipline).
 
 The default rank is an LCG ``(id*1103515245 + 12345) mod 2^31`` rather
 than ``hashing.splitmix64`` ONLY so the DuckDB oracle can express the
@@ -32,6 +38,19 @@ import pyarrow as pa
 LCG_MULT = 1103515245
 LCG_ADD = 12345
 LCG_MOD = 2147483648  # 2^31
+
+
+def _with_shard(ds, group_col: str, shards: int):
+    """Append a ``__shard`` column = key-hash of the group (int keys via
+    splitmix64, strings via the process-independent hk64) so the reduce
+    groupby has FIXED cardinality regardless of group count."""
+    from ..ray_glue.joins import _key_shards
+
+    def add(b: pa.Table) -> pa.Table:
+        s = _key_shards(b.column(group_col).combine_chunks(), shards)
+        return b.append_column("__shard", pa.array(s, type=pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lcg_rank(ids: np.ndarray) -> np.ndarray:
@@ -67,10 +86,14 @@ def cap_per_group(
     id_col: str,
     n: int,
     rank_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    shards: int = 64,
 ):
     """Dataset → Dataset[(group_col, id_col, rank)] of the ≤ ``n``
     surviving rows per group.  SQL parity:
     ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY rank, id) <= n``.
+    ``shards`` fixes the reduce-side groupby cardinality (NOT the group
+    count, which is unbounded); size it so post-combiner rows/shard fit a
+    worker.
     """
     if n < 1:
         raise ValueError(f"cap n must be >= 1, got {n}")
@@ -91,19 +114,26 @@ def cap_per_group(
 
     pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(grp: "pd.DataFrame") -> pa.Table:
-        g = grp[group_col].to_numpy()
-        i = grp[id_col].to_numpy().astype(np.int64)
-        r = grp["rank"].to_numpy().astype(np.int64)
-        keep = _prune_topn(g, i, r, n)
-        t = pa.table(
-            {group_col: pa.array(g[keep]),
+    def final(grp: pa.Table) -> pa.Table:
+        # one shard = MANY groups; _prune_topn's lexsort + run scan
+        # selects per group vectorized, so per-Python-call work is
+        # rows/shards, independent of group count
+        g = grp.column(group_col).to_numpy(zero_copy_only=False)
+        i = grp.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        r = grp.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.sort(_prune_topn(g, i, r, n))
+        return pa.table(
+            {group_col: pa.array(g[keep],
+                                 type=grp.schema.field(group_col).type),
              id_col: pa.array(i[keep], type=pa.int64()),
              "rank": pa.array(r[keep], type=pa.int64())}
         )
-        return t
 
-    return pre.groupby(group_col).map_groups(final, batch_format="pandas")
+    return (
+        _with_shard(pre, group_col, shards)
+        .groupby("__shard")
+        .map_groups(final, batch_format="pyarrow")
+    )
 
 
 def _prune_budget(
@@ -137,6 +167,7 @@ def budget_per_group(
     weight_col: str,
     budget: int,
     rank_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    shards: int = 64,
 ):
     """Per-group WEIGHT budget (the training-mix construction primitive:
     "take documents per source, in deterministic rank order, until the
@@ -184,17 +215,25 @@ def budget_per_group(
 
     pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(grp: "pd.DataFrame") -> pa.Table:
-        g = grp[group_col].to_numpy()
-        i = grp[id_col].to_numpy().astype(np.int64)
-        r = grp["rank"].to_numpy().astype(np.int64)
-        w = grp[weight_col].to_numpy().astype(np.int64)
-        keep = _prune_budget(g, i, r, w, budget)
+    def final(grp: pa.Table) -> pa.Table:
+        # shard-grouped: many groups per call, vectorized segment cumsum
+        g = grp.column(group_col).to_numpy(zero_copy_only=False)
+        i = grp.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        r = grp.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = grp.column(weight_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        keep = np.sort(_prune_budget(g, i, r, w, budget))
         return pa.table(
-            {group_col: pa.array(g[keep]),
+            {group_col: pa.array(g[keep],
+                                 type=grp.schema.field(group_col).type),
              id_col: pa.array(i[keep], type=pa.int64()),
              "rank": pa.array(r[keep], type=pa.int64()),
              weight_col: pa.array(w[keep], type=pa.int64())}
         )
 
-    return pre.groupby(group_col).map_groups(final, batch_format="pandas")
+    return (
+        _with_shard(pre, group_col, shards)
+        .groupby("__shard")
+        .map_groups(final, batch_format="pyarrow")
+    )
