@@ -140,14 +140,22 @@ class MinHasher:
         )
 
 
-def lsh_candidate_pairs(
+def lsh_candidate_pair_rows(
     rows,
     shards="auto",
     est_row_multiplier: int = 1,
     rows_hint=None,
     max_bucket_size: int = 1024,
-) -> pa.Table:
-    """(band_id, band_hash, doc_id) rows → candidate (a, b) pairs.
+):
+    """(band_id, band_hash, doc_id) rows → Dataset of candidate (a, b)
+    pair ROWS — the Dataset-native half of ``lsh_candidate_pairs``.
+
+    The returned Dataset may contain the same pair more than once (a pair
+    colliding in several bands emerges from several bucket shards) and
+    carries ``runs.append_drop_sentinels`` accounting rows (a < 0);
+    ``pairverify.pair_flow_plan`` dedups both distributed.  Use this for
+    pair flows that must never transit the driver;
+    ``lsh_candidate_pairs`` keeps the collected-table API.
 
     Scale-critical shape: a groupby on the raw (band_id, band_hash) key
     creates millions of size-1 groups (40s+ on 3M rows); instead the bucket
@@ -259,7 +267,32 @@ def lsh_candidate_pairs(
             out = append_drop_sentinels(out, "b", dropped_pairs, dropped_buckets)
         return out
 
-    got = sharded.groupby("shard").map_groups(pairs, batch_format="pandas").to_pandas()
+    return sharded.groupby("shard").map_groups(pairs, batch_format="pandas")
+
+
+def lsh_candidate_pairs(
+    rows,
+    shards="auto",
+    est_row_multiplier: int = 1,
+    rows_hint=None,
+    max_bucket_size: int = 1024,
+) -> pa.Table:
+    """Collected-table API over ``lsh_candidate_pair_rows``: the distinct
+    sorted (a, b) pair table with ``lsh_dropped_buckets`` /
+    ``lsh_dropped_pairs`` accounting in its schema metadata.  Bounded by
+    the candidate count — callers that verify downstream should prefer
+    the Dataset flow (``minhash_near_dupes`` does), which never holds the
+    pair table in one process."""
+    got = lsh_candidate_pair_rows(
+        rows,
+        shards=shards,
+        est_row_multiplier=est_row_multiplier,
+        rows_hint=rows_hint,
+        max_bucket_size=max_bucket_size,
+    ).to_pandas()
+    _empty = pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+    )
     meta = {b"lsh_dropped_buckets": b"0", b"lsh_dropped_pairs": b"0"}
     if len(got) == 0 or "a" not in got.columns:  # zero collisions anywhere
         return _empty.replace_schema_metadata(meta)
@@ -278,6 +311,194 @@ def lsh_candidate_pairs(
     return pa.Table.from_pandas(
         got.sort_values(["a", "b"]).reset_index(drop=True), preserve_index=False
     ).replace_schema_metadata(meta)
+
+
+def _shingle_gather_fn(mh: "MinHasher", text_col: str, id_col: str, need, targets_ref):
+    """The fused gather scan shared by ``verify_pairs_distributed`` and
+    ``verify_pairs_flow``: re-shingle only candidate rows and emit each
+    doc's sorted-unique shingle list once per (doc, reduce-shard)."""
+    import ray
+
+    from ..hashing import membership_mask
+    from .pairverify import fanout_targets, list_array_int64
+
+    def gather(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "shard": pa.array([], type=pa.int32()),
+             "shingles": pa.array([], type=pa.large_list(pa.uint64()))}
+        )
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = membership_mask(ids, need)
+        if not mask.any():
+            return empty
+        sub = b.take(pa.array(np.flatnonzero(mask)))
+        sh, didx = mh.shingle_hashes(sub.column(text_col).combine_chunks())
+        sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.searchsorted(didx, np.arange(len(sub_ids)))
+        ends = np.append(starts[1:], len(didx))
+        lists_unique = [np.unique(sh[starts[d] : ends[d]]) for d in range(len(sub_ids))]
+        dl = np.array([len(l) for l in lists_unique], dtype=np.int64)
+        flat_docs = (
+            np.concatenate(lists_unique) if dl.sum() else np.empty(0, dtype=np.uint64)
+        )
+        doffs = np.concatenate(([0], np.cumsum(dl)))
+        doc_of_row, row_shard, reps = fanout_targets(sub_ids, ray.get(targets_ref))
+        if len(doc_of_row) == 0:
+            return empty
+        # vectorized fan-out: each emitted row is its doc's list segment
+        out_lens = dl[doc_of_row]
+        offs = np.concatenate(([0], np.cumsum(out_lens)))
+        pos = np.repeat(doffs[doc_of_row] - offs[:-1], out_lens) + np.arange(
+            int(out_lens.sum()), dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids[doc_of_row], type=pa.int64()),
+                "shard": pa.array(row_shard, type=pa.int32()),
+                "shingles": list_array_int64(
+                    offs, pa.array(flat_docs[pos], type=pa.uint64())
+                ),
+            }
+        )
+
+    return gather
+
+
+def _slice_pair_scalars(
+    g: pa.Table, pa_ids: np.ndarray, pb_ids: np.ndarray, chunk_pairs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reducer kernel shared by both verify paths: for this shard's
+    gathered (doc_id, shingles) rows and its (a, b) pair slice, every
+    pair's (|A|+|B|, |A∩B|) — computed in ``chunk_pairs`` slices with one
+    lexsort per chunk (each value occurs ≤2× per pair since sides are
+    sorted-unique, so duplicate-adjacency counts are exactly the
+    intersection); per-call memory is bounded by chunk_pairs × mean list
+    size regardless of cluster shape.  Docs absent from ``g`` behave as
+    empty shingle sets."""
+    from .pairverify import dedup_sorted_docs, presence
+
+    docs, lists = dedup_sorted_docs(g, "shingles")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    loffs = np.concatenate(([0], np.cumsum(lens)))
+
+    hi = len(pa_ids)
+    out_tot, out_int = [], []
+    for cs in range(0, hi, chunk_pairs):
+        ce = min(cs + chunk_pairs, hi)
+        m = ce - cs
+        ia, fa = presence(docs, pa_ids[cs:ce])
+        ib, fb = presence(docs, pb_ids[cs:ce])
+        la = np.where(fa, lens[ia] if len(docs) else 0, 0)
+        lb = np.where(fb, lens[ib] if len(docs) else 0, 0)
+        total = la + lb
+
+        def _vals(idx, found, ln):
+            st = np.where(found, loffs[idx] if len(docs) else 0, 0)
+            pos = np.repeat(st - np.concatenate(([0], np.cumsum(ln)[:-1])), ln)
+            pos = pos + np.arange(int(ln.sum()), dtype=np.int64)
+            return flat[pos], np.repeat(np.arange(m), ln)
+
+        va, pa_idx = _vals(ia, fa, la)
+        vb, pb_idx = _vals(ib, fb, lb)
+        vals = np.concatenate([va, vb])
+        pov = np.concatenate([pa_idx, pb_idx])
+        vo = np.lexsort((vals, pov))
+        pv, fv = pov[vo], vals[vo]
+        dup = (pv[1:] == pv[:-1]) & (fv[1:] == fv[:-1])
+        inter = np.bincount(pv[1:][dup], minlength=m)
+        out_tot.append(total)
+        out_int.append(inter.astype(np.int64))
+    if not out_tot:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return (
+        np.concatenate(out_tot).astype(np.int64),
+        np.concatenate(out_int).astype(np.int64),
+    )
+
+
+def verify_pairs_flow(
+    ds,
+    cand_ds,
+    mh: "MinHasher",
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shards: int | None = None,
+    chunk_pairs: int = 65_536,
+    scratch: str | None = None,
+):
+    """Dataset-end-to-end exact-Jaccard verification (round-4 VERDICT #3:
+    the candidate PAIR table never materializes on the driver).
+
+    ``cand_ds`` is the raw pair-row Dataset from
+    ``lsh_candidate_pair_rows`` (duplicates + drop sentinels included).
+    ``pairverify.pair_flow_plan`` dedups it distributed and parks each
+    verify shard's slice as one parquet file; the driver holds only the
+    (doc, shard) fan-out table — O(candidate docs), not O(pairs).  The
+    gather scan and chunked lexsort kernel are the exact ones
+    ``verify_pairs_distributed`` uses; each reducer reads ITS OWN pair
+    slice from shared storage, computes J = inter/union, applies the
+    threshold, and emits surviving (a, b, jaccard) rows — so the fold
+    that used to happen on the driver is distributed too, and what
+    reaches the caller is only CONFIRMED pairs.
+
+    → (result Dataset[(a, b, jaccard)], pair_dir).  The caller must
+    delete ``pair_dir`` only after the result Dataset has fully executed
+    (reducers read the slices lazily).  Semantics note: a pair BOTH of
+    whose docs are absent from ``ds`` is dropped (its shard group never
+    forms), unlike ``verify_pairs_distributed`` where such a pair scores
+    J=1 from two empty sets; pairs from ``lsh_candidate_pair_rows`` over
+    the same ``ds`` always have both docs present, so the two paths agree
+    wherever both apply."""
+    from .pairverify import pair_flow_plan, read_pair_slice
+
+    shards, targets_ref, need, pair_dir, dropped_pairs, dropped_buckets = (
+        pair_flow_plan(cand_ds, shards=shards, scratch=scratch)
+    )
+    if dropped_pairs or dropped_buckets:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "verify_pairs_flow: %d candidate pair(s) dropped across %d "
+            "oversized bucket(s) upstream",
+            dropped_pairs, dropped_buckets,
+        )
+
+    gather = _shingle_gather_fn(mh, text_col, id_col, need, targets_ref)
+    attached = ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {"a": pa.array([], type=pa.int64()),
+         "b": pa.array([], type=pa.int64()),
+         "jaccard": pa.array([], type=pa.float64())}
+    )
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        my_shard = int(g.column("shard")[0].as_py())
+        # read ONLY this shard's slice from the partitioned pair write
+        pa_ids, pb_ids = read_pair_slice(pair_dir, my_shard)
+        if len(pa_ids) == 0:
+            return empty
+        total, inter = _slice_pair_scalars(g, pa_ids, pb_ids, chunk_pairs)
+        union = total - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+        keep = j >= threshold
+        return pa.table(
+            {"a": pa.array(pa_ids[keep], type=pa.int64()),
+             "b": pa.array(pb_ids[keep], type=pa.int64()),
+             "jaccard": pa.array(j[keep], type=pa.float64())}
+        )
+
+    got = attached.groupby("shard").map_groups(reduce_pairs, batch_format="pyarrow")
+    return got, pair_dir
 
 
 def verify_pairs_distributed(
@@ -324,64 +545,16 @@ def verify_pairs_distributed(
     more rows per band raises the collision threshold), raise
     ``max_bucket_size`` selectivity, or partition the corpus and run
     per-partition passes."""
-    import ray
-
-    from .pairverify import (
-        dedup_sorted_docs,
-        fanout_targets,
-        fold_pair_scalars,
-        list_array_int64,
-        pair_shard_plan,
-        presence,
-    )
+    from .pairverify import fold_pair_scalars, pair_shard_plan
 
     a_np, b_np, n_pairs, shards, targets_ref, pairs_refs, need = pair_shard_plan(cand)
 
-    def gather(b: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_id": pa.array([], type=pa.int64()),
-             "shard": pa.array([], type=pa.int32()),
-             "shingles": pa.array([], type=pa.large_list(pa.uint64()))}
-        )
-        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        from ..hashing import membership_mask
-
-        mask = membership_mask(ids, need)
-        if not mask.any():
-            return empty
-        sub = b.take(pa.array(np.flatnonzero(mask)))
-        sh, didx = mh.shingle_hashes(sub.column(text_col).combine_chunks())
-        sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        starts = np.searchsorted(didx, np.arange(len(sub_ids)))
-        ends = np.append(starts[1:], len(didx))
-        lists_unique = [np.unique(sh[starts[d] : ends[d]]) for d in range(len(sub_ids))]
-        dl = np.array([len(l) for l in lists_unique], dtype=np.int64)
-        flat_docs = (
-            np.concatenate(lists_unique) if dl.sum() else np.empty(0, dtype=np.uint64)
-        )
-        doffs = np.concatenate(([0], np.cumsum(dl)))
-        doc_of_row, row_shard, reps = fanout_targets(sub_ids, ray.get(targets_ref))
-        if len(doc_of_row) == 0:
-            return empty
-        # vectorized fan-out: each emitted row is its doc's list segment
-        out_lens = dl[doc_of_row]
-        offs = np.concatenate(([0], np.cumsum(out_lens)))
-        pos = np.repeat(doffs[doc_of_row] - offs[:-1], out_lens) + np.arange(
-            int(out_lens.sum()), dtype=np.int64
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(sub_ids[doc_of_row], type=pa.int64()),
-                "shard": pa.array(row_shard, type=pa.int32()),
-                "shingles": list_array_int64(
-                    offs, pa.array(flat_docs[pos], type=pa.uint64())
-                ),
-            }
-        )
-
+    gather = _shingle_gather_fn(mh, text_col, id_col, need, targets_ref)
     attached = ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
 
     def reduce_pairs(g: pa.Table) -> pa.Table:
+        import ray
+
         empty = pa.table(
             {"pair_id": pa.array([], type=pa.int64()),
              "total": pa.array([], type=pa.int64()),
@@ -392,48 +565,13 @@ def verify_pairs_distributed(
         my_shard = int(g.column("shard")[0].as_py())
         # fetch ONLY this shard's pair slice (bounded by n_pairs / shards)
         _pid, _pa_, _pb_ = ray.get(pairs_refs[my_shard])
-        lo, hi = 0, len(_pid)
-        if hi == lo:
+        if len(_pid) == 0:
             return empty
-        docs, lists = dedup_sorted_docs(g, "shingles")
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        flat = lists.flatten().to_numpy(zero_copy_only=False)
-        loffs = np.concatenate(([0], np.cumsum(lens)))
-
-        out_pid, out_tot, out_int = [], [], []
-        for cs in range(lo, hi, chunk_pairs):
-            ce = min(cs + chunk_pairs, hi)
-            pid_c = _pid[cs:ce]
-            m = ce - cs
-            ia, fa = presence(docs, _pa_[cs:ce])
-            ib, fb = presence(docs, _pb_[cs:ce])
-            la = np.where(fa, lens[ia] if len(docs) else 0, 0)
-            lb = np.where(fb, lens[ib] if len(docs) else 0, 0)
-            total = la + lb
-
-            def _vals(idx, found, ln):
-                st = np.where(found, loffs[idx] if len(docs) else 0, 0)
-                pos = np.repeat(st - np.concatenate(([0], np.cumsum(ln)[:-1])), ln)
-                pos = pos + np.arange(int(ln.sum()), dtype=np.int64)
-                return flat[pos], np.repeat(np.arange(m), ln)
-
-            va, pa_idx = _vals(ia, fa, la)
-            vb, pb_idx = _vals(ib, fb, lb)
-            vals = np.concatenate([va, vb])
-            pov = np.concatenate([pa_idx, pb_idx])
-            vo = np.lexsort((vals, pov))
-            pv, fv = pov[vo], vals[vo]
-            dup = (pv[1:] == pv[:-1]) & (fv[1:] == fv[:-1])
-            inter = np.bincount(pv[1:][dup], minlength=m)
-            out_pid.append(pid_c)
-            out_tot.append(total)
-            out_int.append(inter.astype(np.int64))
+        total, inter = _slice_pair_scalars(g, _pa_, _pb_, chunk_pairs)
         return pa.table(
-            {"pair_id": pa.array(np.concatenate(out_pid), type=pa.int64()),
-             "total": pa.array(np.concatenate(out_tot), type=pa.int64()),
-             "inter": pa.array(np.concatenate(out_int), type=pa.int64())}
+            {"pair_id": pa.array(_pid, type=pa.int64()),
+             "total": pa.array(total, type=pa.int64()),
+             "inter": pa.array(inter, type=pa.int64())}
         )
 
     got = attached.groupby("shard").map_groups(reduce_pairs, batch_format="pyarrow")
@@ -465,12 +603,16 @@ def minhash_near_dupes(
     """Dataset → pa.Table(a, b[, jaccard]) of near-duplicate id pairs.
 
     Candidates from LSH banding; verified (optionally) with exact shingle
-    Jaccard computed FULLY DISTRIBUTED (``verify_pairs_distributed``):
-    one fused gather scan ships each candidate doc's shingle list once
-    per (doc, reduce-shard), ONE bounded shard shuffle cogroups them with
-    the closure-broadcast pair slices, and every pair's Jaccard comes out
-    of one vectorized lexsort per fixed-size pair chunk — no driver-side
-    text reads, no driver-held shingle dict, no per-pair Python loop.
+    Jaccard computed FULLY DISTRIBUTED and DATASET-END-TO-END
+    (``verify_pairs_flow``): the candidate pair rows stay a Dataset from
+    bucket scan through verification — deduped and partition-written per
+    verify shard by ``pairverify.pair_flow_plan``, never collected on the
+    driver (round-4 VERDICT #3).  One fused gather scan ships each
+    candidate doc's shingle list once per (doc, reduce-shard); each
+    reducer reads its own pair slice, thresholds locally, and only
+    CONFIRMED pairs (the query's output) reach the driver.  With
+    ``verify_threshold=None`` the candidate table IS the output, so the
+    driver-collected ``lsh_candidate_pairs`` path applies.
     """
     mh = MinHasher(num_perm=num_perm, ngram=ngram, seed=seed)
 
@@ -487,12 +629,26 @@ def minhash_near_dupes(
     from ..ray_glue.partitioning import estimate_rows
 
     src_rows = estimate_rows(ds)
-    cand = lsh_candidate_pairs(
-        rows,
-        rows_hint=None if src_rows is None else src_rows * bands,
-    )
-    if verify_threshold is None or cand.num_rows == 0:
+    rows_hint = None if src_rows is None else src_rows * bands
+    if verify_threshold is None:
+        cand = lsh_candidate_pairs(rows, rows_hint=rows_hint)
         return cand.sort_by([("a", "ascending"), ("b", "ascending")])
-    return verify_pairs_distributed(
-        ds, cand, mh, text_col, id_col, verify_threshold
+    cand_rows = lsh_candidate_pair_rows(rows, rows_hint=rows_hint)
+    got, pair_dir = verify_pairs_flow(
+        ds, cand_rows, mh, text_col, id_col, verify_threshold
+    )
+    import shutil
+
+    import ray
+
+    parts = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
+    shutil.rmtree(pair_dir, ignore_errors=True)
+    if not parts:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}
+        )
+    return pa.concat_tables(parts).combine_chunks().sort_by(
+        [("a", "ascending"), ("b", "ascending")]
     )

@@ -72,6 +72,160 @@ def pair_shard_plan(cand: pa.Table, shards: int | None = None):
     return a_np, b_np, n_pairs, shards, targets_ref, pairs_refs, np.unique(side_doc)
 
 
+def pair_flow_plan(
+    cand_ds, shards: int | None = None, scratch: str | None = None
+):
+    """Dataset-native pair plan (round-4 VERDICT #3): the candidate pair
+    table NEVER materializes on the driver.
+
+    ``cand_ds``: a Dataset of (a, b) int64 pair rows, possibly containing
+    duplicate pairs (the same pair colliding in several LSH bands lands in
+    several bucket shards upstream) and ``runs.append_drop_sentinels``
+    accounting rows (a < 0).
+
+    Shape:
+
+    1. ``map_batches`` assigns each pair its verify shard
+       ``splitmix64(a·φ ⊕ splitmix64(b)) & (shards−1)`` — every duplicate
+       of a pair maps to ONE shard, so the per-shard pass below removes
+       cross-band duplicates without any global pass;
+    2. ``groupby(shard).map_groups`` sorts + dedups its slice and WRITES
+       it as one parquet file under ``scratch`` (the partitioned-write
+       half of the plan: that file is the only copy of the pair table
+       anywhere — reducers later read exactly their own slice via
+       ``read_pair_slice``), returning only the shard's DISTINCT
+       (doc_id, shard) rows plus one drop-accounting sentinel row;
+    3. the driver collects ONLY that target table — O(candidate docs ×
+       shards a doc touches), the same bound the gather fan-out already
+       needs — and ``ray.put``s the fan-out map.
+
+    → (shards, targets_ref, need, pair_dir, dropped_pairs,
+    dropped_buckets).  The caller owns ``pair_dir`` cleanup AFTER the
+    consuming Dataset has fully executed (the reducers read the files
+    lazily).  ``scratch`` defaults to a fresh directory under the
+    ``ray_glue.storage`` root, which on a multi-node cluster must be
+    shared storage."""
+    import os
+    import uuid
+
+    import ray
+
+    from ..ray_glue.storage import artifact_dir
+
+    if shards is None:
+        shards = 256
+    shards = int(shards)
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    if shards & (shards - 1):
+        shards = 1 << shards.bit_length()
+
+    pair_dir = scratch or artifact_dir("pairflow", uuid.uuid4().hex)
+    os.makedirs(pair_dir, exist_ok=True)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def assign(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ps = np.zeros(len(a), dtype=np.int32)  # sentinel rows ride shard 0
+        real = a >= 0
+        if real.any():
+            with np.errstate(over="ignore"):  # mod-2^64 mixing
+                h = splitmix64(
+                    a[real].astype(np.uint64) * gold
+                    ^ splitmix64(b[real].astype(np.uint64))
+                )
+            ps[real] = (h & np.uint64(shards - 1)).astype(np.int32)
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()),
+             "b": pa.array(b, type=pa.int64()),
+             "shard": pa.array(ps, type=pa.int32())}
+        )
+
+    assigned = cand_ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def dedup_write(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        shard = int(g.column("shard")[0].as_py())
+        a = g.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        dp = int(b[a == -1].sum())
+        dbk = int(b[a == -2].sum())
+        real = a >= 0
+        a, b = a[real], b[real]
+        docs = np.empty(0, dtype=np.int64)
+        if len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            keep = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+            )
+            a, b = a[keep], b[keep]
+            # tmp + atomic rename: idempotent under Ray task retry
+            final = os.path.join(pair_dir, f"pairs_{shard:05d}.parquet")
+            tmp = f"{final}.{os.getpid()}.tmp"
+            _pq.write_table(
+                pa.table({"a": pa.array(a, type=pa.int64()),
+                          "b": pa.array(b, type=pa.int64())}),
+                tmp,
+            )
+            os.replace(tmp, final)
+            docs = np.unique(np.concatenate([a, b]))
+        zeros = np.zeros(len(docs), dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([docs, [-1]]), type=pa.int64()),
+             "shard": pa.array(
+                 np.full(len(docs) + 1, shard, dtype=np.int32)
+             ),
+             "dropped_pairs": pa.array(
+                 np.concatenate([zeros, [dp]]), type=pa.int64()
+             ),
+             "dropped_buckets": pa.array(
+                 np.concatenate([zeros, [dbk]]), type=pa.int64()
+             )}
+        )
+
+    tgt = (
+        assigned.groupby("shard")
+        .map_groups(dedup_write, batch_format="pyarrow")
+        .to_pandas()
+    )
+    acc = tgt[tgt["doc_id"] < 0]
+    dropped_pairs = int(acc["dropped_pairs"].sum())
+    dropped_buckets = int(acc["dropped_buckets"].sum())
+    tgt = tgt[tgt["doc_id"] >= 0]
+    td = tgt["doc_id"].to_numpy().astype(np.int64)
+    ts = tgt["shard"].to_numpy().astype(np.int32)
+    o = np.lexsort((ts, td))
+    td, ts = td[o], ts[o]
+    targets_ref = ray.put((td, ts))
+    return (
+        shards, targets_ref, np.unique(td), pair_dir,
+        dropped_pairs, dropped_buckets,
+    )
+
+
+def read_pair_slice(pair_dir: str, shard: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reducer side of ``pair_flow_plan``: this shard's sorted-unique
+    (a, b) slice, or empty arrays if the shard emitted no pairs."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(pair_dir, f"pairs_{shard:05d}.parquet")
+    if not os.path.exists(path):
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    t = _pq.read_table(path)
+    return (
+        t.column("a").to_numpy(zero_copy_only=False).astype(np.int64),
+        t.column("b").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+
+
 def fanout_targets(sub_ids: np.ndarray, targets) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """For this batch's candidate docs, the (row_index, shard) fan-out:
     → (doc_row of each emitted copy, shard of each copy, reps per doc) —

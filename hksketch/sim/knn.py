@@ -369,12 +369,18 @@ def embedding_near_dupes_lsh(
     bands × bits against the collision prob p = 1 − θ/π).
 
     Scale shape: band rows shuffle through the same sharded run-scan as
-    MinHash (``lsh_candidate_pairs`` — bounded fan-in); candidate
-    embeddings are gathered with a broadcast id semi-join, and pair
-    cosines verify vectorized.  Right for the true near-duplicate regime
-    (high cosine, sparse pairs); at low thresholds candidates degrade
-    toward all-pairs — use ``embedding_near_dupes`` there."""
-    from ..dedup.minhash import lsh_candidate_pairs
+    MinHash, and the candidate pairs stay a DATASET end-to-end
+    (``lsh_candidate_pair_rows`` → ``verify_pair_cosines_flow``): deduped
+    and partition-written per verify shard, never collected on the driver
+    (round-4 VERDICT #3); each reducer thresholds its own slice and only
+    CONFIRMED pairs reach the driver.  Right for the true near-duplicate
+    regime (high cosine, sparse pairs); at low thresholds candidates
+    degrade toward all-pairs — use ``embedding_near_dupes`` there."""
+    import shutil
+
+    import ray
+
+    from ..dedup.minhash import lsh_candidate_pair_rows
 
     rows = ds.map_batches(
         _SignBandRows,
@@ -386,47 +392,32 @@ def embedding_near_dupes_lsh(
     from ..ray_glue.partitioning import estimate_rows
 
     src_rows = estimate_rows(ds)
-    cand = lsh_candidate_pairs(
+    cand_rows = lsh_candidate_pair_rows(
         rows, rows_hint=None if src_rows is None else src_rows * bands
     )
-    if cand.num_rows == 0:
+    got, pair_dir = verify_pair_cosines_flow(
+        ds, cand_rows, emb_col, id_col, threshold
+    )
+    parts = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
+    shutil.rmtree(pair_dir, ignore_errors=True)
+    if not parts:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64())})
-    sims = verify_pair_cosines(ds, cand, emb_col, id_col)
-    keep = sims >= threshold
-    out = pa.table(
-        {"a": pa.array(cand.column("a").to_numpy()[keep], type=pa.int64()),
-         "b": pa.array(cand.column("b").to_numpy()[keep], type=pa.int64())}
+    return (
+        pa.concat_tables(parts)
+        .combine_chunks()
+        .select(["a", "b"])
+        .sort_by([("a", "ascending"), ("b", "ascending")])
     )
-    return out.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
-def verify_pair_cosines(
-    ds, cand: pa.Table, emb_col: str, id_col: str, shards: Optional[int] = None,
-    chunk_pairs: int = 262_144,
-) -> np.ndarray:
-    """Exact cosine for each candidate (a, b) pair, distributed — the
-    embedding-side sibling of ``dedup.minhash.verify_pairs_distributed``,
-    built on the SAME ``dedup.pairverify`` scaffolding: vectors ship once
-    per (doc, reduce-shard) (linear in candidate docs for any cluster
-    shape), the light pair table broadcasts sliced per shard, and dot
-    products run in fixed-size pair chunks.  The driver receives one float
-    per pair.  Pairs with a side absent from ``ds`` get cosine −inf
-    (never pass a threshold)."""
+def _emb_gather_fn(emb_col: str, id_col: str, need, targets_ref):
+    """The normalized-vector gather scan shared by ``verify_pair_cosines``
+    and ``verify_pair_cosines_flow``: ship each candidate doc's unit
+    vector once per (doc, reduce-shard)."""
     import ray
 
-    from ..dedup.pairverify import (
-        dedup_sorted_docs,
-        fanout_targets,
-        fold_pair_scalars,
-        list_array_int64,
-        pair_shard_plan,
-        presence,
-    )
-
-    a_np, b_np, n_pairs, shards, targets_ref, pairs_refs, need = pair_shard_plan(
-        cand, shards
-    )
+    from ..dedup.pairverify import fanout_targets, list_array_int64
 
     def gather(b: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -456,6 +447,110 @@ def verify_pair_cosines(
             }
         )
 
+    return gather
+
+
+def verify_pair_cosines_flow(
+    ds,
+    cand_ds,
+    emb_col: str,
+    id_col: str,
+    threshold: float,
+    shards: Optional[int] = None,
+    chunk_pairs: int = 262_144,
+    scratch: Optional[str] = None,
+):
+    """Dataset-end-to-end exact-cosine verification — the embedding-side
+    sibling of ``dedup.minhash.verify_pairs_flow`` (round-4 VERDICT #3):
+    candidate pairs never materialize on the driver.
+    ``pairverify.pair_flow_plan`` dedups the raw pair-row Dataset and
+    partition-writes each verify shard's slice; reducers read their own
+    slice, threshold locally, and emit only surviving (a, b, cos) rows.
+    Pairs with EITHER side absent from ``ds`` never pass (cosine needs
+    both vectors), matching the −inf fill of ``verify_pair_cosines``.
+
+    → (result Dataset[(a, b, cos)], pair_dir) — the caller deletes
+    ``pair_dir`` after the result Dataset has fully executed."""
+    from ..dedup.pairverify import (
+        dedup_sorted_docs,
+        pair_flow_plan,
+        presence,
+        read_pair_slice,
+    )
+
+    shards, targets_ref, need, pair_dir, _dp, _dbk = pair_flow_plan(
+        cand_ds, shards=shards, scratch=scratch
+    )
+
+    gather = _emb_gather_fn(emb_col, id_col, need, targets_ref)
+    attached = ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {"a": pa.array([], type=pa.int64()),
+         "b": pa.array([], type=pa.int64()),
+         "cos": pa.array([], type=pa.float64())}
+    )
+
+    def dot_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        my_shard = int(g.column("shard")[0].as_py())
+        pa_ids, pb_ids = read_pair_slice(pair_dir, my_shard)
+        if len(pa_ids) == 0:
+            return empty
+        docs, lists = dedup_sorted_docs(g, emb_col)
+        M = _emb_matrix(lists)
+        out_a, out_b, out_cos = [], [], []
+        for cs in range(0, len(pa_ids), chunk_pairs):
+            ce = min(cs + chunk_pairs, len(pa_ids))
+            ia, fa = presence(docs, pa_ids[cs:ce])
+            ib, fb = presence(docs, pb_ids[cs:ce])
+            ok = fa & fb
+            if not ok.any():
+                continue
+            cos = np.einsum("ij,ij->i", M[ia[ok]], M[ib[ok]])
+            keep = cos >= threshold
+            out_a.append(pa_ids[cs:ce][ok][keep])
+            out_b.append(pb_ids[cs:ce][ok][keep])
+            out_cos.append(cos[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate(out_a), type=pa.int64()),
+             "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+             "cos": pa.array(np.concatenate(out_cos), type=pa.float64())}
+        )
+
+    got = attached.groupby("shard").map_groups(dot_pairs, batch_format="pyarrow")
+    return got, pair_dir
+
+
+def verify_pair_cosines(
+    ds, cand: pa.Table, emb_col: str, id_col: str, shards: Optional[int] = None,
+    chunk_pairs: int = 262_144,
+) -> np.ndarray:
+    """Exact cosine for each candidate (a, b) pair, distributed — the
+    embedding-side sibling of ``dedup.minhash.verify_pairs_distributed``,
+    built on the SAME ``dedup.pairverify`` scaffolding: vectors ship once
+    per (doc, reduce-shard) (linear in candidate docs for any cluster
+    shape), the light pair table broadcasts sliced per shard, and dot
+    products run in fixed-size pair chunks.  The driver receives one float
+    per pair.  Pairs with a side absent from ``ds`` get cosine −inf
+    (never pass a threshold)."""
+    import ray
+
+    from ..dedup.pairverify import (
+        dedup_sorted_docs,
+        fold_pair_scalars,
+        pair_shard_plan,
+        presence,
+    )
+
+    a_np, b_np, n_pairs, shards, targets_ref, pairs_refs, need = pair_shard_plan(
+        cand, shards
+    )
+
+    gather = _emb_gather_fn(emb_col, id_col, need, targets_ref)
     attached = ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
 
     def dot_pairs(g: pa.Table) -> pa.Table:

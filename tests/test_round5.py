@@ -1,0 +1,201 @@
+"""Round-5 items: Dataset-end-to-end pair flow (candidate pairs never
+materialize on the driver), shard-grouped per-group caps, and the
+broadcast-join ray.put contract."""
+
+import os
+import tracemalloc
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------- VERDICT r4 #3: pair_flow_plan partitioned write ----------
+
+
+def test_pair_flow_plan_partitioned_write(ray_session, tmp_path):
+    """The plan writes one sorted-unique parquet slice per shard whose
+    union is exactly the distinct pair set, dedups cross-band duplicate
+    pairs, strips drop sentinels into aggregate counts, and the driver
+    table holds only DISTINCT (doc, shard) targets."""
+    import ray.data as rd
+
+    from hksketch.dedup.pairverify import pair_flow_plan, read_pair_slice
+    from hksketch.dedup.runs import append_drop_sentinels
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    a = rng.integers(0, 300, n).astype(np.int64)
+    b = a + 1 + rng.integers(0, 50, n).astype(np.int64)
+    t = pa.table({"a": pa.array(a, type=pa.int64()),
+                  "b": pa.array(b, type=pa.int64())})
+    # duplicate every pair once (the multi-band collision shape) and add
+    # two sentinel batches worth of drop accounting
+    dup = pa.concat_tables([t, t])
+    with_sent = append_drop_sentinels(dup, "b", dropped_pairs=7, dropped_runs=2)
+    cand_ds = rd.from_arrow(with_sent)
+
+    shards, targets_ref, need, pair_dir, dp, dbk = pair_flow_plan(
+        cand_ds, shards=32, scratch=str(tmp_path / "pairs")
+    )
+    assert shards == 32
+    assert dp == 7 and dbk == 2
+
+    want = np.unique(np.stack([a, b], axis=1), axis=0)
+    got_a, got_b = [], []
+    n_files = 0
+    for s in range(shards):
+        sa, sb = read_pair_slice(pair_dir, s)
+        if len(sa):
+            n_files += 1
+            # each slice is itself sorted-unique
+            k = sa.astype(object) * (1 << 32) + sb.astype(object)
+            assert all(k[i] < k[i + 1] for i in range(len(k) - 1))
+        got_a.append(sa)
+        got_b.append(sb)
+    assert n_files > 1  # genuinely partitioned
+    got = np.unique(
+        np.stack([np.concatenate(got_a), np.concatenate(got_b)], axis=1), axis=0
+    )
+    assert np.array_equal(got, want)
+    assert len(got) == sum(len(x) for x in got_a)  # no cross-shard dup
+
+    td, ts = ray_session.get(targets_ref)
+    # targets are distinct (doc, shard) rows covering every pair side
+    pairs_seen = set(zip(td.tolist(), ts.tolist()))
+    assert len(pairs_seen) == len(td)
+    assert np.array_equal(need, np.unique(np.concatenate([a, b])))
+
+
+def test_pair_flow_driver_allocation_independent_of_pairs(ray_session, tmp_path):
+    """Driver-side allocation during the plan is bounded by the DOC count,
+    not the pair count: 10x the distinct pairs over the same 600 docs must
+    not grow the driver's Python allocation peak materially (the pair
+    table lives in worker-written parquet slices, the driver sees only the
+    (doc, shard) target table)."""
+    import ray.data as rd
+
+    from hksketch.dedup.pairverify import pair_flow_plan
+
+    def make(n_pairs: int, seed: int):
+        rng = np.random.default_rng(seed)
+        # distinct pairs over a FIXED 600-doc universe
+        seen = set()
+        while len(seen) < n_pairs:
+            x = rng.integers(0, 600, size=n_pairs * 2).astype(np.int64)
+            y = rng.integers(0, 600, size=n_pairs * 2).astype(np.int64)
+            for i in range(len(x)):
+                if x[i] < y[i]:
+                    seen.add((int(x[i]), int(y[i])))
+                    if len(seen) >= n_pairs:
+                        break
+        arr = np.array(sorted(seen), dtype=np.int64)
+        return pa.table({"a": pa.array(arr[:, 0]), "b": pa.array(arr[:, 1])})
+
+    def peak(n_pairs: int, seed: int, tag: str) -> int:
+        cand = rd.from_arrow(make(n_pairs, seed))
+        tracemalloc.start()
+        tracemalloc.reset_peak()
+        pair_flow_plan(cand, shards=32, scratch=str(tmp_path / tag))
+        _, pk = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return pk
+
+    peak(2_000, 1, "warm")  # warm caches/imports out of the measurement
+    small = peak(2_000, 2, "small")
+    big = peak(20_000, 3, "big")
+    # 10x pairs; same doc universe → driver peak must stay ~flat.  Allow
+    # 3x headroom for allocator noise; the failing (driver-collected)
+    # shape would show ~10x.
+    assert big < max(small, 1_000_000) * 3, (small, big)
+
+
+def test_verify_flow_matches_distributed(ray_session, tmp_path):
+    """verify_pairs_flow (Dataset end-to-end) returns exactly the pairs
+    verify_pairs_distributed confirms, with identical jaccard values."""
+    import ray.data as rd
+
+    from hksketch.dedup.minhash import (
+        MinHasher,
+        lsh_candidate_pair_rows,
+        lsh_candidate_pairs,
+        verify_pairs_distributed,
+        verify_pairs_flow,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    docs = []
+    for d in base:
+        docs.append(d)
+        if rng.random() < 0.6:  # near-dup with a small edit
+            toks = d.split()
+            toks[int(rng.integers(0, len(toks)))] = "zzz"
+            docs.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs, type=pa.string())})
+    ds = rd.from_arrow(t)
+    mh = MinHasher(num_perm=64, ngram=3, seed=9)
+
+    def stage(batch):
+        return mh.band_rows(
+            batch.column("text").combine_chunks(),
+            batch.column("doc_id").to_numpy(), 16,
+        )
+
+    rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    old = verify_pairs_distributed(
+        ds, lsh_candidate_pairs(rows), mh, "text", "doc_id", 0.5, chunk_pairs=13
+    )
+
+    rows2 = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    got_ds, pair_dir = verify_pairs_flow(
+        ds, lsh_candidate_pair_rows(rows2), mh, "text", "doc_id", 0.5,
+        shards=16, chunk_pairs=13, scratch=str(tmp_path / "flow"),
+    )
+    parts = [x for x in ray_session.get(got_ds.to_arrow_refs()) if x.num_rows]
+    new = pa.concat_tables(parts).combine_chunks().sort_by(
+        [("a", "ascending"), ("b", "ascending")]
+    )
+    assert new.num_rows == old.num_rows > 0
+    assert new.column("a").to_pylist() == old.column("a").to_pylist()
+    assert new.column("b").to_pylist() == old.column("b").to_pylist()
+    assert np.allclose(
+        new.column("jaccard").to_numpy(), old.column("jaccard").to_numpy()
+    )
+    # partitioned slices really exist on shared storage
+    assert any(
+        f.startswith("pairs_") for f in os.listdir(pair_dir)
+    )
+
+
+# ---------- VERDICT r4 #4: caps at unbounded group count ----------
+
+
+def test_cap_per_group_shard_grouped_many_groups(ray_session):
+    """10k distinct groups flow through the fixed-cardinality shard
+    reduce and match the brute-force per-group top-N exactly."""
+    import ray.data as rd
+
+    from hksketch.pipelines.caps import cap_per_group, lcg_rank
+
+    rng = np.random.default_rng(3)
+    n = 60_000
+    g = rng.integers(0, 10_000, n).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"grp": pa.array(g), "id": pa.array(ids)})
+    out = cap_per_group(
+        rd.from_arrow(t), "grp", "id", n=3, shards=16
+    ).to_pandas()
+    assert (out.groupby("grp").size() <= 3).all()
+    # brute force
+    import pandas as pd
+
+    df = pd.DataFrame({"grp": g, "id": ids})
+    df["rank"] = lcg_rank(df["id"].to_numpy())
+    want = (
+        df.sort_values(["grp", "rank", "id"]).groupby("grp").head(3)
+    )
+    got = set(zip(out["grp"], out["id"]))
+    assert got == set(zip(want["grp"], want["id"]))
