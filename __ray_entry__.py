@@ -415,18 +415,30 @@ def _q_segment_revenue(sf_dir: str):
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     order_k = np.argsort(cust["c_custkey"].to_numpy())
     keys = cust["c_custkey"].to_numpy()[order_k]
-    vals = cust["c_mktsegment"].to_numpy(dtype=object)[order_k]
+    # fixed-width bytes so the plasma read below is zero-copy (object
+    # dtype would force a pickle per fetch)
+    vals = cust["c_mktsegment"].to_numpy(dtype="S16")[order_k]
 
-    # small-side lookup closure-broadcasts with the function (serialized
-    # once); stateless stage avoids per-query actor-pool spin-up
+    # SIZE BOUND: this fixed-broadcast variant assumes the dimension fits
+    # a worker heap (c_custkey int64 + 16B segment ≈ 24 B/row → ~2.4 GB at
+    # 100M customers; beyond that use auto_join, which its sibling
+    # segment_revenue_share demonstrates).  The arrays go through the
+    # object store ONCE (ray.put); each task ray.gets a zero-copy view
+    # from its node's plasma — not re-serialized per task the way a
+    # closure capture would be.
+    keys_ref = ray.put(keys)
+    vals_ref = ray.put(vals)
+
     def segment_join(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        keys = ray.get(keys_ref)
+        vals = ray.get(vals_ref)
         ck = b.column("o_custkey").to_numpy()
         pos = np.searchsorted(keys, ck)
         pos = np.clip(pos, 0, len(keys) - 1)
         ok = keys[pos] == ck
-        seg = np.where(ok, vals[pos], None)
+        seg = np.where(ok, vals[pos].astype("U"), None)
         # integer cents: order-independent exact sum (2-decimal prices)
         rev_c = pc.cast(
             pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0)), round_mode="half_towards_infinity"),

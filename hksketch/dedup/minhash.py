@@ -189,10 +189,15 @@ def lsh_candidate_pair_rows(
             est = estimate_rows(rows)
             if est is not None:
                 est *= max(1, est_row_multiplier)
+        # floor 64 keeps every core busy on a 32-cpu node while the
+        # ceiling grows with the data (next_pow2(rows / 2M)); the old
+        # fixed 256 floor cost 3-6x in pure task/shuffle overhead at
+        # small scale (measured: 9.4s vs 3.5s vs 1.6s for 256/64/32
+        # shards on 160k band rows) without buying any memory headroom
         shards = auto_shards(
             rows,
             target_rows_per_shard=2_000_000,
-            min_shards=256,
+            min_shards=64,
             rows_hint=est,
         )
     shards = int(shards)
@@ -431,6 +436,7 @@ def verify_pairs_flow(
     shards: int | None = None,
     chunk_pairs: int = 65_536,
     scratch: str | None = None,
+    pairs_hint: int | None = None,
 ):
     """Dataset-end-to-end exact-Jaccard verification (round-4 VERDICT #3:
     the candidate PAIR table never materializes on the driver).
@@ -458,7 +464,9 @@ def verify_pairs_flow(
     from .pairverify import pair_flow_plan, read_pair_slice
 
     shards, targets_ref, need, pair_dir, dropped_pairs, dropped_buckets = (
-        pair_flow_plan(cand_ds, shards=shards, scratch=scratch)
+        pair_flow_plan(
+            cand_ds, shards=shards, scratch=scratch, pairs_hint=pairs_hint
+        )
     )
     if dropped_pairs or dropped_buckets:
         import logging
@@ -623,23 +631,37 @@ def minhash_near_dupes(
             bands,
         )
 
-    rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     # band-rows datasets are mapped, so their input_files() is empty; size
     # the bucket scan from the SOURCE dataset's footer estimate instead
     from ..ray_glue.partitioning import estimate_rows
 
     src_rows = estimate_rows(ds)
+    # small-corpus parallelism: a single-row-group file arrives as ONE
+    # block, which would run the num_perm-pass signature scan on one
+    # core (measured 1.7s serial vs ~0.2s split, 5k docs × 128 perms).
+    # Splitting a small table is trivially cheap; large corpora (many
+    # files / row groups) already arrive in many blocks and skip this —
+    # repartition on big data would be an all-to-all.
+    if src_rows is not None and src_rows <= 1_000_000:
+        ds = ds.repartition(int(min(64, max(1, src_rows // 16))))
+
+    rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     rows_hint = None if src_rows is None else src_rows * bands
     if verify_threshold is None:
         cand = lsh_candidate_pairs(rows, rows_hint=rows_hint)
         return cand.sort_by([("a", "ascending"), ("b", "ascending")])
-    cand_rows = lsh_candidate_pair_rows(rows, rows_hint=rows_hint)
-    got, pair_dir = verify_pairs_flow(
-        ds, cand_rows, mh, text_col, id_col, verify_threshold
-    )
     import shutil
 
     import ray
+
+    # materialize the pair rows (object store, NOT the driver) so the
+    # verify-shard count can size to the actual pair count — the plan
+    # consumes the rows right after, so nothing executes twice
+    cand_rows = lsh_candidate_pair_rows(rows, rows_hint=rows_hint).materialize()
+    got, pair_dir = verify_pairs_flow(
+        ds, cand_rows, mh, text_col, id_col, verify_threshold,
+        pairs_hint=cand_rows.count(),
+    )
 
     parts = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
     shutil.rmtree(pair_dir, ignore_errors=True)

@@ -137,10 +137,14 @@ def ngram_jaccard_near_dupes(
         # one shingle row per token (minus n-1 per doc): estimate from the
         # SOURCE row count with a conservative tokens-per-doc multiplier;
         # mapped datasets report no row count on this Ray version.
+        # floor 64 (not the old 256): enough parallelism for a 32-cpu
+        # node, and the count still grows with the data via the 2M-row
+        # target — fixed high floors pay pure shuffle overhead at small
+        # scale (see dedup/minhash.py measurement)
         shards = auto_shards(
             ds,
             target_rows_per_shard=2_000_000,
-            min_shards=256,
+            min_shards=64,
             rows_hint=None if est is None else est * 64,
         )
     shards = int(shards)

@@ -73,7 +73,10 @@ def pair_shard_plan(cand: pa.Table, shards: int | None = None):
 
 
 def pair_flow_plan(
-    cand_ds, shards: int | None = None, scratch: str | None = None
+    cand_ds,
+    shards: int | None = None,
+    scratch: str | None = None,
+    pairs_hint: int | None = None,
 ):
     """Dataset-native pair plan (round-4 VERDICT #3): the candidate pair
     table NEVER materializes on the driver.
@@ -113,7 +116,15 @@ def pair_flow_plan(
     from ..ray_glue.storage import artifact_dir
 
     if shards is None:
-        shards = 256
+        if pairs_hint is not None:
+            # ~10k pairs per verify shard amortizes the per-shard task +
+            # slice-file overhead; the count still grows with the pair
+            # table (100M pairs → 16k shards) and never drops below a
+            # 32-cpu node's parallelism
+            want = max(1, -(-int(pairs_hint) // 10_000))
+            shards = max(16, min(1 << 14, 1 << (want - 1).bit_length()))
+        else:
+            shards = 256
     shards = int(shards)
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")

@@ -392,11 +392,14 @@ def embedding_near_dupes_lsh(
     from ..ray_glue.partitioning import estimate_rows
 
     src_rows = estimate_rows(ds)
+    # materialized (object store) so the verify-shard count sizes to the
+    # actual pair count; the plan consumes the rows right after
     cand_rows = lsh_candidate_pair_rows(
         rows, rows_hint=None if src_rows is None else src_rows * bands
-    )
+    ).materialize()
     got, pair_dir = verify_pair_cosines_flow(
-        ds, cand_rows, emb_col, id_col, threshold
+        ds, cand_rows, emb_col, id_col, threshold,
+        pairs_hint=cand_rows.count(),
     )
     parts = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
     shutil.rmtree(pair_dir, ignore_errors=True)
@@ -459,6 +462,7 @@ def verify_pair_cosines_flow(
     shards: Optional[int] = None,
     chunk_pairs: int = 262_144,
     scratch: Optional[str] = None,
+    pairs_hint: Optional[int] = None,
 ):
     """Dataset-end-to-end exact-cosine verification — the embedding-side
     sibling of ``dedup.minhash.verify_pairs_flow`` (round-4 VERDICT #3):
@@ -479,7 +483,7 @@ def verify_pair_cosines_flow(
     )
 
     shards, targets_ref, need, pair_dir, _dp, _dbk = pair_flow_plan(
-        cand_ds, shards=shards, scratch=scratch
+        cand_ds, shards=shards, scratch=scratch, pairs_hint=pairs_hint
     )
 
     gather = _emb_gather_fn(emb_col, id_col, need, targets_ref)
