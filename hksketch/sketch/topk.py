@@ -103,84 +103,97 @@ class TopK:
             return
 
         m = len(uniq)
-        row_h = derive_row_hashes(uniq, self.depth)  # (depth, m)
-        max_count = np.zeros(m, dtype=np.uint64)
+        d = self.depth
+        row_h = derive_row_hashes(uniq, d)  # (depth, m)
 
-        for r in range(self.depth):
-            idx = bucket_indices(row_h[r], self.width)
-            # per-bucket occurrence rounds (fingerprint order): each round's
-            # buckets are distinct → fully vectorized match/claim/multi-pass
-            # decay; only table-overflow counts (≥1024) and weights beyond
-            # the pass cap stay scalar.
-            order = np.argsort(idx, kind="stable")
-            si = idx[order]
-            # bucket runs in the sorted layout: round r = the r-th member
-            # of every run (one extra O(m) pass instead of the old
-            # per-round `ranks == rnd` scans — O(m × rounds) on
-            # adversarial uniform batches)
-            run_starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
-            run_sizes = np.diff(np.concatenate((run_starts, [m])))
-            max_rounds = int(run_sizes.max()) if m else 0
-            for rnd in range(max_rounds):
-                live = run_sizes > rnd
-                sel = order[run_starts[live] + rnd]
-                sel.sort()  # fingerprint-ascending processing order
-                if len(sel) == 0:
-                    break
-                if len(sel) < 48:
-                    for i in sel:
-                        c = self._add_one_row(
-                            r, int(row_h[r, i]), int(uniq[i]), int(wsum[i])
-                        )
-                        if c is not None and c > int(max_count[i]):
-                            max_count[i] = c
-                    continue
-                rows = idx[sel]
-                bfp = self.fp[r, rows]
-                bcnt = self.cnt[r, rows]
-                matches = bfp == uniq[sel]  # fp match (src/heavykeeper.rs:303)
-                empty = bcnt == 0
-                fast = matches | empty
-                if fast.any():
-                    rr = rows[fast]
-                    old = self.cnt[r, rr]
-                    new = old + wsum[sel[fast]]
-                    new = np.where(new < old, U64(U64_MAX), new)
-                    self.fp[r, rr] = uniq[sel[fast]]
-                    self.cnt[r, rr] = new
-                    max_count[sel[fast]] = np.maximum(max_count[sel[fast]], new)
-                needs_decay = ~fast
-                fi = np.flatnonzero(needs_decay & (wsum[sel] <= _W_CAP))
-                if len(fi):
-                    small = bcnt[fi] < len(self.decay_tbl)
-                    fi = fi[small]
-                if len(fi):
-                    frows = rows[fi]
-                    taken, final_cnt = weighted_decay_rolls(
-                        self.rng,
-                        self.decay_tbl,
-                        lambda ai, _fr=frows: self.cnt[r, _fr[ai]],
-                        lambda ai, v, _fr=frows: self.cnt.__setitem__(
-                            (r, _fr[ai]), v
-                        ),
-                        wsum[sel[fi]],
-                    )
-                    ti = fi[taken]
-                    if len(ti):
-                        self.fp[r, rows[ti]] = uniq[sel[ti]]
-                        self.cnt[r, rows[ti]] = final_cnt[taken]
-                        max_count[sel[ti]] = np.maximum(
-                            max_count[sel[ti]], final_cnt[taken]
-                        )
-                handled = np.zeros(len(sel), dtype=bool)
-                handled[fi] = True
-                for i in sel[needs_decay & ~handled]:
+        # ALL depth rows stacked into ONE occurrence-round loop: stacked
+        # entry s = r·m + i addresses flat cell r·width + bucket(r, i) —
+        # cells never collide across rows, so a single argsort + run scan
+        # serializes every same-cell conflict while each round's vector
+        # ops cover all rows at once (the per-row loop paid depth× the
+        # Python round overhead and depth× the RNG calls for the same
+        # arithmetic; measured ~1.5x on the 1M-key Zipf microbench)
+        idx2 = np.empty((d, m), dtype=np.int64)
+        for r in range(d):
+            idx2[r] = bucket_indices(row_h[r], self.width)
+        flat_idx = (
+            np.arange(d, dtype=np.int64)[:, None] * self.width + idx2
+        ).ravel()  # (d·m,) row-major: s = r·m + i
+        fpf = self.fp.reshape(-1)  # views share memory with fp/cnt
+        cntf = self.cnt.reshape(-1)
+        # each stacked entry is processed exactly once across all rounds;
+        # its final bucket count lands here and the per-key max over rows
+        # reduces at the end (a fancy-indexed running max would silently
+        # drop duplicates of a key across rows within one round)
+        cand_count = np.zeros(d * m, dtype=np.uint64)
+
+        order = np.argsort(flat_idx, kind="stable")
+        si = flat_idx[order]
+        run_starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+        run_sizes = np.diff(np.concatenate((run_starts, [d * m])))
+        max_rounds = int(run_sizes.max()) if m else 0
+        for rnd in range(max_rounds):
+            live = run_sizes > rnd
+            sel = order[run_starts[live] + rnd]
+            sel.sort()  # row-major then fingerprint-ascending order
+            if len(sel) == 0:
+                break
+            km = sel % m  # key index of each stacked entry
+            if len(sel) < 48:
+                for s, i in zip(sel, km):
+                    r = int(s // m)
                     c = self._add_one_row(
                         r, int(row_h[r, i]), int(uniq[i]), int(wsum[i])
                     )
-                    if c is not None and c > int(max_count[i]):
-                        max_count[i] = c
+                    if c is not None:
+                        cand_count[s] = c
+                continue
+            cells = flat_idx[sel]
+            bfp = fpf[cells]
+            bcnt = cntf[cells]
+            matches = bfp == uniq[km]  # fp match (src/heavykeeper.rs:303)
+            empty = bcnt == 0
+            fast = matches | empty
+            if fast.any():
+                cc = cells[fast]
+                old = cntf[cc]
+                new = old + wsum[km[fast]]
+                new = np.where(new < old, U64(U64_MAX), new)
+                fpf[cc] = uniq[km[fast]]
+                cntf[cc] = new
+                cand_count[sel[fast]] = new
+            needs_decay = ~fast
+            fi = np.flatnonzero(needs_decay & (wsum[km] <= _W_CAP))
+            if len(fi):
+                small = bcnt[fi] < len(self.decay_tbl)
+                fi = fi[small]
+            if len(fi):
+                fcells = cells[fi]
+                taken, final_cnt = weighted_decay_rolls(
+                    self.rng,
+                    self.decay_tbl,
+                    lambda ai, _fc=fcells: cntf[_fc[ai]],
+                    lambda ai, v, _fc=fcells: cntf.__setitem__(_fc[ai], v),
+                    wsum[km[fi]],
+                )
+                ti = fi[taken]
+                if len(ti):
+                    fpf[cells[ti]] = uniq[km[ti]]
+                    cntf[cells[ti]] = final_cnt[taken]
+                    cand_count[sel[ti]] = final_cnt[taken]
+            handled = np.zeros(len(sel), dtype=bool)
+            handled[fi] = True
+            for s, i in zip(
+                sel[needs_decay & ~handled], km[needs_decay & ~handled]
+            ):
+                r = int(s // m)
+                c = self._add_one_row(
+                    r, int(row_h[r, i]), int(uniq[i]), int(wsum[i])
+                )
+                if c is not None:
+                    cand_count[s] = c
 
+        max_count = cand_count.reshape(d, m).max(axis=0)
         self._update_pq(uniq, max_count, arr, first_idx)
 
     def _add_one_row(self, r: int, rh: int, fp: int, increment: int) -> int | None:
