@@ -517,6 +517,17 @@ class CuckooTopK:
     def contains(self, item: Any) -> bool:
         return self.count(item) > 0
 
+    def query(self, item: Any) -> bool:
+        """Deprecated alias for ``contains`` (reference
+        src/heavykeeper.rs:201-209, deprecated since 0.6.9)."""
+        import warnings
+
+        warnings.warn(
+            "query() is deprecated; use contains()",
+            DeprecationWarning, stacklevel=2,
+        )
+        return self.contains(item)
+
     def contains_top_k(self, item: Any) -> bool:
         return hash_scalar(item, self.seed, self.hash_fn) in self.pq
 

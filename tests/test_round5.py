@@ -170,6 +170,142 @@ def test_verify_flow_matches_distributed(ray_session, tmp_path):
     )
 
 
+# ---------- VERDICT r4 #10: real-PNG decode branch, no PIL to WRITE ----------
+
+
+def _png_rgb(pixels: np.ndarray) -> bytes:
+    """Minimal 8-bit RGB PNG encoder via raw zlib — no imaging library
+    needed to WRITE one, so the real-decode branch is exercisable in a
+    codec-less container the moment PIL appears."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_decode_real_png_and_mixed_failure_accounting(ray_session):
+    """A real PNG written with raw zlib drives the PIL branch when PIL is
+    importable (pixel-exact roundtrip, decode_failed=False) while garbage
+    payloads in the SAME batch are flagged decode_failed=True; without PIL
+    every row flags decode_failed=True via the deterministic fake.  Green
+    in both environments."""
+    import ray.data as rd
+
+    from hksketch.multimodal.stubs import ImageDecodeStage
+
+    rng = np.random.default_rng(21)
+    w = h = 8
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    png = _png_rgb(img)
+    garbage = b"NOTANIMAGE" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    t = pa.table(
+        {"id": pa.array([0, 1], type=pa.int64()),
+         "image": pa.array([png, garbage], type=pa.binary())}
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs=dict(width=w, height=h),
+            batch_size=2, concurrency=1, batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    flags = out["decode_failed"].tolist()
+    try:
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except Exception:
+        have_pil = False
+    if have_pil:
+        assert flags == [False, True]
+        got = np.array(out.loc[0, "pixels"], dtype=np.uint8).reshape(h, w, 3)
+        assert np.array_equal(got, img)  # pixel-exact real decode
+    else:
+        assert flags == [True, True]
+    # the fake fallback is deterministic either way: same garbage payload
+    # decodes to the same pixels across runs
+    out2 = (
+        rd.from_arrow(t)
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs=dict(width=w, height=h),
+            batch_size=2, concurrency=1, batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(out.loc[1, "pixels"]) == list(out2.loc[1, "pixels"])
+
+
+def test_png_writer_is_a_valid_png():
+    """The raw-zlib PNG writer emits a structurally valid file (magic,
+    IHDR geometry, CRCs) — checked without PIL so the writer itself is
+    covered even in the codec-less container."""
+    import struct
+    import zlib
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    blob = _png_rgb(img)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    off, seen, chunks = 8, [], {}
+    while off < len(blob):
+        (ln,) = struct.unpack(">I", blob[off : off + 4])
+        tag = blob[off + 4 : off + 8]
+        payload = blob[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack(">I", blob[off + 8 + ln : off + 12 + ln])
+        assert crc == (zlib.crc32(tag + payload) & 0xFFFFFFFF), tag
+        seen.append(tag)
+        chunks[tag] = payload
+        off += 12 + ln
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+    w, h = struct.unpack(">II", chunks[b"IHDR"][:8])
+    assert (w, h) == (8, 8)
+    # the IDAT inflates to h filter-prefixed scanlines of the raw pixels
+    raw = zlib.decompress(chunks[b"IDAT"])
+    assert len(raw) == 8 * (1 + 8 * 3)
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(8, 1 + 8 * 3)
+    assert (scan[:, 0] == 0).all()  # filter byte 0 per scanline
+    assert np.array_equal(scan[:, 1:].reshape(8, 8, 3), img)
+
+
+# ---------- reference C-API completeness: deprecated query alias ----------
+
+
+def test_query_alias_deprecated_on_all_variants():
+    import warnings
+
+    from hksketch.sketch import BucketedTopK, CuckooTopK, TopK
+
+    for cls in (TopK, BucketedTopK, CuckooTopK):
+        sk = cls(5, 64, 2, 0.9)
+        sk.add("x")
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            assert sk.query("x") is True
+            assert sk.query("zzz") is False
+        assert any(issubclass(r.category, DeprecationWarning) for r in rec)
+
+
 # ---------- VERDICT r4 #4: caps at unbounded group count ----------
 
 
