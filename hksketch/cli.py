@@ -83,6 +83,12 @@ def cmd_flows(args) -> int:
     sk = sketch_from_bytes(blob)
     reported = sk.list()
 
+    # SMALL-SCALE ORACLE ONLY: the exact ground-truth dict is collected to
+    # the driver so accuracy can be scored against it — this mirrors the
+    # reference harness (examples/ip_files.rs:56-93) and is a SCORING
+    # step, not a pipeline stage; at web scale the distinct-flow table
+    # does not fit one process and the sketch IS the product (run without
+    # scoring, or score against a sampled key set).
     truth = {
         r["flow"]: r["count"]
         for r in exact_counts(ds, "flow").take_all()

@@ -548,11 +548,10 @@ def verify_pairs_distributed(
     ``lsh_candidate_pairs`` already imposes upstream.  It is NOT broadcast
     whole: ``pair_shard_plan`` ships one per-shard slice ref per reducer
     (round-3 VERDICT #6), so worker heap and per-node object-store
-    traffic stay at ``n_pairs / shards``.  If a corpus produces more
-    candidates than driver memory, tighten the banding (fewer bands /
-    more rows per band raises the collision threshold), raise
-    ``max_bucket_size`` selectivity, or partition the corpus and run
-    per-partition passes."""
+    traffic stay at ``n_pairs / shards``.  For corpora whose candidate
+    set exceeds driver memory use ``verify_pairs_flow`` (the default
+    inside ``minhash_near_dupes``): the pair table stays a Dataset end to
+    end and the driver holds only the (doc, shard) fan-out map."""
     from .pairverify import fold_pair_scalars, pair_shard_plan
 
     a_np, b_np, n_pairs, shards, targets_ref, pairs_refs, need = pair_shard_plan(cand)
