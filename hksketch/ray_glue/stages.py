@@ -209,6 +209,19 @@ def _merge_blob_chunk(blobs: list) -> bytes:
     return acc.to_bytes()
 
 
+@ray.remote
+def _merge_blob_args(*blobs) -> bytes:
+    """Variadic twin of ``_merge_blob_chunk``: upstream chunk refs are
+    passed as TOP-LEVEL arguments, so Ray defers scheduling until every
+    input is materialized — a task never occupies a worker slot blocked
+    in ``ray.get`` on a still-running parent (which would starve the map
+    stage the streaming fold overlaps with)."""
+    acc = sketch_from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(sketch_from_bytes(b))
+    return acc.to_bytes()
+
+
 def tree_merge_blobs(blobs: list[bytes], fanin: int = 8) -> bytes:
     """Deterministic parallel tree reduce of serialized partial sketches.
     Raw Ray tasks are justified here: Ray Data's Aggregate operator pays
@@ -245,11 +258,35 @@ def tree_merge_many_streaming(batch_iter, cols: list[str], fanin: int = 8) -> li
     still runs: consume partial batches from ``batch_iter`` (an
     ``iter_batches`` stream — Ray Data executes lazily underneath, so
     merge chunk tasks overlap the map stage instead of waiting for a
-    ``take_all`` barrier), launch a merge task whenever ``fanin`` items
-    accumulate for a family, and fold the survivors at the end.  Returns
-    one merged blob per name in ``cols``."""
-    raw: dict[str, list] = {c: [] for c in cols}
-    refs: dict[str, list] = {c: [] for c in cols}  # independent chunk tasks
+    ``take_all`` barrier).  The fold is eager at EVERY level: whenever
+    ``fanin`` items accumulate at level k (raw blobs at level 0, chunk
+    refs above), their merge task launches immediately and its ref joins
+    level k+1 — so by stream end only the short per-level tails remain
+    and the post-stream critical path is one or two small merges instead
+    of a full blocking level-by-level fold.  Grouping is EXACTLY the
+    in-order fanin slicing the blocking fold would produce (consecutive
+    slices, short last slice becomes its own chunk), so results are
+    bit-identical to the previous blocking implementation.  Family
+    finals launch before any ``ray.get`` so the per-family folds overlap.
+    Returns one merged blob per name in ``cols``."""
+    # levels[c][0] = pending raw blobs; levels[c][k>=1] = pending chunk
+    # refs at level k.  launched[c][k] counts full fanin-slices already
+    # folded out of level k (needed to tell a true final level from one
+    # whose earlier items were consumed during the stream).
+    levels: dict[str, list[list]] = {c: [[]] for c in cols}
+    launched: dict[str, list[int]] = {c: [0] for c in cols}
+
+    def _push(c, k, item):
+        lv, ln = levels[c], launched[c]
+        while len(lv) <= k:
+            lv.append([])
+            ln.append(0)
+        lv[k].append(item)
+        if len(lv[k]) == fanin:
+            ref = _merge_blob_args.remote(*lv[k])
+            lv[k].clear()
+            ln[k] += 1
+            _push(c, k + 1, ref)
 
     for batch in batch_iter:
         for c in cols:
@@ -257,35 +294,36 @@ def tree_merge_many_streaming(batch_iter, cols: list[str], fanin: int = 8) -> li
             for i in range(len(col)):
                 v = col[i].as_py()
                 if v is not None:
-                    raw[c].append(v)
-            # flush in EXACT fanin-sized slices: a coalesced multi-row batch
-            # must not queue >fanin blobs into one chunk task, or the chunk
-            # grouping (and thus grouping-sensitive merges) would diverge
-            # from tree_merge_blobs' in-order fanin slicing
-            while len(raw[c]) >= fanin:
-                refs[c].append(_merge_blob_chunk.remote(raw[c][:fanin]))
-                raw[c] = raw[c][fanin:]
-    out = []
+                    _push(c, 0, v)
+
+    # End flush: per level in order, the leftover items are exactly the
+    # blocking fold's short last slice — they become ONE chunk at the
+    # next level (matching tree_merge_blobs' range(0, n, fanin) slicing);
+    # a level nothing was folded out of is the final level.
+    finals: list = []
     for c in cols:
-        if not refs[c] and not raw[c]:
-            out.append(b"")
-            continue
-        if refs[c] and raw[c]:
-            # the tail becomes its own (partial) level-1 chunk, exactly as
-            # tree_merge_blobs' range(0, n, fanin) slicing produces
-            refs[c].append(_merge_blob_chunk.remote(raw[c]))
-            raw[c] = []
-        items = refs[c] + raw[c]
-        while len(items) > fanin:
-            items = [
-                _merge_blob_chunk.remote(items[i : i + fanin])
-                for i in range(0, len(items), fanin)
-            ]
-        final = items[0] if len(items) == 1 else _merge_blob_chunk.remote(items)
-        if isinstance(final, ray.ObjectRef):
-            final = ray.get(final)
-        out.append(final)
-    return out
+        lv, ln = levels[c], launched[c]
+        final: object = b""
+        k = 0
+        while k < len(lv):
+            items = lv[k]
+            if ln[k] == 0:
+                if len(items) == 1:
+                    final = items[0]
+                elif items:
+                    final = _merge_blob_args.remote(*items)
+                break
+            if items:
+                ref = _merge_blob_args.remote(*items)
+                lv[k] = []
+                while len(lv) <= k + 1:
+                    lv.append([])
+                    ln.append(0)
+                lv[k + 1].append(ref)
+            k += 1
+        finals.append(final)
+    # resolve AFTER every family's final task is in flight
+    return [ray.get(f) if isinstance(f, ray.ObjectRef) else f for f in finals]
 
 
 def global_sketch(
