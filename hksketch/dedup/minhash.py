@@ -606,20 +606,28 @@ def minhash_near_dupes(
     ngram: int = 3,
     seed: int = 1,
     verify_threshold: Optional[float] = 0.5,
+    flow_min_pairs: int = 2_000_000,
 ):
     """Dataset → pa.Table(a, b[, jaccard]) of near-duplicate id pairs.
 
     Candidates from LSH banding; verified (optionally) with exact shingle
-    Jaccard computed FULLY DISTRIBUTED and DATASET-END-TO-END
-    (``verify_pairs_flow``): the candidate pair rows stay a Dataset from
-    bucket scan through verification — deduped and partition-written per
-    verify shard by ``pairverify.pair_flow_plan``, never collected on the
-    driver (round-4 VERDICT #3).  One fused gather scan ships each
-    candidate doc's shingle list once per (doc, reduce-shard); each
-    reducer reads its own pair slice, thresholds locally, and only
-    CONFIRMED pairs (the query's output) reach the driver.  With
-    ``verify_threshold=None`` the candidate table IS the output, so the
-    driver-collected ``lsh_candidate_pairs`` path applies.
+    Jaccard computed fully distributed.  The verify plan routes by
+    candidate VOLUME (the ``merge_via="auto"`` discipline): raw candidate
+    row counts ≤ ``flow_min_pairs`` take ``verify_pairs_distributed`` —
+    the already-materialized pair rows collect to one small table (~16 MB
+    per million rows, the stated driver bound) and reducers fetch
+    per-shard slice refs, skipping the partitioned-plan write whose fixed
+    cost (~0.7 s measured) dominates small corpora.  Larger candidate
+    sets take ``verify_pairs_flow`` DATASET-END-TO-END (round-4 VERDICT
+    #3): pair rows stay a Dataset from bucket scan through verification —
+    deduped and partition-written per verify shard by
+    ``pairverify.pair_flow_plan``, never collected on the driver, so
+    driver RSS is independent of pair count.  Both paths share the fused
+    gather scan (each candidate doc's shingles ship once per (doc,
+    reduce-shard)) and the chunked lexsort pair kernel, and agree
+    wherever both apply.  Only CONFIRMED pairs reach the driver either
+    way.  With ``verify_threshold=None`` the candidate table IS the
+    output, so the driver-collected ``lsh_candidate_pairs`` path applies.
     """
     mh = MinHasher(num_perm=num_perm, ngram=ngram, seed=seed)
 
@@ -654,12 +662,50 @@ def minhash_near_dupes(
     import ray
 
     # materialize the pair rows (object store, NOT the driver) so the
-    # verify-shard count can size to the actual pair count — the plan
+    # verify path can route on the actual pair count — the chosen path
     # consumes the rows right after, so nothing executes twice
     cand_rows = lsh_candidate_pair_rows(rows, rows_hint=rows_hint).materialize()
+    n_cand_rows = cand_rows.count()
+    if n_cand_rows <= flow_min_pairs:
+        # small regime: the raw pair rows bound the driver table, so
+        # collect + dedup here (sentinels stripped with the same
+        # accounting lsh_candidate_pairs applies) and verify via the
+        # per-shard-refs path — no partitioned plan write.
+        got = cand_rows.to_pandas()
+        if len(got) == 0 or "a" not in got.columns:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "jaccard": pa.array([], type=pa.float64())}
+            )
+        got, n_dropped_pairs, n_dropped_buckets = strip_drop_sentinels(got, "b")
+        if n_dropped_pairs or n_dropped_buckets:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_near_dupes: %d candidate pair(s) dropped across "
+                "%d oversized bucket(s) upstream",
+                n_dropped_pairs, n_dropped_buckets,
+            )
+        cand = pa.Table.from_pandas(
+            got.drop_duplicates()
+            .astype({"a": "int64", "b": "int64"})
+            .sort_values(["a", "b"])
+            .reset_index(drop=True),
+            preserve_index=False,
+        )
+        if cand.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "jaccard": pa.array([], type=pa.float64())}
+            )
+        return verify_pairs_distributed(
+            ds, cand, mh, text_col, id_col, verify_threshold
+        )
     got, pair_dir = verify_pairs_flow(
         ds, cand_rows, mh, text_col, id_col, verify_threshold,
-        pairs_hint=cand_rows.count(),
+        pairs_hint=n_cand_rows,
     )
 
     parts = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]

@@ -335,3 +335,36 @@ def test_cap_per_group_shard_grouped_many_groups(ray_session):
     )
     got = set(zip(out["grp"], out["id"]))
     assert got == set(zip(want["grp"], want["id"]))
+
+
+def test_minhash_near_dupes_routes_agree(ray_session):
+    """minhash_near_dupes' volume-routed verify: the small-regime
+    (collected + per-shard refs) and flow (Dataset end-to-end) paths
+    return identical confirmed pairs and jaccard values."""
+    import ray.data as rd
+
+    from hksketch.dedup.minhash import minhash_near_dupes
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(80)]
+    docs = []
+    for i in range(40):
+        d = " ".join(rng.choice(vocab, 50))
+        docs.append(d)
+        if rng.random() < 0.5:
+            toks = d.split()
+            toks[int(rng.integers(0, len(toks)))] = "qqq"
+            docs.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs, type=pa.string())})
+    kw = dict(num_perm=64, bands=16, ngram=3, seed=4, verify_threshold=0.5)
+    small = minhash_near_dupes(rd.from_arrow(t), "text", "doc_id", **kw)
+    flow = minhash_near_dupes(
+        rd.from_arrow(t), "text", "doc_id", flow_min_pairs=0, **kw
+    )
+    assert small.num_rows == flow.num_rows > 0
+    assert small.column("a").to_pylist() == flow.column("a").to_pylist()
+    assert small.column("b").to_pylist() == flow.column("b").to_pylist()
+    assert np.allclose(
+        small.column("jaccard").to_numpy(), flow.column("jaccard").to_numpy()
+    )
