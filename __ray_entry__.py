@@ -331,8 +331,6 @@ def _q_q1_pricing_summary(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Count, Sum
-
     from hksketch.pipelines.ops import read_table
 
     ds = read_table(
@@ -367,14 +365,46 @@ def _q_q1_pricing_summary(sf_dir: str):
             }
         )
 
-    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_c", alias_name="qty_c"),
-        Sum("base_c", alias_name="base_c"),
-        Sum("disc_c", alias_name="disc_c"),
-        Sum("dp4", alias_name="dp4"),
-        Count(alias_name="count_order"),
+    import polars as pl
+
+    from hksketch.pipelines.ops import fold_grouped_partials
+
+    def derive_partial(b: pa.Table) -> pa.Table:
+        t = derive(b)
+        return (
+            pl.from_arrow(t)
+            .group_by(["l_returnflag", "l_linestatus"])
+            .agg(
+                pl.col("qty_c").sum(), pl.col("base_c").sum(),
+                pl.col("disc_c").sum(), pl.col("dp4").sum(),
+                pl.len().cast(pl.Int64).alias("count_order"),
+            )
+            .to_arrow()
+            .cast(pa.schema([
+                ("l_returnflag", t.schema.field("l_returnflag").type),
+                ("l_linestatus", t.schema.field("l_linestatus").type),
+                ("qty_c", pa.int64()), ("base_c", pa.int64()),
+                ("disc_c", pa.int64()), ("dp4", pa.int64()),
+                ("count_order", pa.int64()),
+            ]))
+        )
+
+    # group cardinality is STRUCTURALLY 6 (two enum columns), so the
+    # per-batch partials fold on the driver (fold_grouped_partials'
+    # bounded-regime contract) instead of paying the aggregate exchange's
+    # ~1 s fixed cost; int64 cent sums fold exactly either way.
+    pre = ds.map_batches(derive_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = fold_grouped_partials(
+        pre, ["l_returnflag", "l_linestatus"],
+        ["qty_c", "base_c", "disc_c", "dp4", "count_order"],
     )
+    if agg is None:
+        agg = pa.table(
+            {"l_returnflag": pa.array([], type=pa.string()),
+             "l_linestatus": pa.array([], type=pa.string()),
+             **{c: pa.array([], type=pa.int64())
+                for c in ("qty_c", "base_c", "disc_c", "dp4", "count_order")}}
+        )
 
     def finalize(b: pa.Table) -> pa.Table:
         n = b.column("count_order").cast(pa.float64())
@@ -399,7 +429,7 @@ def _q_q1_pricing_summary(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return finalize(agg)
 
 
 def _q_segment_revenue(sf_dir: str):
@@ -497,7 +527,11 @@ def _q_events_hourly(sf_dir: str):
         )
 
     ds = ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
-    return grouped_count(ds, ["event_type", "hour"], count_name="n")
+    # (event_type × hour) cardinality is bounded by enum × time-range, not
+    # by row count — the driver-fold regime (fold_grouped_partials).
+    return grouped_count(
+        ds, ["event_type", "hour"], count_name="n", merge_via="driver"
+    )
 
 
 def _q_dedup_exact(sf_dir: str):

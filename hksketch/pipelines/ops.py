@@ -211,9 +211,90 @@ def rank_weighted_moments(ds, value_col: str, tie_col: str):
     return n, total, S
 
 
-def grouped_count(ds, group_cols: list[str], count_name: str = "count"):
+def fold_grouped_partials(pre, group_cols: list[str], sum_cols: list[str]) -> pa.Table:
+    """Fold a Dataset of per-batch PARTIAL group rows into the final
+    grouped sums on the DRIVER — no all-to-all.
+
+    BOUNDED REGIME ONLY (the ``merge_via="driver"`` discipline of
+    ``ray_glue.stages.global_sketch``): total driver traffic is
+    ``group cardinality × upstream blocks`` rows, and the running
+    accumulator is re-collapsed every 64 blocks so driver memory stays
+    O(group cardinality).  Callers use this only where group count is
+    STRUCTURALLY small — enum × enum keys (TPC-H Q1's 6 groups), hour
+    buckets × event types — and keep ``groupby().aggregate()`` wherever
+    cardinality grows with the data (tokens, users, content hashes).
+    Skipping Ray Data's aggregate exchange saves its ~0.5-1 s fixed cost
+    per query at any scale, because the partial rows it would shuffle
+    are exactly what streams here.  int64 sums fold exactly and
+    order-independently, so results are bit-identical to the shuffle
+    path."""
+    if not _HAVE_POLARS:
+        from ray.data.aggregate import Sum as _Sum
+
+        out = pre.groupby(group_cols).aggregate(
+            *[_Sum(c, alias_name=c) for c in sum_cols]
+        )
+        blocks = collect_blocks(out)
+        return pa.concat_tables(blocks) if blocks else None
+    parts: list = []
+    folds = [pl.col(c).sum() for c in sum_cols]
+    part_schema: Optional[pa.Schema] = None
+
+    def _collapse(chunks: list) -> list:
+        return [pl.concat(chunks).group_by(group_cols).agg(folds)]
+
+    for b in pre.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            sel = b.select([*group_cols, *sum_cols])
+            if part_schema is None:
+                part_schema = sel.schema
+            parts.append(pl.from_arrow(sel))
+        if len(parts) >= 64:
+            parts = _collapse(parts)
+    if not parts:
+        return None
+    out = _collapse(parts)[0].sort(group_cols).to_arrow()
+    # restore the partials' arrow types (polars round-trips can widen,
+    # e.g. string → large_string)
+    return out.select(part_schema.names).cast(part_schema)
+
+
+def grouped_count(
+    ds, group_cols: list[str], count_name: str = "count", merge_via: str = "shuffle"
+):
     """groupby(...).count() with the same pre-aggregation pattern: the
-    shuffle carries one row per (batch, key-tuple), not one per input row."""
+    shuffle carries one row per (batch, key-tuple), not one per input row.
+
+    ``merge_via="driver"`` folds the per-batch partials on the driver via
+    ``fold_grouped_partials`` (bounded-regime contract documented there) —
+    for STRUCTURALLY small group cardinalities only; returns a pa.Table."""
+    if merge_via == "driver" and _HAVE_POLARS and len(group_cols) > 1:
+        def pre_fn(batch: pa.Table) -> pa.Table:
+            g = (
+                pl.from_arrow(batch)
+                .group_by(group_cols)
+                .agg(pl.len().cast(pl.Int64).alias(count_name))
+            )
+            t = g.to_arrow()
+            cols = {}
+            for name in (*group_cols, count_name):
+                c = t.column(name)
+                f = (
+                    batch.schema.field(name).type
+                    if name in group_cols
+                    else pa.int64()
+                )
+                cols[name] = c.cast(f) if c.type != f else c
+            return pa.table(cols)
+
+        pre = ds.map_batches(pre_fn, batch_format="pyarrow", zero_copy_batch=True)
+        out = fold_grouped_partials(pre, group_cols, [count_name])
+        if out is None:
+            return pa.table(
+                {**{c: pa.array([], type=pa.string()) for c in group_cols},
+                 count_name: pa.array([], type=pa.int64())}
+            )
+        return out
     if len(group_cols) == 1:
         return exact_counts(ds, group_cols[0], count_name=count_name)
     if _HAVE_POLARS:

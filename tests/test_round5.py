@@ -368,3 +368,61 @@ def test_minhash_near_dupes_routes_agree(ray_session):
     assert np.allclose(
         small.column("jaccard").to_numpy(), flow.column("jaccard").to_numpy()
     )
+
+
+def test_fold_grouped_partials_matches_shuffle_groupby(ray_session):
+    """Driver fold of per-batch partials == Ray Data groupby().aggregate()
+    (and polars type round-trips are cast back to the partials' schema)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import fold_grouped_partials, grouped_count
+
+    rng = np.random.default_rng(8)
+    n = 40_000
+    t = pa.table(
+        {"g1": pa.array(rng.choice(["a", "b", "c"], n)),
+         "g2": pa.array(rng.integers(0, 7, n), type=pa.int32()),
+         "v": pa.array(rng.integers(-50, 50, n), type=pa.int64())}
+    )
+    import polars as pl
+
+    def pre(b):
+        return (
+            pl.from_arrow(b).group_by(["g1", "g2"])
+            .agg(pl.col("v").sum(), pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+            .cast(pa.schema([("g1", pa.string()), ("g2", pa.int32()),
+                             ("v", pa.int64()), ("n", pa.int64())]))
+        )
+
+    ds = rd.from_arrow(t).repartition(9)
+    folded = fold_grouped_partials(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["g1", "g2"], ["v", "n"],
+    )
+    want = (
+        rd.from_arrow(t).groupby(["g1", "g2"])
+        .aggregate(Sum("v", alias_name="v")).to_pandas()
+        .sort_values(["g1", "g2"]).reset_index(drop=True)
+    )
+    got = folded.to_pandas()[["g1", "g2", "v"]]
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["g1"].tolist() == want["g1"].tolist()
+    assert folded.schema.field("g2").type == pa.int32()
+    assert int(folded.column("n").to_pandas().sum()) == n
+
+    # grouped_count merge_via="driver" == shuffle path
+    drv = grouped_count(
+        rd.from_arrow(t), ["g1", "g2"], count_name="c", merge_via="driver"
+    ).to_pandas().sort_values(["g1", "g2"]).reset_index(drop=True)
+    shf = grouped_count(rd.from_arrow(t), ["g1", "g2"], count_name="c") \
+        .to_pandas().sort_values(["g1", "g2"]).reset_index(drop=True)
+    assert drv["c"].tolist() == shf["c"].tolist()
+
+    # empty input → None from the fold
+    empty = rd.from_arrow(t.slice(0, 0))
+    assert fold_grouped_partials(
+        empty.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["g1", "g2"], ["v", "n"],
+    ) is None
