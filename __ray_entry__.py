@@ -4183,6 +4183,256 @@ def _q_q18_large_volume_orders(sf_dir: str):
     return out.to_arrow().cast(empty.schema)
 
 
+def _q_q3_shipping_priority(sf_dir: str):
+    """TPC-H q3 shape ⊕oracle (segment semi-join → date-pruned join →
+    per-order revenue top-10).  Distributed plan: the BUILDING customer
+    keys broadcast once (``ray.put`` sorted array — the q5 small-side
+    discipline; swap to a bloom semi-join when the segment outgrows a
+    worker heap), orders date+segment-filter per batch, lineitem
+    shipdate-filters then pre-aggregates revenue per (batch, orderkey)
+    so the ``exact_counts`` exchange carries per-order partials, and ONE
+    ``hash_join`` meets the two order-keyed sides.  Revenue follows the
+    q1 integer-4dp discipline (``_disc_price_4dp``) so the float output
+    is ONE final division — bit-identical to the oracle.  The top-10 is
+    a distributed sort+limit, ties o_orderkey-ascending."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from hksketch.pipelines.ops import exact_counts, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    cutoff = datetime.datetime(1998, 6, 1)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ck = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING")
+    ).column("c_custkey").to_numpy().astype(np.int64)
+    ck_ref = ray.put(np.sort(ck))
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff)))
+        keys = ray.get(ck_ref)
+        if len(keys) == 0 or b.num_rows == 0:
+            b = b.slice(0, 0)
+        else:
+            ok = b.column("o_custkey").to_numpy()
+            pos = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
+            b = b.filter(pa.array(keys[pos] == ok))
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "o_orderdate": b.column("o_orderdate"),
+             "o_orderpriority": b.column("o_orderpriority")}
+        )
+
+    orders = read_table(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), pa.scalar(cutoff)))
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "dp4": _disc_price_4dp(
+                 b.column("l_extendedprice"), b.column("l_discount")
+             )}
+        )
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    rev = exact_counts(li, "l_orderkey", weight_col="dp4", count_name="dp4")
+    joined = hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b.column("l_orderkey"),
+             "revenue": pc.divide(
+                 pc.cast(b.column("dp4"), pa.float64()), pa.scalar(10000.0)
+             ),
+             "o_orderdate": b.column("o_orderdate"),
+             "o_orderpriority": b.column("o_orderpriority")}
+        )
+
+    out = joined.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(
+        ["revenue", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def _q_q4_order_priority(sf_dir: str):
+    """TPC-H q4 shape ⊕oracle: orders placed in a quarter with at least
+    one line shipped after the order date, counted per priority.  The
+    correlated EXISTS decomposes into an AGGREGATE semi-join:
+    ``EXISTS(l_shipdate > o_orderdate)`` ⟺
+    ``max(l_shipdate) > o_orderdate``, so lineitem folds to one
+    max-shipdate row per order (per-batch polars partial → one
+    ``groupby().max()`` exchange) and joins orders once — no per-order
+    probing.  Lineitem is pre-pruned to ``l_shipdate > quarter start``:
+    a qualifying line must ship after its order date ≥ the window start,
+    so the prune preserves the EXISTS set while cutting the exchange to
+    the window's tail.  The final per-priority count folds on the driver
+    (``grouped_count(merge_via="driver")`` — priority is a 5-value
+    enum)."""
+    import datetime
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from hksketch.pipelines.ops import grouped_count, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    w0 = datetime.datetime(1997, 7, 1)
+    w1 = datetime.datetime(1997, 10, 1)
+
+    def li_max(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), pa.scalar(w0)))
+        t = pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "ship_us": pc.cast(
+                 b.column("l_shipdate").cast(pa.timestamp("us")), pa.int64()
+             )}
+        )
+        return (
+            pl.from_arrow(t).group_by("l_orderkey").agg(pl.col("ship_us").max())
+            .to_arrow()
+            .cast(pa.schema([("l_orderkey", pa.int64()),
+                             ("ship_us", pa.int64())]))
+        )
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_max, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mx = li.groupby("l_orderkey").aggregate(Max("ship_us", alias_name="max_ship"))
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(w0)),
+            pc.less(b.column("o_orderdate"), pa.scalar(w1)),
+        )
+        b = b.filter(m)
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "od_us": pc.cast(
+                 b.column("o_orderdate").cast(pa.timestamp("us")), pa.int64()
+             ),
+             "o_orderpriority": b.column("o_orderpriority")}
+        )
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(orders, mx, on="o_orderkey", right_on="l_orderkey")
+
+    def late(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("max_ship"), b.column("od_us")))
+        return b.select(["o_orderpriority"])
+
+    hit = joined.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(
+        hit, ["o_orderpriority"], count_name="n", merge_via="driver"
+    )
+
+
+def _q_q16_supplier_part_types(sf_dir: str):
+    """TPC-H q16 shape ⊕oracle: distinct-supplier counts per part
+    (brand, type, size) bucket, excluding one brand and a type prefix,
+    for a size IN-list — lineitem stands in for partsupp (the fixture
+    has no partsupp table).  Distributed plan: per-batch ``unique`` then
+    ONE dedup exchange collapses (partkey, suppkey) pairs; the part side
+    (filter first, then join) routes through ``auto_join`` — broadcast
+    while part fits, sharded beyond; a second per-batch unique + dedup
+    exchange collapses (brand, type, size, suppkey) so a supplier of
+    many same-bucket parts counts once; per-block counts then one tiny
+    sum-exchange yield the DISTINCT counts (the ``distinct_counts``
+    two-exchange shape on a composite key).  Ordered supplier_cnt DESC
+    then bucket ASC (the q16 tie rule)."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.joins import auto_join
+
+    sizes = pa.array([1, 5, 10, 15, 20, 25, 30, 35], type=pa.int32())
+
+    def uniq_pairs(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b).unique().to_arrow()
+            .cast(pa.schema([("l_partkey", pa.int64()),
+                             ("l_suppkey", pa.int64())]))
+        )
+
+    pairs = (
+        read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(uniq_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_partkey", "l_suppkey"]).aggregate(Count(alias_name="_n"))
+    )
+
+    def part_f(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.invert(pc.equal(b.column("p_brand"), "Brand#4")),
+                pc.invert(pc.starts_with(b.column("p_type"), "MEDIUM")),
+            ),
+            pc.is_in(b.column("p_size"), value_set=sizes),
+        )
+        b = b.filter(m)
+        return b.select(["p_partkey", "p_brand", "p_type", "p_size"])
+
+    part = read_table(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(part_f, batch_format="pyarrow", zero_copy_batch=True)
+    joined = auto_join(pairs, part, on="l_partkey", right_on="p_partkey")
+
+    def uniq_bucket(b: pa.Table) -> pa.Table:
+        t = b.select(["p_brand", "p_type", "p_size", "l_suppkey"])
+        return (
+            pl.from_arrow(t).unique().to_arrow()
+            .cast(pa.schema([("p_brand", pa.string()), ("p_type", pa.string()),
+                             ("p_size", pa.int32()), ("l_suppkey", pa.int64())]))
+        )
+
+    dedup = (
+        joined.map_batches(uniq_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def per_bucket(b: pa.Table) -> pa.Table:
+        t = b.select(["p_brand", "p_type", "p_size"])
+        g = (
+            pl.from_arrow(t).group_by(["p_brand", "p_type", "p_size"])
+            .agg(pl.len().cast(pl.Int64).alias("supplier_cnt"))
+            .to_arrow()
+            .cast(pa.schema([("p_brand", pa.string()), ("p_type", pa.string()),
+                             ("p_size", pa.int32()),
+                             ("supplier_cnt", pa.int64())]))
+        )
+        return g
+
+    counts = (
+        dedup.map_batches(per_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+    return counts.sort(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        descending=[True, False, False, False],
+    )
+
+
 def _q_source_capped_docs(sf_dir: str):
     """Per-group document cap ⊕oracle (the crawl-pipeline domain quota:
     "keep at most 30 docs per source", deterministic hash-ranked so the
@@ -7335,6 +7585,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_rules": _q_bpe_merge_rules,
         "bpe_compression_by_source": _q_bpe_compression_by_source,
         "q18_large_volume_orders": _q_q18_large_volume_orders,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q4_order_priority": _q_q4_order_priority,
+        "q16_supplier_part_types": _q_q16_supplier_part_types,
         "q13_customer_distribution": _q_q13_customer_distribution,
         "q14_promo_revenue": _q_q14_promo_revenue,
         "q15_top_supplier": _q_q15_top_supplier,
@@ -8820,6 +9073,41 @@ LEFT JOIN trainw ON win.w = trainw.w
 WHERE is_eval
 GROUP BY win.doc_id
 ORDER BY win.doc_id
+""",
+        "q3_shipping_priority": """
+SELECT o_orderkey,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        "q16_supplier_part_types": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part, lineitem
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#4'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
 """,
         "q18_large_volume_orders": """
 WITH big AS (

@@ -268,7 +268,7 @@ def grouped_count(
     ``merge_via="driver"`` folds the per-batch partials on the driver via
     ``fold_grouped_partials`` (bounded-regime contract documented there) —
     for STRUCTURALLY small group cardinalities only; returns a pa.Table."""
-    if merge_via == "driver" and _HAVE_POLARS and len(group_cols) > 1:
+    if merge_via == "driver" and _HAVE_POLARS:
         def pre_fn(batch: pa.Table) -> pa.Table:
             g = (
                 pl.from_arrow(batch)
