@@ -4433,6 +4433,804 @@ def _q_q16_supplier_part_types(sf_dir: str):
     )
 
 
+def _q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H q2 shape ⊕oracle (min-cost supplier per part, the correlated
+    MIN subquery).  The fixture has no partsupp, so supply cost is the
+    min ``l_extendedprice`` a supplier ever charged for the part
+    (lineitem standing in for partsupp, the q16 discipline).  Distributed
+    plan: region→nation→supplier prune on the driver (dimension tables;
+    broadcast once via ``ray.put``), LARGE partkeys broadcast the same
+    way, lineitem filters per batch against both sorted key arrays and
+    pre-folds per (partkey, suppkey) min in polars so the FIRST exchange
+    carries one row per pair; a second tiny ``groupby(partkey).min``
+    exchange yields the per-part regional floor; ONE ``hash_join`` meets
+    pairs and floors and an equality filter keeps the winners (the
+    decorrelated ``= (SELECT min …)``) — exact on floats because both
+    sides are un-arithmetic'd MINs of the same value set.  Dimension
+    attach is a broadcast lookup over the (bounded) winner rows."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Min
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    empty = pa.table(
+        {"s_acctbal": pa.array([], type=pa.float64()),
+         "s_name": pa.array([], type=pa.string()),
+         "n_name": pa.array([], type=pa.string()),
+         "p_partkey": pa.array([], type=pa.int64()),
+         "p_name": pa.array([], type=pa.string()),
+         "supplycost": pa.array([], type=pa.float64())}
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = reg.filter(pc.equal(reg.column("r_name"), "EUROPE")).column(
+        "r_regionkey"
+    )
+    nat = nat.filter(pc.is_in(nat.column("n_regionkey"), value_set=rkeys))
+    if nat.num_rows == 0:
+        return empty
+    nname = {int(k): v for k, v in zip(nat.column("n_nationkey").to_pylist(),
+                                       nat.column("n_name").to_pylist())}
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet")
+    sup = sup.filter(
+        pc.is_in(sup.column("s_nationkey"),
+                 value_set=pa.array(sorted(nname), type=pa.int32()))
+    )
+    if sup.num_rows == 0:
+        return empty
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    so = np.argsort(sk)
+    sk = sk[so]
+    s_name = np.asarray(sup.column("s_name").to_pylist(), dtype=object)[so]
+    s_bal = sup.column("s_acctbal").to_numpy()[so]
+    s_nat = np.asarray(
+        [nname[int(k)] for k in sup.column("s_nationkey").to_numpy()[so]],
+        dtype=object,
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_type"])
+    part = part.filter(pc.equal(part.column("p_type"), "LARGE"))
+    if part.num_rows == 0:
+        return empty
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    po = np.argsort(pk)
+    pk = pk[po]
+    p_name = np.asarray(part.column("p_name").to_pylist(), dtype=object)[po]
+    dims_ref = ray.put((sk, pk))
+
+    pair_schema = pa.schema([("l_partkey", pa.int64()),
+                             ("l_suppkey", pa.int64()),
+                             ("supplycost", pa.float64())])
+
+    def li_pairs(b: pa.Table, _ref=dims_ref) -> pa.Table:
+        skk, pkk = ray.get(_ref)
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        lp = b.column("l_partkey").to_numpy().astype(np.int64)
+        ls = b.column("l_suppkey").to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(pkk, lp), len(pkk) - 1)
+        hit = pkk[pos] == lp
+        pos = np.minimum(np.searchsorted(skk, ls), len(skk) - 1)
+        hit &= skk[pos] == ls
+        b = b.filter(pa.array(hit))
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        g = (
+            pl.from_arrow(
+                pa.table({"l_partkey": b.column("l_partkey"),
+                          "l_suppkey": b.column("l_suppkey"),
+                          "supplycost": b.column("l_extendedprice")})
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .agg(pl.col("supplycost").min())
+        )
+        return g.to_arrow().cast(pair_schema)
+
+    pairs = (
+        read_table(sf_dir, "lineitem",
+                   ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(li_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("supplycost", alias_name="supplycost"))
+    )
+    floors = pairs.groupby("l_partkey").aggregate(
+        Min("supplycost", alias_name="floor_cost")
+    )
+    joined = hash_join(pairs, floors, on="l_partkey")
+
+    def winners(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("supplycost"), b.column("floor_cost")))
+        if b.num_rows == 0:
+            return empty
+        ls = b.column("l_suppkey").to_numpy().astype(np.int64)
+        lp = b.column("l_partkey").to_numpy().astype(np.int64)
+        spos = np.searchsorted(sk, ls)
+        ppos = np.searchsorted(pk, lp)
+        return pa.table(
+            {"s_acctbal": pa.array(s_bal[spos], type=pa.float64()),
+             "s_name": pa.array(list(s_name[spos]), type=pa.string()),
+             "n_name": pa.array(list(s_nat[spos]), type=pa.string()),
+             "p_partkey": b.column("l_partkey"),
+             "p_name": pa.array(list(p_name[ppos]), type=pa.string()),
+             "supplycost": b.column("supplycost")}
+        )
+
+    out = joined.map_batches(winners, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return out.sort(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        descending=[True, False, False, False],
+    ).limit(100)
+
+
+def _q_q9_product_type_profit(sf_dir: str):
+    """TPC-H q9 shape ⊕oracle (profit per supplier-nation per order year
+    for one part family).  The fixture has no partsupp/supplycost, so
+    profit is the discounted revenue (the q1 4dp integer discipline).
+    Distributed plan: 'red' partkeys and the supplier→nation-name map
+    broadcast once (dimensions); lineitem filters + maps per batch to
+    (orderkey, n_name, rev4); orders project to (orderkey, year); ONE
+    big-big ``hash_join``; the (nation × year) group is structurally
+    small, so per-batch polars partials fold on the driver
+    (``fold_grouped_partials`` — the q4/grouped_count driver-fold
+    contract)."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from hksketch.pipelines.ops import fold_grouped_partials, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    empty = pa.table(
+        {"n_name": pa.array([], type=pa.string()),
+         "o_year": pa.array([], type=pa.int64()),
+         "profit": pa.array([], type=pa.float64())}
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nname = {int(k): v for k, v in zip(nat.column("n_nationkey").to_pylist(),
+                                       nat.column("n_name").to_pylist())}
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    so = np.argsort(sk)
+    sk = sk[so]
+    s_nat = np.asarray(
+        [nname[int(k)] for k in sup.column("s_nationkey").to_numpy()[so]],
+        dtype=object,
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    part = part.filter(
+        pc.match_substring(part.column("p_name"), "red")
+    )
+    if part.num_rows == 0:
+        return empty
+    pk = np.sort(part.column("p_partkey").to_numpy().astype(np.int64))
+    dims_ref = ray.put((sk, s_nat, pk))
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("n_name", pa.string()),
+                           ("rev4", pa.int64())])
+
+    def li_f(b: pa.Table, _ref=dims_ref) -> pa.Table:
+        skk, snn, pkk = ray.get(_ref)
+        if b.num_rows == 0:
+            return li_schema.empty_table()
+        lp = b.column("l_partkey").to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(pkk, lp), len(pkk) - 1)
+        b = b.filter(pa.array(pkk[pos] == lp))
+        if b.num_rows == 0:
+            return li_schema.empty_table()
+        ls = b.column("l_suppkey").to_numpy().astype(np.int64)
+        spos = np.searchsorted(skk, ls)
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "n_name": pa.array(list(snn[spos]), type=pa.string()),
+             "rev4": _disc_price_4dp(b.column("l_extendedprice"),
+                                     b.column("l_discount"))}
+        )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    o_schema = pa.schema([("o_orderkey", pa.int64()),
+                          ("o_year", pa.int64())])
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "o_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64())}
+        )
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       lschema=li_schema, rschema=o_schema)
+
+    part_schema = pa.schema([("n_name", pa.string()),
+                             ("o_year", pa.int64()),
+                             ("profit4", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        g = (
+            pl.from_arrow(b.select(["n_name", "o_year", "rev4"]))
+            .group_by(["n_name", "o_year"])
+            .agg(pl.col("rev4").sum().alias("profit4"))
+        )
+        return g.to_arrow().cast(part_schema)
+
+    pre = joined.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    folded = fold_grouped_partials(pre, ["n_name", "o_year"], ["profit4"])
+    if folded is None:
+        return empty
+    out = (
+        pl.from_arrow(folded)
+        .with_columns((pl.col("profit4") / 10000.0).alias("profit"))
+        .sort(["n_name", "o_year"], descending=[False, True])
+        .select(["n_name", "o_year", "profit"])
+    )
+    return out.to_arrow().cast(empty.schema)
+
+
+def _q_q10_returned_items(sf_dir: str):
+    """TPC-H q10 shape ⊕oracle (top-20 customers by revenue lost to
+    returns in a quarter).  Distributed plan: lineitem keeps only
+    RETURNFLAG='R' rows as (orderkey, rev4); orders date-filter to the
+    quarter as (orderkey, custkey); ONE big-big ``hash_join``, then the
+    ``exact_counts`` combiner exchange folds revenue per customer; the
+    top-20 is a distributed sort+limit (ties c_custkey ascending) and
+    ONLY the 20 winners read the customer/nation dimensions (the q15
+    bounded-winner attach)."""
+    import datetime
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hksketch.pipelines.ops import collect_blocks, exact_counts, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    empty = pa.table(
+        {"c_custkey": pa.array([], type=pa.int64()),
+         "c_name": pa.array([], type=pa.string()),
+         "revenue": pa.array([], type=pa.float64()),
+         "c_acctbal": pa.array([], type=pa.float64()),
+         "n_name": pa.array([], type=pa.string())}
+    )
+    t0 = datetime.datetime(1997, 1, 1)
+    t1 = datetime.datetime(1997, 4, 1)
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()), ("rev4", pa.int64())])
+
+    def li_f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "rev4": _disc_price_4dp(b.column("l_extendedprice"),
+                                     b.column("l_discount"))}
+        )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    o_schema = pa.schema([("o_orderkey", pa.int64()),
+                          ("o_custkey", pa.int64())])
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), pa.scalar(t0)),
+                    pc.less(b.column("o_orderdate"), pa.scalar(t1)))
+        b = b.filter(m)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey")})
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       lschema=li_schema, rschema=o_schema)
+    per_cust = exact_counts(joined, "o_custkey", weight_col="rev4",
+                            count_name="rev4")
+    top = per_cust.sort(["rev4", "o_custkey"],
+                        descending=[True, False]).limit(20)
+    blocks = collect_blocks(top)
+    if not blocks:
+        return empty
+    win = pa.concat_tables(blocks).combine_chunks()
+    if win.num_rows == 0:
+        return empty
+    keys = win.column("o_custkey")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    cust = cust.filter(pc.is_in(cust.column("c_custkey"), value_set=keys))
+    out = (
+        pl.from_arrow(win)
+        .join(pl.from_arrow(cust), left_on="o_custkey",
+              right_on="c_custkey", how="inner")
+        .join(pl.from_arrow(nat.select(["n_nationkey", "n_name"])),
+              left_on="c_nationkey", right_on="n_nationkey", how="inner")
+        .with_columns((pl.col("rev4") / 10000.0).alias("revenue"),
+                      pl.col("o_custkey").alias("c_custkey"))
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .select(["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"])
+    )
+    return out.to_arrow().cast(empty.schema)
+
+
+def _q_q11_important_stock(sf_dir: str):
+    """TPC-H q11 shape ⊕oracle (parts whose stock value in one nation
+    exceeds a fraction of the national total — the scalar-subquery
+    HAVING).  Stock value adapts to the fixture as Σ cents(extendedprice)
+    × qty over the nation's lineitems (no partsupp).  Distributed plan:
+    the nation's suppkeys broadcast; lineitem filters + computes integer
+    cent-values per batch; ONE ``exact_counts`` combiner exchange folds
+    value per partkey; the national total is a dataset ``sum()`` over
+    those per-part rows (no driver materialization of the parts) and the
+    threshold compare is INTEGER cross-multiplication
+    (``value_c * 1000 > total``) so the 0.1% HAVING is bit-exact under
+    any partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from hksketch.pipelines.ops import exact_counts, read_table
+
+    empty = pa.table(
+        {"l_partkey": pa.array([], type=pa.int64()),
+         "value_c": pa.array([], type=pa.int64())}
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nat.filter(pc.equal(nat.column("n_name"), "NATION_9")).column(
+        "n_nationkey"
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup.column("s_nationkey"), value_set=nk))
+    if sup.num_rows == 0:
+        return empty
+    sk_ref = ray.put(np.sort(sup.column("s_suppkey").to_numpy().astype(np.int64)))
+
+    v_schema = pa.schema([("l_partkey", pa.int64()), ("value_c", pa.int64())])
+
+    def li_f(b: pa.Table, _ref=sk_ref) -> pa.Table:
+        skk = ray.get(_ref)
+        if b.num_rows == 0:
+            return v_schema.empty_table()
+        ls = b.column("l_suppkey").to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(skk, ls), len(skk) - 1)
+        b = b.filter(pa.array(skk[pos] == ls))
+        if b.num_rows == 0:
+            return v_schema.empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        qty = pc.cast(b.column("l_quantity"), pa.int64())
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "value_c": pc.multiply(cents, qty)})
+
+    rows = read_table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    per_part = exact_counts(rows, "l_partkey", weight_col="value_c",
+                            count_name="value_c").materialize()
+    total = per_part.sum("value_c")
+    if not total:
+        return empty
+    flt = per_part.map_batches(
+        lambda b: b.filter(
+            pc.greater(pc.multiply(b.column("value_c"), pa.scalar(1000)),
+                       pa.scalar(int(total)))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return flt.sort(["value_c", "l_partkey"], descending=[True, False])
+
+
+def _q_q12_shipmode_priority(sf_dir: str):
+    """TPC-H q12 shape ⊕oracle (priority mix of late-shipped lines per
+    line status; l_linestatus stands in for l_shipmode and
+    ``shipdate > orderdate + 14d`` for the commit/receipt lateness pair —
+    the fixture carries neither column).  Distributed plan: lineitem
+    year-filters per batch (ship year 1997); orders project (orderkey,
+    orderdate-µs, priority); ONE big-big ``hash_join``; the lateness
+    predicate is int64-µs arithmetic; the 2-group CASE-sum partials fold
+    on the driver (structurally small — |linestatus| = 2)."""
+    import datetime
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import fold_grouped_partials, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    empty = pa.table(
+        {"l_linestatus": pa.array([], type=pa.string()),
+         "high_line_count": pa.array([], type=pa.int64()),
+         "low_line_count": pa.array([], type=pa.int64())}
+    )
+    t0 = datetime.datetime(1997, 1, 1)
+    t1 = datetime.datetime(1998, 1, 1)
+    lag_us = 14 * 86_400_000_000
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_linestatus", pa.string()),
+                           ("ship_us", pa.int64())])
+
+    def li_f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), pa.scalar(t0)),
+                    pc.less(b.column("l_shipdate"), pa.scalar(t1)))
+        b = b.filter(m)
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "l_linestatus": b.column("l_linestatus"),
+             "ship_us": pc.cast(
+                 b.column("l_shipdate").cast(pa.timestamp("us")), pa.int64()
+             )}
+        )
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    o_schema = pa.schema([("o_orderkey", pa.int64()),
+                          ("od_us", pa.int64()),
+                          ("o_orderpriority", pa.string())])
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "od_us": pc.cast(
+                 b.column("o_orderdate").cast(pa.timestamp("us")), pa.int64()
+             ),
+             "o_orderpriority": b.column("o_orderpriority")}
+        )
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       lschema=li_schema, rschema=o_schema)
+
+    part_schema = pa.schema([("l_linestatus", pa.string()),
+                             ("high_line_count", pa.int64()),
+                             ("low_line_count", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.greater(b.column("ship_us"),
+                       pc.add(b.column("od_us"), pa.scalar(lag_us)))
+        )
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        hi = pc.cast(
+            pc.is_in(b.column("o_orderpriority"),
+                     value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            pa.int64(),
+        )
+        t = pa.table({"l_linestatus": b.column("l_linestatus"),
+                      "high_line_count": hi,
+                      "low_line_count": pc.subtract(pa.scalar(1), hi)})
+        g = (
+            pl.from_arrow(t)
+            .group_by("l_linestatus")
+            .agg(pl.col("high_line_count").sum(),
+                 pl.col("low_line_count").sum())
+        )
+        return g.to_arrow().cast(part_schema)
+
+    pre = joined.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    folded = fold_grouped_partials(
+        pre, ["l_linestatus"], ["high_line_count", "low_line_count"]
+    )
+    if folded is None:
+        return empty
+    return folded.sort_by("l_linestatus").cast(empty.schema)
+
+
+def _q_q20_part_promotion(sf_dir: str):
+    """TPC-H q20 shape ⊕oracle (suppliers who moved serious volume of one
+    part family in a year — the nested IN-subquery with a grouped
+    HAVING; shipped-quantity-per-(supplier, part) > 40 stands in for the
+    availqty-vs-half-shipped rule, no partsupp in the fixture).
+    Distributed plan: 'small%' partkeys broadcast; lineitem filters
+    (partkey ∈ set, ship year) and pre-folds qty per (suppkey, partkey)
+    per batch; ONE groupby-Sum exchange; the HAVING filter and the
+    distinct-suppkey projection stay in the pipeline, and only the
+    (dimension-bounded) winner suppkey set reaches the driver for the
+    supplier/nation attach."""
+    import datetime
+
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hksketch.pipelines.ops import collect_blocks, read_table
+
+    empty = pa.table({"s_name": pa.array([], type=pa.string())})
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    part = part.filter(pc.starts_with(part.column("p_name"), "small"))
+    if part.num_rows == 0:
+        return empty
+    pk_ref = ray.put(np.sort(part.column("p_partkey").to_numpy().astype(np.int64)))
+    t0 = datetime.datetime(1997, 1, 1)
+    t1 = datetime.datetime(1998, 1, 1)
+
+    pair_schema = pa.schema([("l_suppkey", pa.int64()),
+                             ("l_partkey", pa.int64()),
+                             ("qty", pa.int64())])
+
+    def li_f(b: pa.Table, _ref=pk_ref) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), pa.scalar(t0)),
+                    pc.less(b.column("l_shipdate"), pa.scalar(t1)))
+        b = b.filter(m)
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        pkk = ray.get(_ref)
+        lp = b.column("l_partkey").to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(pkk, lp), len(pkk) - 1)
+        b = b.filter(pa.array(pkk[pos] == lp))
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        g = (
+            pl.from_arrow(
+                pa.table({"l_suppkey": b.column("l_suppkey"),
+                          "l_partkey": b.column("l_partkey"),
+                          "qty": pc.cast(b.column("l_quantity"), pa.int64())})
+            )
+            .group_by(["l_suppkey", "l_partkey"])
+            .agg(pl.col("qty").sum())
+        )
+        return g.to_arrow().cast(pair_schema)
+
+    pairs = (
+        read_table(sf_dir, "lineitem",
+                   ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"])
+        .map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Sum("qty", alias_name="qty"))
+    )
+
+    def winners(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("qty"), pa.scalar(40)))
+        if b.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], type=pa.int64())})
+        u = np.unique(b.column("l_suppkey").to_numpy().astype(np.int64))
+        return pa.table({"l_suppkey": pa.array(u, type=pa.int64())})
+
+    wins = pairs.map_batches(winners, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    blocks = collect_blocks(wins)  # bounded: distinct suppkeys ≤ |supplier|
+    if not blocks:
+        return empty
+    wk = np.unique(
+        pa.concat_tables(blocks).column("l_suppkey").to_numpy().astype(np.int64)
+    )
+    if len(wk) == 0:
+        return empty
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nat.filter(pc.equal(nat.column("n_regionkey"),
+                             pa.scalar(2, type=pa.int32()))).column(
+        "n_nationkey"
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    sup = sup.filter(
+        pc.and_(pc.is_in(sup.column("s_nationkey"), value_set=nk),
+                pc.is_in(sup.column("s_suppkey"),
+                         value_set=pa.array(wk, type=pa.int64())))
+    )
+    return (
+        pl.from_arrow(sup.select(["s_name"])).sort("s_name").to_arrow()
+        .cast(empty.schema)
+    )
+
+
+def _q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H q21 shape ⊕oracle (suppliers who were the SOLE late supplier
+    on multi-supplier finished orders — the EXISTS / NOT-EXISTS pair;
+    ``shipdate > orderdate + 60d`` stands in for receipt-after-commit,
+    the fixture carries no commit/receipt dates).  Distributed
+    decomposition: the correlated pair collapses into per-order
+    aggregates — rows (orderkey, suppkey, late) pre-fold per batch, ONE
+    groupby-Sum exchange yields per-pair late-line counts, a second tiny
+    groupby over those pairs yields (n_supp, n_late_supp) per order
+    (EXISTS other supplier ⟺ n_supp ≥ 2; NOT EXISTS other late ⟺
+    n_late_supp = 1), ONE ``hash_join`` meets the late pairs with their
+    order stats, and ``numwait`` folds per suppkey weighted by the
+    pair's LATE LINE count (q21 counts qualifying l1 rows, not orders).
+    Only the nation-filtered winner suppliers read the dimension
+    table."""
+    import datetime
+
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from hksketch.pipelines.ops import collect_blocks, exact_counts, read_table
+    from hksketch.ray_glue.joins import hash_join
+
+    empty = pa.table(
+        {"s_name": pa.array([], type=pa.string()),
+         "numwait": pa.array([], type=pa.int64())}
+    )
+    lag_us = 60 * 86_400_000_000
+
+    o_schema = pa.schema([("o_orderkey", pa.int64()), ("od_us", pa.int64())])
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("o_orderstatus"), "F"))
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "od_us": pc.cast(
+                 b.column("o_orderdate").cast(pa.timestamp("us")), pa.int64()
+             )}
+        )
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_suppkey", pa.int64()),
+                           ("ship_us", pa.int64())])
+
+    def li_f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "l_suppkey": b.column("l_suppkey"),
+             "ship_us": pc.cast(
+                 b.column("l_shipdate").cast(pa.timestamp("us")), pa.int64()
+             )}
+        )
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       lschema=li_schema, rschema=o_schema)
+
+    pair_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("l_suppkey", pa.int64()),
+                             ("late_lines", pa.int64())])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        late = pc.cast(
+            pc.greater(b.column("ship_us"),
+                       pc.add(b.column("od_us"), pa.scalar(lag_us))),
+            pa.int64(),
+        )
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "l_suppkey": b.column("l_suppkey"),
+                      "late_lines": late})
+        g = (
+            pl.from_arrow(t)
+            .group_by(["l_orderkey", "l_suppkey"])
+            .agg(pl.col("late_lines").sum())
+        )
+        return g.to_arrow().cast(pair_schema)
+
+    pairs = (
+        joined.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Sum("late_lines", alias_name="late_lines"))
+        .materialize()  # reused twice below: per-order stats + late side
+    )
+
+    def add_flag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "late_any",
+            pc.cast(pc.greater(b.column("late_lines"), pa.scalar(0)),
+                    pa.int64()),
+        )
+
+    flagged = pairs.map_batches(add_flag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    stats = flagged.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_supp"), Sum("late_any", alias_name="n_late")
+    )
+    late_pairs = pairs.map_batches(
+        lambda b: b.filter(pc.greater(b.column("late_lines"), pa.scalar(0))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    met = hash_join(late_pairs, stats, on="l_orderkey",
+                    lschema=pair_schema,
+                    rschema=pa.schema([("l_orderkey", pa.int64()),
+                                       ("n_supp", pa.int64()),
+                                       ("n_late", pa.int64())]))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nat.filter(pc.equal(nat.column("n_name"), "NATION_9")).column(
+        "n_nationkey"
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup.column("s_nationkey"), value_set=nk))
+    if sup.num_rows == 0:
+        return empty
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    so = np.argsort(sk)
+    sk = sk[so]
+    s_name = np.asarray(sup.column("s_name").to_pylist(), dtype=object)[so]
+    sk_ref = ray.put(sk)
+
+    def qualify(b: pa.Table, _ref=sk_ref) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.greater_equal(b.column("n_supp"), pa.scalar(2)),
+                    pc.equal(b.column("n_late"), pa.scalar(1)))
+        )
+        if b.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], type=pa.int64()),
+                             "late_lines": pa.array([], type=pa.int64())})
+        skk = ray.get(_ref)
+        ls = b.column("l_suppkey").to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(skk, ls), len(skk) - 1)
+        b = b.filter(pa.array(skk[pos] == ls))
+        return pa.table({"l_suppkey": b.column("l_suppkey"),
+                         "late_lines": b.column("late_lines")})
+
+    qual = met.map_batches(qualify, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    numwait = exact_counts(qual, "l_suppkey", weight_col="late_lines",
+                           count_name="numwait")
+    blocks = collect_blocks(numwait)  # bounded: one row per nation supplier
+    if not blocks:
+        return empty
+    t = pa.concat_tables(blocks).combine_chunks()
+    if t.num_rows == 0:
+        return empty
+    ls = t.column("l_suppkey").to_numpy().astype(np.int64)
+    pos = np.searchsorted(sk, ls)
+    out = (
+        pl.from_arrow(
+            pa.table({"s_name": pa.array(list(s_name[pos]), type=pa.string()),
+                      "numwait": t.column("numwait")})
+        )
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .head(10)
+    )
+    return out.to_arrow().cast(empty.schema)
+
+
 def _q_source_capped_docs(sf_dir: str):
     """Per-group document cap ⊕oracle (the crawl-pipeline domain quota:
     "keep at most 30 docs per source", deterministic hash-ranked so the
@@ -7588,6 +8386,13 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q4_order_priority": _q_q4_order_priority,
         "q16_supplier_part_types": _q_q16_supplier_part_types,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q9_product_type_profit": _q_q9_product_type_profit,
+        "q10_returned_items": _q_q10_returned_items,
+        "q11_important_stock": _q_q11_important_stock,
+        "q12_shipmode_priority": _q_q12_shipmode_priority,
+        "q20_part_promotion": _q_q20_part_promotion,
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         "q13_customer_distribution": _q_q13_customer_distribution,
         "q14_promo_revenue": _q_q14_promo_revenue,
         "q15_top_supplier": _q_q15_top_supplier,
@@ -9108,6 +9913,114 @@ WHERE p_partkey = l_partkey
   AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""",
+        "q2_min_cost_supplier": """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+FROM part, cost, supplier, nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND supplycost = (
+    SELECT min(c2.supplycost)
+    FROM cost c2, supplier s2, nation n2, region r2
+    WHERE c2.l_partkey = p_partkey AND s2.s_suppkey = c2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""",
+        "q9_product_type_profit": """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS profit
+FROM lineitem, orders, part, supplier, nation
+WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY n_name ASC, o_year DESC
+""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "q11_important_stock": """
+SELECT l_partkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_9'
+GROUP BY l_partkey
+HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS BIGINT) * 1000 >
+  (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS BIGINT)
+   FROM lineitem, supplier, nation
+   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+     AND n_name = 'NATION_9')
+ORDER BY value_c DESC, l_partkey ASC
+""",
+        "q12_shipmode_priority": """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 14 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+        "q20_part_promotion": """
+SELECT s_name
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 40
+  )
+  AND s_nationkey = n_nationkey AND n_regionkey = 2
+ORDER BY s_name
+""",
+        "q21_waiting_suppliers": """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
 """,
         "q18_large_volume_orders": """
 WITH big AS (
