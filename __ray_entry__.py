@@ -3496,6 +3496,37 @@ def _q_dataset_split_counts(sf_dir: str):
     )
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle ⊕oracle — the op every
+    training-data pipeline needs between epochs: a seeded, RESUMABLE
+    permutation of the corpus (same epoch ⇒ same order on any cluster
+    size or retry; next epoch ⇒ a fresh order with no state carried).
+    The shuffle key is a Fibonacci-hash permutation
+    ``((doc_id + epoch) * 2654435761) mod 2^32`` — pure int64 arithmetic
+    (no wrap-around for any int32-ish id), so the oracle mirrors it
+    exactly and resumability follows from the key being a pure function
+    of (doc_id, epoch).  Physical plan: scan computes the key per batch,
+    ONE distributed sort, head-100 — the order's head is the verified
+    contract (which rows sort first pins the global permutation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hksketch.pipelines.ops import read_table
+
+    epoch = 1
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        k = ((ids + epoch) * 2654435761) % 4294967296
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "shuffle_key": pa.array(k, type=pa.int64())})
+
+    ds = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.sort(["shuffle_key", "doc_id"]).limit(100)
+
+
 def _q_source_profile_cosine(sf_dir: str):
     """Group-profile similarity ⊕oracle: pairwise cosine between the
     per-source token-count vectors, as SPARSE token-cogrouped dot products
@@ -8345,6 +8376,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_change_users": _q_cms_heavy_change_users,
         "skyline_orders": _q_skyline_orders,
         "dataset_split_counts": _q_dataset_split_counts,
+        "epoch_shuffle": _q_epoch_shuffle,
         "source_profile_cosine": _q_source_profile_cosine,
         "props_json_stats": _q_props_json_stats,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
@@ -10021,6 +10053,12 @@ WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
 GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 10
+""",
+        "epoch_shuffle": """
+SELECT doc_id, (doc_id + 1) * 2654435761 % 4294967296 AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT 100
 """,
         "q18_large_volume_orders": """
 WITH big AS (

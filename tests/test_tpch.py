@@ -25,6 +25,16 @@ QUERIES = [
     "q7_volume_shipping",
     "q8_market_share",
     "q22_waiting_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q16_supplier_part_types",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
 ]
 
 
