@@ -58,24 +58,37 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def _q_topk_tokens_sketch(sf_dir: str):
+    """FLAGSHIP: HeavyKeeper top-100 tokens over documents.text — fused
+    tokenize + per-batch BucketedTopK partials, Ray-task tree merge
+    (C11), deterministic finalize; hash-exact vs the SQL oracle at test
+    scales (sketch capacity >> distinct tokens, so no decay error)."""
     from hksketch.pipelines.flagship import topk_tokens_sketch
 
     return topk_tokens_sketch(sf_dir, k=100, seed=SEED)
 
 
 def _q_topk_tokens_cuckoo(sf_dir: str):
+    """Same flagship pass through the CuckooTopK kernel (lobby/promote/
+    heavy fast path, K1-K5) — exercises the deterministic cuckoo merge
+    fold across distributed partials."""
     from hksketch.pipelines.flagship import topk_tokens_sketch
 
     return topk_tokens_sketch(sf_dir, k=100, variant="cuckoo", seed=SEED)
 
 
 def _q_topk_tokens_canonical(sf_dir: str):
+    """Same flagship pass through the canonical TopK kernel (the
+    reference's default layout: width×depth bucket array + min-heap,
+    C1-C15) — seed-deterministic, hash-exact vs the oracle."""
     from hksketch.pipelines.flagship import topk_tokens_sketch
 
     return topk_tokens_sketch(sf_dir, k=100, variant="topk", seed=SEED)
 
 
 def _q_topk_tokens_exact(sf_dir: str):
+    """Exact ground-truth top-100 tokens (A1/A2 with the reference's tie
+    rule) — the distributed exact counterpart every sketch variant is
+    scored against."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import exact_topk, read_table
@@ -91,12 +104,17 @@ def _q_topk_tokens_exact(sf_dir: str):
 
 
 def _q_topk_users_sketch(sf_dir: str):
+    """HeavyKeeper top-50 heavy-hitter users over the events stream —
+    the flagship sketch applied to a non-token key column (int64 ids):
+    per-batch partials, tree merge, deterministic finalize."""
     from hksketch.pipelines.flagship import topk_keys_sketch
 
     return topk_keys_sketch(sf_dir, "events", "user_id", k=50, seed=SEED)
 
 
 def _q_topk_users_exact(sf_dir: str):
+    """Exact top-50 users by event count (A1/A2 tie rule) — the ground
+    truth for the user-key sketch variants."""
     from hksketch.pipelines.ops import exact_topk, read_table
 
     return exact_topk(read_table(sf_dir, "events", ["user_id"]), "user_id", 50)
@@ -171,18 +189,25 @@ def _q_embedding_principal_directions(sf_dir: str):
 
 
 def _q_topk_sources_exact(sf_dir: str):
+    """Exact top-10 document sources — the hostname-style key the north
+    rule's skew discussion targets (few very heavy feeds)."""
     from hksketch.pipelines.ops import exact_topk, read_table
 
     return exact_topk(read_table(sf_dir, "documents", ["source"]), "source", 10)
 
 
 def _q_heavy_hitter_tokens(sf_dir: str):
+    """φ-threshold heavy hitters (A3): every token whose frequency is
+    ≥ φ·N per the HeavyKeeper estimate, thresholded AFTER the tree
+    merge so the set is a pure function of the merged sketch."""
     from hksketch.pipelines.flagship import heavy_hitter_tokens
 
     return heavy_hitter_tokens(sf_dir, phi=0.01, seed=SEED)
 
 
 def _q_distinct_users_exact(sf_dir: str):
+    """Exact distinct-user count — ground truth for the HLL/KMV
+    estimators."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import exact_distinct_count, read_table
@@ -229,6 +254,8 @@ _QS = (0.25, 0.5, 0.75, 0.95)
 
 
 def _q_quantiles_value_exact(sf_dir: str):
+    """Exact {.25,.5,.75,.95} quantiles of events.value (distributed
+    sort-based selection) — ground truth for the t-digest/KLL paths."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import exact_quantiles, read_table
@@ -262,6 +289,9 @@ def _q_quantiles_value_tdigest(sf_dir: str):
 
 
 def _q_quantiles_value_kll(sf_dir: str):
+    """KLL (Karnin-Lang-Liberty FOCS'16) streaming quantiles via
+    per-batch partials + tree merge — rank-error-bounded, mergeable;
+    bound asserted in tests/test_error_bounds.py."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
@@ -279,6 +309,9 @@ def _q_quantiles_value_kll(sf_dir: str):
 
 
 def _q_cms_event_type_counts(sf_dir: str):
+    """Count-min point estimates per event type through the Ray Data
+    Aggregate-operator UDAF path (AggregateFnV2) — width 4096 ≫ 5 keys,
+    so estimates are collision-free and the SQL oracle checks exact."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
@@ -301,6 +334,9 @@ def _q_cms_event_type_counts(sf_dir: str):
 
 
 def _q_bloom_users_membership(sf_dir: str):
+    """Bloom-filter membership (C8 contains): build one merged filter
+    over all user ids via the Aggregate UDAF, probe ids 0..199 — sized
+    so FP probability < 1e-6 and the exact SQL oracle is valid."""
     import numpy as np
     import pyarrow as pa
 
@@ -497,6 +533,9 @@ def _q_segment_revenue(sf_dir: str):
 
 
 def _q_top_orders(sf_dir: str):
+    """Filter + global top-N (ORDER BY … LIMIT 10) with a deterministic
+    key tie-break — predicate applied per batch before the sort so only
+    surviving rows shuffle."""
     import pyarrow.compute as pc
 
     from hksketch.pipelines.ops import read_table
@@ -513,6 +552,9 @@ def _q_top_orders(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
+    """Hourly event counts per type — per-batch temporal truncation +
+    polars pre-agg; group cardinality is enum × hours (structurally
+    small), so partials fold on the driver with no shuffle."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -535,6 +577,8 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_dedup_exact(sf_dir: str):
+    """Exact text dedup: content-hash partition + per-group min-id
+    winner — ONE key-hash shuffle of (hash, id) pairs, never of text."""
     from hksketch.dedup.exact import exact_dedup
     from hksketch.pipelines.ops import read_table
 
@@ -543,6 +587,11 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_minhash_near_dupes(sf_dir: str):
+    """MinHash-LSH near-dup pairs (Broder '97 / Lee et al. ACL'22):
+    128-perm signatures, 32 bands fused into one pass, bucket-collision
+    shuffle, distributed exact-Jaccard verify — sub-quadratic by
+    construction; randomized banding ⇒ no SQL oracle (recall floor
+    asserted in tests/test_minhash.py)."""
     from hksketch.dedup.minhash import minhash_near_dupes
     from hksketch.pipelines.ops import read_table
 
@@ -554,6 +603,10 @@ def _q_minhash_near_dupes(sf_dir: str):
 
 
 def _q_simhash_near_dupes(sf_dir: str):
+    """SimHash (Charikar STOC'02 / Manku WWW'07) near-dup pairs at
+    Hamming ≤ 3 via pigeonhole band blocking — exact w.r.t. the
+    fingerprint (blocking provably loses no pair ≤ max_hamming); hash
+    choice is implementation-defined ⇒ rows-only driver check."""
     from hksketch.dedup.simhash import simhash_near_dupes
     from hksketch.pipelines.ops import read_table
 
@@ -562,6 +615,11 @@ def _q_simhash_near_dupes(sf_dir: str):
 
 
 def _q_embed_near_dupes(sf_dir: str):
+    """Embedding-cosine near-dup pairs, EXACT at a low threshold
+    (cos ≥ 0.4): distributed block-pair matmuls over object-store refs
+    — oracle-checked against DuckDB's exact cosine self-join; the
+    sub-quadratic high-threshold sibling is ``embedding_near_dupes_lsh``
+    (exercised in tests)."""
     from hksketch.pipelines.ops import read_table
     from hksketch.sim.knn import embedding_near_dupes
 
@@ -579,6 +637,9 @@ def _load_query_vec(sf_dir: str):
 
 
 def _q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-10 for one query vector — per-batch numpy
+    matmul + per-batch top-k prune, so the driver sees k·blocks
+    candidate rows, never the dataset; the ANN baseline."""
     import numpy as np
     import pyarrow as pa
 
@@ -616,6 +677,10 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
+    """Per-document language ID via the vectorized stopword/character
+    n-gram heuristic (CCNet-style gate) — pure map stage, zero
+    shuffle; the SQL oracle mirrors the generated stopword rule
+    exactly so the two cannot drift."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
@@ -674,6 +739,9 @@ def _q_lang_confusion(sf_dir: str):
 
 
 def _q_quality_scores(sf_dir: str):
+    """Per-document quality features (length, punctuation/stopword/
+    alpha ratios, mean word length) — one vectorized Arrow map stage,
+    the C4-style filter front of a curation pipeline."""
     from hksketch.pipelines.ops import read_table
     from hksketch.text.analysis import quality_scores_batch
 
@@ -686,6 +754,9 @@ def _q_quality_scores(sf_dir: str):
 
 
 def _q_token_stats(sf_dir: str):
+    """Corpus token statistics (total tokens, distinct token types) —
+    tokenize once, count + exact-distinct over the same materialized
+    token stream."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import exact_distinct_count, read_table
@@ -1341,6 +1412,10 @@ def _q_lm_perplexity(sf_dir: str):
 
 
 def _q_doc_fingerprints(sf_dir: str):
+    """64-bit rolling-hash document fingerprints (Rabin-Karp lineage) —
+    vectorized per batch; implementation-defined hash ⇒ rows-only
+    driver check, determinism + collision behavior pinned in
+    tests/test_text.py."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
@@ -1359,6 +1434,10 @@ def _q_doc_fingerprints(sf_dir: str):
 
 
 def _q_tokens_per_source_topk(sf_dir: str):
+    """Exact top-3 tokens PER SOURCE: fused tokenize + polars per-batch
+    (source, token) pre-agg shrinks the shuffle to one row per
+    (batch, pair) before the groupby; per-group rank via vectorized
+    lexsort run-scan."""
     import pyarrow as pa
 
     from hksketch.pipelines.ops import read_table
@@ -2454,6 +2533,13 @@ def _q_topk_users_per_day_sketch(sf_dir: str, variant: str = "bucketed"):
          "user_id": pa.array(users, type=pa.int64()),
          "count": pa.array(counts, type=pa.int64())}
     )
+
+
+def _q_topk_users_per_day_cuckoo(sf_dir: str):
+    """Per-day heavy hitters through the CUCKOO kernel's grouped
+    distributed merge path (K1-K5 lobby/heavy fold per window) — same
+    plan and SQL oracle as ``topk_users_per_day_sketch``."""
+    return _q_topk_users_per_day_sketch(sf_dir, variant="cuckoo")
 
 
 def _q_topk_tokens_per_source(sf_dir: str):
@@ -8351,9 +8437,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": _q_knn_multi,
         "quantiles_by_event_type": _q_quantiles_by_event_type,
         "topk_users_per_day_sketch": _q_topk_users_per_day_sketch,
-        "topk_users_per_day_cuckoo": (
-            lambda sf_dir: _q_topk_users_per_day_sketch(sf_dir, variant="cuckoo")
-        ),
+        "topk_users_per_day_cuckoo": _q_topk_users_per_day_cuckoo,
         "topk_tokens_per_source": _q_topk_tokens_per_source,
         "tokens_per_host_sketch": _q_tokens_per_host_sketch,
         "kmeans_embedding_clusters": _q_kmeans_embedding_clusters,
