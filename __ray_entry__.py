@@ -3455,6 +3455,66 @@ def _q_user_overlap_kmv(sf_dir: str):
     )
 
 
+def _q_user_anotb_kmv(sf_dir: str):
+    """θ-sketch A-NOT-B ⊕oracle — the third classical sketch set operation
+    (next to union `hll_user_overlap` and intersection `user_overlap_kmv`;
+    Apache DataSketches' AnotB): distinct users who purchased on the
+    corpus's FIRST day but never on its LAST day (day-one churn), and the
+    reverse, from two KMV sketches built in ONE grouped pass.  k=8192 ≫
+    distinct purchasers at test scales so neither sketch truncates,
+    ``estimate_anotb`` is exact (asserted) and the SQL oracle checks
+    hash-exact; at web scale the same query degrades gracefully to the
+    θ-scaled estimate whose error the truncated-regime test bounds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+    from hksketch.ray_glue.aggregate import sketch_config
+    from hksketch.ray_glue.stages import grouped_sketch
+    from hksketch.sketch import sketch_from_bytes
+    from hksketch.sketch.reservoir import DistinctValueSample, estimate_anotb
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+    # corpus day range over ALL events (min/max are monotonic under the
+    # day truncation, so this equals min/max of date_trunc('day', ts))
+    lo, hi = ds.min("ts"), ds.max("ts")
+    d0 = lo.replace(hour=0, minute=0, second=0, microsecond=0)
+    d1 = hi.replace(hour=0, minute=0, second=0, microsecond=0)
+
+    def tag(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        is_purchase = pc.equal(b.column("event_type"), "purchase")
+        first = pc.and_(is_purchase, pc.equal(day, pa.scalar(d0)))
+        last = pc.and_(is_purchase, pc.equal(day, pa.scalar(d1)))
+        keep = pc.or_(first, last)
+        grp = pc.if_else(first.filter(keep), "first", "last")
+        return pa.table(
+            {"user_id": b.column("user_id").filter(keep), "grp": grp}
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = sketch_config("reservoir", k=8192, seed=SEED)
+    out = grouped_sketch(tagged, cfg, key_col="user_id", group_col="grp")
+    blobs = {r["grp"]: r["sketch"] for r in out.take_all()}
+
+    def side(g):
+        blob = blobs.get(g)
+        return (
+            sketch_from_bytes(blob) if blob is not None
+            else DistinctValueSample(k=8192, seed=SEED)
+        )
+
+    a, b = side("first"), side("last")
+    fa, fb = estimate_anotb(a, b), estimate_anotb(b, a)
+    assert fa["exact"] and fb["exact"], "k=8192 must be exact at test scales"
+    return pa.table(
+        {"n_first_not_last": pa.array(
+            [int(round(fa["est_anotb"]))], type=pa.int64()),
+         "n_last_not_first": pa.array(
+             [int(round(fb["est_anotb"]))], type=pa.int64())}
+    )
+
+
 def _q_cms_heavy_change_users(sf_dir: str):
     """Heavy-CHANGE detection (Cormode & Muthukrishnan's change-detection
     application): one Count-Min per time half, built distributed and
@@ -8446,6 +8506,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dupes": _q_image_near_dupes,
         "hll_user_overlap": _q_hll_user_overlap,
         "user_overlap_kmv": _q_user_overlap_kmv,
+        "user_anotb_kmv": _q_user_anotb_kmv,
         "second_moment_users_exact": _q_second_moment_users_exact,
         "trending_users": _q_trending_users,
         "value_hour_correlation": _q_value_hour_correlation,
@@ -9278,6 +9339,21 @@ ORDER BY count DESC, user_id ASC
         "second_moment_users_exact": """
 SELECT CAST(sum(c * c) AS BIGINT) AS f2
 FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+""",
+        "user_anotb_kmv": """
+WITH days AS (SELECT date_trunc('day', min(ts)) AS d0,
+                     date_trunc('day', max(ts)) AS d1 FROM events),
+a AS (SELECT DISTINCT user_id FROM events, days
+      WHERE event_type = 'purchase' AND date_trunc('day', ts) = d0),
+b AS (SELECT DISTINCT user_id FROM events, days
+      WHERE event_type = 'purchase' AND date_trunc('day', ts) = d1)
+SELECT
+  CAST((SELECT count(*) FROM a
+        WHERE user_id NOT IN (SELECT user_id FROM b)) AS BIGINT)
+    AS n_first_not_last,
+  CAST((SELECT count(*) FROM b
+        WHERE user_id NOT IN (SELECT user_id FROM a)) AS BIGINT)
+    AS n_last_not_first
 """,
         "docs_without_label3": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs

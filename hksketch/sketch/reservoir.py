@@ -355,3 +355,48 @@ def estimate_overlap(a: "ReservoirSample", b: "ReservoirSample") -> dict:
         "est_inter": jac * est_union,
         "est_jaccard": jac,
     }
+
+
+def estimate_anotb(a: "ReservoirSample", b: "ReservoirSample") -> dict:
+    """θ-sketch A-NOT-B (set difference |A ∖ B|) from two compatible KMV
+    sketches — the third classical sketch set operation next to union and
+    intersection (Dasgupta et al., PODS'16 theta framework; the Apache
+    DataSketches ``AnotB`` operator).
+
+    Rule: let θ be the SMALLER of the two sketches' sampling thresholds
+    (θ_x = 1 if sketch x never truncated, else its normalized k-th-smallest
+    tag, the same normalization as ``estimate``).  Below θ both sketches
+    retain EVERY distinct tag they saw, so membership of A's sub-θ tags in
+    B is known exactly; the retained count of A-tags < θ absent from B,
+    scaled by 1/θ, is the unbiased difference estimate.
+
+    Exact when NEITHER side truncated (θ = 1: plain set difference of the
+    complete tag sets) — the regime the oracle-gated query relies on;
+    ``exact`` in the returned dict says which regime fired.  Returns
+    dict(est_anotb, retained, theta, exact).
+    """
+    a._check_compatible(b)
+    a_trunc = len(a.tags) >= a.k
+    b_trunc = len(b.tags) >= b.k
+    if not a_trunc and not b_trunc:
+        only_a = np.setdiff1d(a.tags, b.tags, assume_unique=True)
+        return {
+            "est_anotb": float(len(only_a)),
+            "retained": int(len(only_a)),
+            "theta": 1.0,
+            "exact": True,
+        }
+    # integer threshold: the k-th smallest tag of each truncated side;
+    # tags are sorted ascending, so tags[-1] is the k-th smallest retained
+    thr = min(
+        (int(s.tags[-1]) for s, t in ((a, a_trunc), (b, b_trunc)) if t),
+    )
+    theta = (float(thr) + 1.0) / 2.0 ** 64  # same normalization as estimate()
+    sub_a = a.tags[a.tags < np.uint64(thr)]
+    only_a = np.setdiff1d(sub_a, b.tags, assume_unique=True)
+    return {
+        "est_anotb": float(len(only_a)) / theta,
+        "retained": int(len(only_a)),
+        "theta": theta,
+        "exact": False,
+    }

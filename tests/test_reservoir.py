@@ -85,3 +85,79 @@ def test_serde_and_validation():
         r.merge(ReservoirSample(k=6, seed=1))
     with pytest.raises(IncompatibleSketchError):
         r.merge(ReservoirSample(k=5, seed=2))
+
+
+# ---------------------------------------------------------------------------
+# θ-sketch A-NOT-B (estimate_anotb)
+# ---------------------------------------------------------------------------
+
+
+def test_anotb_exact_regime():
+    """Neither side truncated → plain set difference, flagged exact."""
+    from hksketch.sketch.reservoir import estimate_anotb
+
+    a = ReservoirSample(k=1024, seed=5)
+    b = ReservoirSample(k=1024, seed=5)
+    a.add_batch(np.arange(0, 500, dtype=np.int64))
+    b.add_batch(np.arange(300, 800, dtype=np.int64))
+    r = estimate_anotb(a, b)
+    assert r["exact"] and r["theta"] == 1.0
+    assert r["est_anotb"] == 300.0
+    # symmetric direction has its own answer
+    assert estimate_anotb(b, a)["est_anotb"] == 300.0
+    # disjoint and subset edges
+    empty = ReservoirSample(k=1024, seed=5)
+    assert estimate_anotb(a, empty)["est_anotb"] == 500.0
+    assert estimate_anotb(empty, a)["est_anotb"] == 0.0
+    sub = ReservoirSample(k=1024, seed=5)
+    sub.add_batch(np.arange(0, 100, dtype=np.int64))
+    assert estimate_anotb(sub, a)["est_anotb"] == 0.0
+
+
+def test_anotb_truncated_regime_error_bound():
+    """|A|=200k, |B|=150k, |A∖B|=100k with k=4096: the θ-scaled estimate
+    must land within the standard bottom-k sampling error (≈1/√retained;
+    4 standard deviations as the gate)."""
+    from hksketch.sketch.reservoir import estimate_anotb
+
+    k = 4096
+    a = ReservoirSample(k=k, seed=5)
+    b = ReservoirSample(k=k, seed=5)
+    A = np.arange(0, 200_000, dtype=np.int64)
+    B = np.arange(100_000, 250_000, dtype=np.int64)
+    for chunk in np.array_split(A, 7):
+        a.add_batch(chunk)
+    for chunk in np.array_split(B, 5):
+        b.add_batch(chunk)
+    r = estimate_anotb(a, b)
+    assert not r["exact"] and 0.0 < r["theta"] < 1.0
+    rel = abs(r["est_anotb"] - 100_000) / 100_000
+    assert rel < 4.0 / np.sqrt(r["retained"]), (r, rel)
+    # reverse direction: |B∖A| = 50k, same gate
+    r2 = estimate_anotb(b, a)
+    rel2 = abs(r2["est_anotb"] - 50_000) / 50_000
+    assert rel2 < 4.0 / np.sqrt(r2["retained"]), (r2, rel2)
+
+
+def test_anotb_merge_consistent_and_param_checked():
+    """Sharded build → merge gives bit-identical estimates to a single
+    pass (the distributed-partials contract), and incompatible params
+    refuse."""
+    from hksketch.sketch.base import IncompatibleSketchError
+    from hksketch.sketch.reservoir import estimate_anotb
+
+    k = 2048
+    A = np.arange(0, 100_000, dtype=np.int64)
+    B = np.arange(60_000, 150_000, dtype=np.int64)
+    one = ReservoirSample(k=k, seed=5)
+    one.add_batch(A)
+    b = ReservoirSample(k=k, seed=5)
+    b.add_batch(B)
+    sharded = ReservoirSample(k=k, seed=5)
+    for chunk in np.array_split(A, 9):
+        part = ReservoirSample(k=k, seed=5)
+        part.add_batch(chunk)
+        sharded.merge(part)
+    assert estimate_anotb(one, b) == estimate_anotb(sharded, b)
+    with pytest.raises(IncompatibleSketchError):
+        estimate_anotb(one, ReservoirSample(k=k, seed=99))
