@@ -426,3 +426,28 @@ def test_fold_grouped_partials_matches_shuffle_groupby(ray_session):
         empty.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
         ["g1", "g2"], ["v", "n"],
     ) is None
+
+
+def test_user_anotb_kmv_matches_duckdb(ray_session):
+    """Pin the θ-sketch A-NOT-B query at sf0.001: exact regime (k=8192 ≫
+    purchasers) must reproduce DuckDB's set-difference counts bit-exact."""
+    import glob
+
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    res = e.queries()["user_anotb_kmv"](sf)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    con = duckdb.connect()
+    for f in glob.glob(f"{sf}/*.parquet"):
+        name = f.rsplit("/", 1)[-1].removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    ref = con.sql(e.oracle_sql()["user_anotb_kmv"]).df()
+    assert sorted(res.columns) == sorted(ref.columns)
+    got = res[sorted(res.columns)].iloc[0].tolist()
+    want = ref[sorted(ref.columns)].iloc[0].tolist()
+    assert got == want, (got, want)
