@@ -165,3 +165,43 @@ def test_kmv_estimate_merge_consistency(xs, split):
     # exact regime sanity: below k the estimate IS the distinct count
     if len(set(xs)) < 32:
         assert m.estimate() == float(len(set(xs)))
+
+
+@given(
+    a_lo=st.integers(0, 200), a_n=st.integers(0, 400),
+    b_lo=st.integers(0, 200), b_n=st.integers(0, 400),
+    split=st.integers(1, 5),
+)
+@settings(max_examples=150, deadline=None)
+def test_kmv_set_algebra_identities(a_lo, a_n, b_lo, b_n, split):
+    """In the exact regime (k > |A ∪ B|) the three KMV set operations
+    must satisfy the set identities exactly: |A∖B| + |A∩B| = |A|,
+    |A∖B| + |B∖A| + |A∩B| = |A∪B| — and stay invariant under sharding
+    A's build across merged partials."""
+    from hksketch.sketch.reservoir import (
+        ReservoirSample,
+        estimate_anotb,
+        estimate_overlap,
+    )
+
+    A = np.arange(a_lo, a_lo + a_n, dtype=np.int64)
+    B = np.arange(b_lo, b_lo + b_n, dtype=np.int64)
+    k = 1024  # > max possible union (600)
+    a = ReservoirSample(k=k, seed=9)
+    for chunk in np.array_split(A, split):
+        part = ReservoirSample(k=k, seed=9)
+        part.add_batch(chunk)
+        a.merge(part)
+    b = ReservoirSample(k=k, seed=9)
+    b.add_batch(B)
+    ov = estimate_overlap(a, b)
+    ab = estimate_anotb(a, b)
+    ba = estimate_anotb(b, a)
+    assert ab["exact"] and ba["exact"]
+    assert ab["est_anotb"] == float(len(np.setdiff1d(A, B)))
+    assert ba["est_anotb"] == float(len(np.setdiff1d(B, A)))
+    assert ab["est_anotb"] + ov["est_inter"] == float(len(np.unique(A)))
+    assert (
+        ab["est_anotb"] + ba["est_anotb"] + ov["est_inter"]
+        == ov["est_union"]
+    )
