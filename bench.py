@@ -238,6 +238,12 @@ def main() -> None:
                 os.environ,
                 RAY_GRAFT_CPUS=str(n),
                 HK_BENCH_SCALING_ONLY="1",
+                # keep the declared artifact shape (2 in-process webpages
+                # runs × 3 fresh processes per level) independent of the
+                # plain-bench default
+                HK_BENCH_WEB_REPEATS=os.environ.get(
+                    "HK_BENCH_WEB_REPEATS", "2"
+                ),
                 # 2x the plain-bench fixture: enough parallel work that fixed
                 # per-stage costs amortize at the high level (same input for
                 # both levels; cached after first generation)
