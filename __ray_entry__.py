@@ -3474,10 +3474,13 @@ def _q_user_anotb_kmv(sf_dir: str):
     from hksketch.sketch import sketch_from_bytes
     from hksketch.sketch.reservoir import DistinctValueSample, estimate_anotb
 
+    from ray.data.aggregate import Max, Min
+
     ds = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
-    # corpus day range over ALL events (min/max are monotonic under the
-    # day truncation, so this equals min/max of date_trunc('day', ts))
-    lo, hi = ds.min("ts"), ds.max("ts")
+    # corpus day range over ALL events in ONE scan (min/max are monotonic
+    # under the day truncation, so this equals min/max of date_trunc)
+    rng = ds.aggregate(Min("ts"), Max("ts"))
+    lo, hi = rng["min(ts)"], rng["max(ts)"]
     d0 = lo.replace(hour=0, minute=0, second=0, microsecond=0)
     d1 = hi.replace(hour=0, minute=0, second=0, microsecond=0)
 
