@@ -3532,8 +3532,11 @@ def _q_cms_heavy_change_users(sf_dir: str):
     from hksketch.ray_glue.stages import global_sketch
     from hksketch.sketch import sketch_from_bytes
 
+    from ray.data.aggregate import Max, Min
+
     ds = read_table(sf_dir, "events", ["user_id", "ts"])
-    lo, hi = ds.min("ts"), ds.max("ts")
+    rng = ds.aggregate(Min("ts"), Max("ts"))  # ONE scan for both bounds
+    lo, hi = rng["min(ts)"], rng["max(ts)"]
     # midpoint in integer microseconds — mirrors the SQL exactly (DuckDB
     # interval division halves days and sub-day parts separately)
     import datetime
