@@ -5032,7 +5032,16 @@ def _q_q11_important_stock(sf_dir: str):
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return flt.sort(["value_c", "l_partkey"], descending=[True, False])
+    out = flt.sort(["value_c", "l_partkey"], descending=[True, False])
+    # the HAVING keeps only parts above 0.1% of the national total —
+    # ≤ 1000 rows by construction — so materialize to an Arrow table;
+    # an empty Ray Dataset drops its schema on conversion (seen at
+    # sf0.1, where no part clears the threshold), while this keeps the
+    # (l_partkey, value_c) schema on the empty result
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def _q_q12_shipmode_priority(sf_dir: str):
