@@ -433,3 +433,61 @@ def test_sketch_partials_retry_idempotent(ray_session, tmp_path):
     retried = run(flaky)
     assert len(os.listdir(marker_dir)) >= 4  # every task failed once
     assert sketch_from_bytes(retried).list() == sketch_from_bytes(clean).list()
+
+
+def test_run_flagship_job_entrypoint(webpages_tiny, tmp_path):
+    """Drive scripts/run_flagship_job.py — the ``ray job submit``
+    entrypoint — end-to-end in a fresh process: it must run the flagship
+    pass, write the three top-k parquet outputs plus metrics.json, agree
+    with itself across the checkpointed and streaming paths, and RESUME
+    (skip all partitions) on a second invocation with the same
+    checkpoint dir."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "run_flagship_job.py")
+    out_dir = str(tmp_path / "job_out")
+    ck_dir = str(tmp_path / "job_ckpt")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, script, "--input", webpages_tiny,
+             "--output", out_dir, "--checkpoint-dir", ck_dir, "--k", "50"],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    metrics = json.loads(open(os.path.join(out_dir, "metrics.json")).read())
+    assert metrics["n_pages"] == 1000
+    assert metrics["total_tokens"] > 0
+    assert metrics["checkpoint"]["resumed_skipped"] == 0
+    assert metrics["checkpoint"]["partitions"] >= 1
+
+    t_stream = pq.read_table(os.path.join(out_dir, "topk_tokens.parquet"))
+    t_ck = pq.read_table(
+        os.path.join(out_dir, "topk_tokens_checkpointed.parquet")
+    )
+    assert t_ck.num_rows == 50 and t_stream.num_rows > 0
+    # same sketch params + exact regime (vocab 1000 < k·4) → the
+    # checkpointed path must reproduce the streaming path's head
+    # (the streaming table carries bench_webpages' own row limit)
+    n = min(t_ck.num_rows, t_stream.num_rows)
+    assert t_ck.slice(0, n).to_pydict() == t_stream.slice(0, n).to_pydict()
+    hosts = pq.read_table(os.path.join(out_dir, "topk_hosts.parquet"))
+    assert hosts.num_rows > 0
+
+    # second run with the same checkpoint dir: every partition skips
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads(open(os.path.join(out_dir, "metrics.json")).read())
+    assert m2["checkpoint"]["resumed_skipped"] == m2["checkpoint"]["partitions"]
+    t_ck2 = pq.read_table(
+        os.path.join(out_dir, "topk_tokens_checkpointed.parquet")
+    )
+    assert t_ck2.to_pydict() == t_ck.to_pydict()
