@@ -2029,6 +2029,127 @@ def _q_last_login_before_error(sf_dir: str):
     return last_event_before(ds, anchor_type="error", probe_type="login")
 
 
+def _asof_event_sides(sf_dir: str, left_type: str, right_type: str):
+    """Two filtered (user_id, ts) views of the events stream plus their
+    shared schema — the inputs both as-of queries feed to
+    ``ray_glue.joins.asof_join``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import read_table
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def keep(et: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b.column("event_type"), pa.scalar(et)))
+            return b.select(["user_id", "ts"])
+
+        return fn
+
+    schema = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+    left = ev.map_batches(keep(left_type), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ev.map_batches(keep(right_type), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return left, right, schema
+
+
+def _q_click_prior_purchase_asof(sf_dir: str):
+    """General two-dataset AS-OF join ⊕oracle (backward, LEFT): for every
+    click, the SAME user's latest purchase at-or-before it
+    (``ray_glue.joins.asof_join`` — one key-sharded shuffle, a polars
+    merge scan per shard; `last_login_before_error` covers the
+    single-stream variant).  Aggregated per click day: clicks, matched
+    clicks, exact int64 total gap µs — tie-invariant (ties share a ts),
+    so no tiebreak column is needed.  Day cardinality is bounded by the
+    time range, so partials fold on the driver."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hksketch.pipelines.ops import fold_grouped_partials
+    from hksketch.ray_glue.joins import asof_join
+
+    clicks, purchases, schema = _asof_event_sides(sf_dir, "click", "purchase")
+    j = asof_join(clicks, purchases, on="user_id", t_on="ts",
+                  lschema=schema, rschema=schema)
+
+    out_schema = pa.schema(
+        [("day", pa.timestamp("us")), ("n_clicks", pa.int64()),
+         ("n_matched", pa.int64()), ("gap_us_total", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        pts = b.column("ts_r")
+        gap = pc.fill_null(
+            pc.subtract(ts.cast(pa.int64()), pts.cast(pa.int64())), 0
+        )
+        t = pa.table(
+            {"day": pc.floor_temporal(ts, unit="day"),
+             "matched": pc.cast(pc.is_valid(pts), pa.int64()),
+             "gap_us": gap}
+        )
+        return (
+            pl.from_arrow(t)
+            .group_by("day")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_clicks"),
+                pl.col("matched").sum().alias("n_matched"),
+                pl.col("gap_us").sum().alias("gap_us_total"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    pre = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = fold_grouped_partials(
+        pre, ["day"], ["n_clicks", "n_matched", "gap_us_total"]
+    )
+    return out if out is not None else out_schema.empty_table()
+
+
+def _q_purchase_next_click_asof(sf_dir: str):
+    """AS-OF join ⊕oracle, FORWARD + tolerance + INNER: for every
+    purchase, the SAME user's next click within 6 hours — conversion-lag
+    attribution, the mirror of the backward lookup.  Per-user counts and
+    exact int64 total lag µs (tie-invariant: ties share a ts).  User
+    cardinality grows with data, so this keeps the shuffled
+    ``groupby().aggregate()`` path (never the driver fold)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from hksketch.ray_glue.joins import asof_join
+
+    purchases, clicks, schema = _asof_event_sides(sf_dir, "purchase", "click")
+    tol_us = 6 * 3600 * 1_000_000
+    j = asof_join(purchases, clicks, on="user_id", t_on="ts",
+                  direction="forward", tolerance=tol_us, how="inner",
+                  lschema=schema, rschema=schema)
+
+    def pre(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            b.column("ts_r").cast(pa.int64()), b.column("ts").cast(pa.int64())
+        )
+        return pa.table(
+            {"user_id": b.column("user_id"),
+             "n_pairs": pa.array([1] * b.num_rows, type=pa.int64()),
+             "gap_us_total": gap}
+        )
+
+    out = (
+        j.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_pairs", alias_name="n_pairs"),
+            Sum("gap_us_total", alias_name="gap_us_total"),
+        )
+    )
+    return out.sort("user_id")
+
+
 def _q_sample_events(sf_dir: str):
     """Mergeable bottom-k uniform row sample as a UDAF (rows-only check:
     the sample is seeded-random, not SQL-reproducible)."""
@@ -8406,7 +8527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_orders",
         # join strategies (broadcast, semi-join bloom, as-of, full outer)
         "nation_orders_join", "segment_revenue", "orders_semijoin_bloom",
-        "last_login_before_error", "hourly_click_purchase_full_join",
+        "click_prior_purchase_asof", "hourly_click_purchase_full_join",
         # windowed / analytic
         "user_daily_spend_running", "revenue_7day_window",
         "top_orders_per_segment", "supplier_rank_in_nation",
@@ -8507,6 +8628,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_embeddings_join": _q_docs_embeddings_join,
         "orders_semijoin_bloom": _q_orders_semijoin_bloom,
         "last_login_before_error": _q_last_login_before_error,
+        "click_prior_purchase_asof": _q_click_prior_purchase_asof,
+        "purchase_next_click_asof": _q_purchase_next_click_asof,
         "nation_orders_join": _q_nation_orders_join,
         "clean_corpus_ids": _q_clean_corpus_ids,
         "knn_multi": _q_knn_multi,
@@ -9473,6 +9596,34 @@ LEFT JOIN events e
   ON e.user_id = p.user_id AND e.event_type = 'login' AND e.ts < p.last_error
 WHERE p.last_error IS NOT NULL
 GROUP BY p.user_id, p.last_error
+""",
+        "click_prior_purchase_asof": """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     j AS (
+  SELECT c.user_id, c.ts, p.ts AS pts
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(count(pts) AS BIGINT) AS n_matched,
+       CAST(coalesce(sum(epoch_us(ts) - epoch_us(pts)), 0) AS BIGINT)
+         AS gap_us_total
+FROM j GROUP BY 1 ORDER BY 1
+""",
+        "purchase_next_click_asof": """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     j AS (
+  SELECT p.user_id, p.ts AS pts, c.ts AS cts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(epoch_us(cts) - epoch_us(pts)) AS BIGINT) AS gap_us_total
+FROM j
+WHERE cts IS NOT NULL AND epoch_us(cts) - epoch_us(pts) <= 21600000000
+GROUP BY user_id ORDER BY user_id
 """,
         "nation_orders_join": """
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -490,3 +490,228 @@ def skew_join(
     )
     ds = cold_out.union(hot_out)
     return (ds, hot) if explain else ds
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    t_on: str,
+    right_on: Optional[str] = None,
+    right_t_on: Optional[str] = None,
+    direction: str = "backward",
+    tolerance: Optional[int] = None,
+    how: str = "left",
+    shards: int | str = "auto",
+    suffix: str = "_r",
+    right_tiebreak: Optional[str] = None,
+    lschema=None,
+    rschema=None,
+):
+    """Distributed AS-OF join: for every left row ``(key, t)`` attach the
+    right row with the same key and the nearest time at-or-before it
+    (``direction="backward"``, inclusive — the SQL ``ASOF JOIN ... ON
+    l.k = r.k AND l.t >= r.t``), at-or-after it (``"forward"``), or
+    closest in either direction (``"nearest"``).  The classic
+    point-in-time lookup (latest price before a trade, last order before
+    an event) that an equi-join cannot express and a range join answers
+    with counts rather than THE matching row.
+
+    Physical plan — the same ONE-shuffle discipline as :func:`hash_join`:
+    both sides are normalized onto a shared wide schema with ``__key``
+    (int64 / large_string per :func:`_key_type`) and ``__t`` (the time
+    column cast to int64 — µs for timestamps), hash-sharded on the KEY
+    ONLY (every row of one key lands in one shard, so the as-of scan
+    never crosses shards), and each shard resolves matches with a single
+    polars (Rust) ``join_asof`` over time-sorted frames — vectorized
+    merge scan, never a per-key Python loop.  Per-task memory is bounded
+    by (rows of both sides)/shards; hot keys concentrate as in any
+    shuffle join (salt or pre-dedupe the right side if one key dominates).
+
+    Semantics:
+
+    - ``how="left"`` (the natural as-of shape): every left row survives;
+      unmatched rows carry nulls in the right columns.  ``how="inner"``
+      drops unmatched left rows.
+    - Left rows with a NULL key or NULL time survive unmatched under
+      ``"left"`` (SQL: null never equals/compares); right rows with a
+      null key or time are dropped — they can never be anyone's match.
+    - ``tolerance`` (optional, > 0, in ``__t`` units — µs for timestamp
+      columns): a backward match must satisfy ``t_l − t_r ≤ tolerance``,
+      a forward match ``t_r − t_l ≤ tolerance``.
+    - Ties (several right rows at the exact same ``(key, t)``): pass
+      ``right_tiebreak`` (a right column name, e.g. a unique id) to pin
+      the winner — the MAX tiebreak for ``backward``, the MIN for
+      ``forward``.  Without it the winner among exact-``t`` ties is
+      unspecified (as in SQL ASOF), so project only tie-invariant
+      columns (e.g. the matched time itself).
+    - Output schema: key once (named ``on``), all other left columns
+      (including ``t_on``, original type), then the right value columns
+      (including ``right_t_on`` — the matched row's time, null when
+      unmatched) with name clashes suffixed — exactly the
+      :func:`hash_join` contract.
+
+    Reference scope note: the reference engine has no joins; this is
+    part of the engine-extension surface (SURVEY.md §2 custom
+    operators: "as-of join, range join" — the range half lives in
+    ``pipelines/intervals.py``).
+    """
+    from .partitioning import auto_shards, estimate_rows
+
+    right_on = right_on or on
+    right_t_on = right_t_on or t_on
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
+        )
+    if tolerance is not None and tolerance <= 0:
+        raise ValueError(f"tolerance must be > 0, got {tolerance}")
+
+    if lschema is None:
+        lschema = left.schema()
+    if rschema is None:
+        rschema = right.schema()
+    _require_schemas("asof_join", lschema, rschema)
+
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def _t_ok(t):
+        return t is not None and (
+            pa.types.is_integer(t) or pa.types.is_timestamp(t)
+        )
+
+    if not _t_ok(ltypes.get(t_on)) or not _t_ok(rtypes.get(right_t_on)):
+        raise TypeError(
+            f"as-of time columns must be integer or timestamp; got "
+            f"{t_on}:{ltypes.get(t_on)} vs {right_t_on}:{rtypes.get(right_t_on)}"
+        )
+    ktype = _key_type(lschema, rschema, on, right_on)
+    if right_tiebreak is not None and right_tiebreak not in rtypes:
+        raise KeyError(f"right_tiebreak {right_tiebreak!r} not a right column")
+
+    # wide-schema columns: key appears once; BOTH time columns ride as
+    # ordinary value columns (original types) so the output keeps them
+    lcols = [c for c in lschema.names if c != on]
+    rcols = [c for c in rschema.names if c != right_on]
+    lset = set(lschema.names)
+    rename = {c: (c + suffix if c in lset else c) for c in rcols}
+    lfields = [(c, ltypes[c]) for c in lcols]
+    rfields = [(rename[c], rtypes[c]) for c in rcols]
+    unrenamed = {v: k for k, v in rename.items()}
+    tb_col = rename[right_tiebreak] if right_tiebreak is not None else None
+
+    if shards == "auto":
+        est = (estimate_rows(left) or 0) + (estimate_rows(right) or 0)
+        shards = auto_shards(
+            left, target_rows_per_shard=2_000_000, min_shards=32,
+            rows_hint=est or None,
+        )
+    shards = int(shards)
+    if shards & (shards - 1):
+        raise ValueError(f"shards must be a power of two (got {shards})")
+
+    def norm(side: int, key_col: str, t_col: str):
+        # left keeps null key/t rows (they survive unmatched); right
+        # drops them (they can never be a match)
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = batch.column(key_col)
+            tv = batch.column(t_col)
+            if side == 1:
+                keep = pc.and_(pc.is_valid(key), pc.is_valid(tv))
+                batch = batch.filter(keep)
+                key = batch.column(key_col)
+                tv = batch.column(t_col)
+            key = key.combine_chunks().cast(ktype)
+            shard = _key_shards(key, shards)
+            cols: dict = {
+                "__key": key,
+                "__t": tv.combine_chunks().cast(pa.int64()),
+                "__side": pa.array(np.full(len(shard), side, dtype=np.int8)),
+                "__shard": pa.array(shard, type=pa.int32()),
+            }
+            for name, typ in lfields:
+                cols[name] = (
+                    batch.column(name).cast(typ) if side == 0
+                    else pa.nulls(len(shard), type=typ)
+                )
+            for name, typ in rfields:
+                cols[name] = (
+                    batch.column(unrenamed[name]).cast(typ) if side == 1
+                    else pa.nulls(len(shard), type=typ)
+                )
+            return pa.table(cols)
+
+        return fn
+
+    lnorm = left.map_batches(
+        norm(0, on, t_on), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rnorm = right.map_batches(
+        norm(1, right_on, right_t_on), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = lnorm.union(rnorm)
+
+    wide_schema = pa.schema(
+        [("__key", ktype), ("__t", pa.int64())]
+        + [(n, t) for n, t in lfields]
+        + [(n, t) for n, t in rfields]
+    )
+
+    def asof_shard(grp: pa.Table) -> pa.Table:
+        import warnings
+
+        import polars as pl
+
+        if grp.num_rows == 0:
+            return wide_schema.empty_table()
+        side = grp.column("__side").to_numpy(zero_copy_only=False)
+        lt = pl.from_arrow(
+            grp.select(["__key", "__t"] + [n for n, _ in lfields])
+            .filter(pa.array(side == 0))
+        )
+        rt = pl.from_arrow(
+            grp.select(["__key", "__t"] + [n for n, _ in rfields])
+            .filter(pa.array(side == 1))
+        )
+        if lt.height == 0:
+            return wide_schema.empty_table()
+        # matched marker that survives even all-null right value columns
+        rt = rt.with_columns(pl.col("__t").alias("__rt"))
+        rsort = ["__t"] + ([tb_col] if tb_col is not None else [])
+        with warnings.catch_warnings():
+            # polars cannot verify per-`by`-group sortedness and warns;
+            # both frames ARE time-sorted here
+            warnings.simplefilter("ignore")
+            j = lt.sort("__t").join_asof(
+                rt.sort(rsort), on="__t", by="__key",
+                strategy=direction, tolerance=tolerance,
+            )
+        if how == "inner":
+            j = j.filter(pl.col("__rt").is_not_null())
+        t = j.drop("__rt").to_arrow()
+        cols = {}
+        for f in wide_schema:
+            c = t.column(f.name)
+            cols[f.name] = c.cast(f.type) if c.type != f.type else c
+        return pa.table(cols)
+
+    out = both.groupby("__shard").map_groups(
+        asof_shard, batch_format="pyarrow"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {on: batch.column("__key")}
+        for c, _ in lfields:
+            cols[c] = batch.column(c)
+        for c, _ in rfields:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
