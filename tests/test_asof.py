@@ -199,3 +199,71 @@ def test_validation_errors(ray_session):
         asof_join(L, R, on="k", t_on="t", right_tiebreak="zz", shards=4)
     with pytest.raises(ValueError, match="power of two"):
         asof_join(L, R, on="k", t_on="t", shards=3)
+
+
+# ---------- property: tie-heavy small domains vs a brute-force oracle ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 3),            # key (4 keys → heavy collisions)
+              st.one_of(st.none(), st.integers(0, 12))),  # time (ties + nulls)
+    min_size=1, max_size=25,
+)
+
+
+def _brute_asof(lrows, rrows, direction, tolerance):
+    """Per left row, the matched right TIME (tie-invariant even without a
+    tiebreak column) — None when unmatched."""
+    out = []
+    for k, t in lrows:
+        if t is None:
+            out.append(None)
+            continue
+        cand = [rt for rk, rt in rrows if rk == k and rt is not None]
+        if direction == "backward":
+            cand = [rt for rt in cand
+                    if rt <= t and (tolerance is None or t - rt <= tolerance)]
+            out.append(max(cand) if cand else None)
+        elif direction == "forward":
+            cand = [rt for rt in cand
+                    if rt >= t and (tolerance is None or rt - t <= tolerance)]
+            out.append(min(cand) if cand else None)
+        else:  # nearest: compare the matched DISTANCE (equidistant-tie safe)
+            cand = [abs(rt - t) for rt in cand
+                    if tolerance is None or abs(rt - t) <= tolerance]
+            out.append(min(cand) if cand else None)
+    return out
+
+
+@given(lrows=_rows, rrows=_rows,
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
+       tolerance=st.one_of(st.none(), st.integers(1, 5)))
+@settings(max_examples=12, deadline=None)
+def test_asof_matched_time_matches_bruteforce(
+    ray_session, lrows, rrows, direction, tolerance
+):
+    import ray
+
+    lt = pa.table(
+        {"k": pa.array([k for k, _ in lrows], type=pa.int64()),
+         "t": pa.array([t for _, t in lrows], type=pa.int64()),
+         "lid": pa.array(np.arange(len(lrows)))}
+    )
+    rt = pa.table(
+        {"k": pa.array([k for k, _ in rrows], type=pa.int64()),
+         "t": pa.array([t for _, t in rrows], type=pa.int64())}
+    )
+    out = asof_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="k", t_on="t", direction=direction, tolerance=tolerance, shards=4,
+    ).to_pandas().sort_values("lid")
+    assert len(out) == len(lrows)  # LEFT: every left row survives
+    exp = _brute_asof(lrows, rrows, direction, tolerance)
+    got = out["t_r"].tolist()
+    for i, (g, e) in enumerate(zip(got, exp)):
+        g = None if pd.isna(g) else int(g)
+        if direction == "nearest" and g is not None:
+            g = abs(g - lrows[i][1])
+        assert g == e, (i, lrows[i], g, e)
