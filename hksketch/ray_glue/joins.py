@@ -714,4 +714,14 @@ def asof_join(
             cols[c] = batch.column(c)
         return pa.table(cols)
 
-    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    res = out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    # all-empty map_groups output yields a SCHEMA-LESS dataset (zero
+    # blocks); a typed zero-row seed block keeps the output schema stable
+    # for downstream stages even when no row survives (q11 lesson)
+    import ray.data as rd
+
+    out_schema = pa.schema(
+        [(on, ktype)] + [(n, t) for n, t in lfields]
+        + [(n, t) for n, t in rfields]
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(res)

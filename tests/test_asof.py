@@ -267,3 +267,46 @@ def test_asof_matched_time_matches_bruteforce(
         if direction == "nearest" and g is not None:
             g = abs(g - lrows[i][1])
         assert g == e, (i, lrows[i], g, e)
+
+
+def test_empty_output_keeps_schema(ray_session):
+    import ray
+
+    lt = pa.table(
+        {"k": pa.array([1, 2], type=pa.int64()),
+         "t": pa.array([10, 20], type=pa.int64()),
+         "lv": pa.array([1.0, 2.0])}
+    )
+    rschema = pa.schema(
+        [("k", pa.int64()), ("t", pa.int64()), ("rv", pa.float64())]
+    )
+    # inner + empty right → zero rows, but Dataset.schema() must survive
+    # and downstream map_batches must still see TYPED zero-row batches
+    # (Ray's to_pandas drops columns for ANY all-empty dataset — callers
+    # needing a pandas-stable empty result materialize arrow themselves)
+    expect = ["k", "t", "lv", "t_r", "rv"]
+    out = asof_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rschema.empty_table()),
+        on="k", t_on="t", how="inner", shards=4, rschema=rschema,
+    )
+    assert out.count() == 0
+    assert out.schema().names == expect
+
+    def probe(b: pa.Table) -> pa.Table:
+        assert b.schema.names == expect, b.schema
+        return b
+
+    assert out.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    ).count() == 0
+    # empty LEFT too
+    out2 = asof_join(
+        ray.data.from_arrow(lt.schema.empty_table()),
+        ray.data.from_arrow(pa.table(
+            {"k": pa.array([1], type=pa.int64()),
+             "t": pa.array([5], type=pa.int64()),
+             "rv": pa.array([9.0])})),
+        on="k", t_on="t", shards=4, lschema=lt.schema,
+    )
+    assert out2.count() == 0
+    assert out2.schema().names == expect
