@@ -7,8 +7,7 @@ documents ↔ embeddings at corpus scale).  Ray Data 2.49 has no native
 join, so it is expressed with the primitives it does have:
 
 - each side is normalized onto one shared wide schema (its own columns
-  plus nulls for the other side's — validity bitmaps make the padding
-  ~free) and tagged with ``__side``;
+  plus nulls for the other side's) and tagged with ``__side``;
 - ONE hash-sharded shuffle co-locates both sides' rows for a key range
   (``groupby(shard)``, shard = splitmix64(key) & mask — NOT a groupby on
   the raw key, which would make one Python-level group per key);
@@ -21,6 +20,17 @@ concentrate in one shard — the standard mitigations (salt the hot keys,
 or pre-aggregate one side) apply and are the caller's choice, as in any
 shuffle-join engine.  Null join keys never match (SQL semantics) and are
 dropped at the shard stage.
+
+Exchange-byte note (measured, BASELINE.md "as-of join" row): the
+null padding is NOT free on the wire — ``pa.nulls(n, type)`` allocates
+and IPC-serializes the full fixed-width data buffer, so every row ships
+the WHOLE wide schema through the shuffle (~2× bytes for same-width
+sides; more when one side is wide).  Mitigation is the caller's column
+projection: select only the columns the join must carry (every registry
+caller does).  The exchange is therefore bandwidth-bound, a per-NODE
+resource that a real cluster multiplies with node count — on this
+single box it shows up as the flat 2→8 cpu wall time of the join
+microbenches, with per-stage compute scaling normally.
 """
 
 from __future__ import annotations

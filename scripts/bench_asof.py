@@ -29,6 +29,11 @@ def main() -> None:
         os.environ.get("RAY_GRAFT_CPUS", "32")
     )
 
+    # one Rust thread per Ray worker (inherited by workers): an unpinned
+    # polars pool (32 threads/task) oversubscribes the box and corrupts
+    # the parallelism-level scaling signal — same discipline as bench.py
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
     import ray
 
     if not ray.is_initialized():
