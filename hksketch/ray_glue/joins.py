@@ -25,12 +25,18 @@ Exchange-byte note (measured, BASELINE.md "as-of join" row): the
 null padding is NOT free on the wire — ``pa.nulls(n, type)`` allocates
 and IPC-serializes the full fixed-width data buffer, so every row ships
 the WHOLE wide schema through the shuffle (~2× bytes for same-width
-sides; more when one side is wide).  Mitigation is the caller's column
-projection: select only the columns the join must carry (every registry
-caller does).  The exchange is therefore bandwidth-bound, a per-NODE
-resource that a real cluster multiplies with node count — on this
-single box it shows up as the flat 2→8 cpu wall time of the join
-microbenches, with per-stage compute scaling normally.
+sides; more when one side is wide).  Mitigations: (a) caller column
+projection — select only the columns the join must carry (every
+registry caller does); (b) for the as-of join, the side-separated
+``exchange="refs"`` plan ships each row at its OWN width (measured 3×
+faster at 8 cpus on 6-value-column sides; the wide union stays better
+for 1-2-column sides, where its single overlapped shuffle beats the
+refs plan's two sequential exchanges).  The wide exchange is
+bandwidth-bound, a per-NODE resource that a real cluster multiplies
+with node count — on this single box it shows up as the flat 2→8 cpu
+wall time of the join microbenches, with per-stage compute scaling
+normally.  Porting the refs plan to ``hash_join`` is the analogous
+future step if wide-payload equi-joins show up in profiles.
 """
 
 from __future__ import annotations
@@ -502,6 +508,101 @@ def skew_join(
     return (ds, hot) if explain else ds
 
 
+def _asof_refs_exchange(left, right, on, t_on, right_on, right_t_on,
+                        ktype, shards, lfields, rfields, unrenamed,
+                        merge, wide_schema):
+    """Side-separated as-of exchange (``asof_join(exchange="refs")``):
+    each side ships ONLY its own columns — no null padding through the
+    shuffle.  The right side is grouped by shard once and materialized
+    as per-shard object-store blocks; the left side takes its own shard
+    exchange and every left group fetches exactly its shard's right
+    blocks (the ``dedup/pairverify`` per-shard-ref discipline — refs
+    travel in the task closure, rows never transit the driver).
+    Per-task memory: one left shard + its right shard, the same bound
+    as the wide path."""
+    import ray
+
+    def narrow(side: int, key_col: str, t_col: str, fields, srcs):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = batch.column(key_col)
+            tv = batch.column(t_col)
+            if side == 1:
+                keep = pc.and_(pc.is_valid(key), pc.is_valid(tv))
+                batch = batch.filter(keep)
+                key = batch.column(key_col)
+                tv = batch.column(t_col)
+            key = key.combine_chunks().cast(ktype)
+            shard = _key_shards(key, shards)
+            cols: dict = {
+                "__key": key,
+                "__t": tv.combine_chunks().cast(pa.int64()),
+                "__shard": pa.array(shard, type=pa.int32()),
+            }
+            for (name, typ), src in zip(fields, srcs):
+                cols[name] = batch.column(src).cast(typ)
+            return pa.table(cols)
+
+        return fn
+
+    rnarrow_schema = pa.schema(
+        [("__key", ktype), ("__t", pa.int64())]
+        + [(n, t) for n, t in rfields]
+    )
+    rnarrow = right.map_batches(
+        narrow(1, right_on, right_t_on, rfields,
+               [unrenamed[n] for n, _ in rfields]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    rparts = rnarrow.groupby("__shard").map_groups(
+        lambda g: g, batch_format="pyarrow"
+    ).materialize()
+    refs = rparts.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def shards_of(tab: pa.Table):
+        # blocks are one-group tables in the common case, but Ray may
+        # coalesce or split outputs — list every shard a block carries
+        if tab.num_rows == 0:
+            return []
+        u = np.unique(tab.column("__shard").to_numpy(zero_copy_only=False))
+        return [int(s) for s in u]
+
+    shard_refs: dict[int, list] = {}
+    for sids, ref in zip(ray.get([shards_of.remote(r) for r in refs]), refs):
+        for sid in sids:
+            shard_refs.setdefault(sid, []).append(ref)
+
+    lnarrow = left.map_batches(
+        narrow(0, on, t_on, lfields, [n for n, _ in lfields]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
+            return wide_schema.empty_table()
+        sid = g.column("__shard")[0].as_py()
+        blocks = shard_refs.get(sid, ())
+        if blocks:
+            picked = [
+                b.filter(
+                    pc.equal(b.column("__shard"), pa.scalar(sid, pa.int32()))
+                ).drop_columns(["__shard"])
+                for b in ray.get(list(blocks))
+            ]
+            rt_tab = pa.concat_tables(picked).combine_chunks()
+        else:
+            rt_tab = rnarrow_schema.empty_table()
+        return merge(g.drop_columns(["__shard"]), rt_tab)
+
+    return lnarrow.groupby("__shard").map_groups(
+        join_group, batch_format="pyarrow"
+    )
+
+
 def asof_join(
     left,
     right,
@@ -517,6 +618,7 @@ def asof_join(
     right_tiebreak: Optional[str] = None,
     lschema=None,
     rschema=None,
+    exchange: str = "wide",
 ):
     """Distributed AS-OF join: for every left row ``(key, t)`` attach the
     right row with the same key and the nearest time at-or-before it
@@ -561,6 +663,24 @@ def asof_join(
       unmatched) with name clashes suffixed — exactly the
       :func:`hash_join` contract.
 
+    ``exchange`` selects the physical shuffle:
+
+    - ``"wide"`` (default): both sides union onto one null-padded wide
+      schema and take ONE ``groupby(shard)`` exchange — fully streaming
+      on both inputs, but every row ships at full output width
+      (``pa.nulls`` padding serializes real bytes; see the module
+      docstring's exchange-byte note).
+    - ``"refs"``: side-separated exchange — each side ships ONLY its
+      own columns.  The right side is grouped by shard once and
+      MATERIALIZED as per-shard object-store blocks (the
+      ``dedup/pairverify`` per-shard-ref discipline); the left side
+      takes its own shard exchange and each left group fetches exactly
+      its shard's right blocks.  ~2× less exchange traffic for
+      same-width sides at the cost of right-side materialization —
+      prefer it when the right side fits the object store (it usually
+      does: the lookup side of a point-in-time join is the smaller
+      one).  Results are identical between modes (tested).
+
     Reference scope note: the reference engine has no joins; this is
     part of the engine-extension surface (SURVEY.md §2 custom
     operators: "as-of join, range join" — the range half lives in
@@ -579,6 +699,8 @@ def asof_join(
         )
     if tolerance is not None and tolerance <= 0:
         raise ValueError(f"tolerance must be > 0, got {tolerance}")
+    if exchange not in ("wide", "refs"):
+        raise ValueError(f"exchange must be 'wide' or 'refs', got {exchange!r}")
 
     if lschema is None:
         lschema = left.schema()
@@ -659,39 +781,25 @@ def asof_join(
 
         return fn
 
-    lnorm = left.map_batches(
-        norm(0, on, t_on), batch_format="pyarrow", zero_copy_batch=True
-    )
-    rnorm = right.map_batches(
-        norm(1, right_on, right_t_on), batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    both = lnorm.union(rnorm)
-
     wide_schema = pa.schema(
         [("__key", ktype), ("__t", pa.int64())]
         + [(n, t) for n, t in lfields]
         + [(n, t) for n, t in rfields]
     )
 
-    def asof_shard(grp: pa.Table) -> pa.Table:
+    def _merge(lt_tab: pa.Table, rt_tab: pa.Table) -> pa.Table:
+        """The ONE copy of the per-shard as-of resolution shared by both
+        exchange modes: ``lt_tab`` carries ``__key, __t`` + lfields,
+        ``rt_tab`` carries ``__key, __t`` + rfields; returns a
+        ``wide_schema`` table."""
         import warnings
 
         import polars as pl
 
-        if grp.num_rows == 0:
+        if lt_tab.num_rows == 0:
             return wide_schema.empty_table()
-        side = grp.column("__side").to_numpy(zero_copy_only=False)
-        lt = pl.from_arrow(
-            grp.select(["__key", "__t"] + [n for n, _ in lfields])
-            .filter(pa.array(side == 0))
-        )
-        rt = pl.from_arrow(
-            grp.select(["__key", "__t"] + [n for n, _ in rfields])
-            .filter(pa.array(side == 1))
-        )
-        if lt.height == 0:
-            return wide_schema.empty_table()
+        lt = pl.from_arrow(lt_tab)
+        rt = pl.from_arrow(rt_tab)
         # matched marker that survives even all-null right value columns
         rt = rt.with_columns(pl.col("__t").alias("__rt"))
         rsort = ["__t"] + ([tb_col] if tb_col is not None else [])
@@ -712,9 +820,36 @@ def asof_join(
             cols[f.name] = c.cast(f.type) if c.type != f.type else c
         return pa.table(cols)
 
-    out = both.groupby("__shard").map_groups(
-        asof_shard, batch_format="pyarrow"
-    )
+    if exchange == "wide":
+        lnorm = left.map_batches(
+            norm(0, on, t_on), batch_format="pyarrow", zero_copy_batch=True
+        )
+        rnorm = right.map_batches(
+            norm(1, right_on, right_t_on), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        both = lnorm.union(rnorm)
+
+        def asof_shard(grp: pa.Table) -> pa.Table:
+            if grp.num_rows == 0:
+                return wide_schema.empty_table()
+            side = grp.column("__side").to_numpy(zero_copy_only=False)
+            lt_tab = grp.select(
+                ["__key", "__t"] + [n for n, _ in lfields]
+            ).filter(pa.array(side == 0))
+            rt_tab = grp.select(
+                ["__key", "__t"] + [n for n, _ in rfields]
+            ).filter(pa.array(side == 1))
+            return _merge(lt_tab, rt_tab)
+
+        out = both.groupby("__shard").map_groups(
+            asof_shard, batch_format="pyarrow"
+        )
+    else:
+        out = _asof_refs_exchange(
+            left, right, on, t_on, right_on, right_t_on, ktype, shards,
+            lfields, rfields, unrenamed, _merge, wide_schema,
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         cols = {on: batch.column("__key")}

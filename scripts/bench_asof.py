@@ -5,7 +5,7 @@ n_keys instruments, int64 µs times), runs ray_glue.joins.asof_join
 end-to-end (consumed by count, never materialized to the driver), and
 prints one JSON line with wall time and rows/sec.  Usage:
 
-    python scripts/bench_asof.py [n_l] [n_r] [n_keys] [num_cpus]
+    python scripts/bench_asof.py [n_l] [n_r] [n_keys] [num_cpus] [exchange]
 """
 
 from __future__ import annotations
@@ -28,6 +28,7 @@ def main() -> None:
     cpus = int(sys.argv[4]) if len(sys.argv) > 4 else int(
         os.environ.get("RAY_GRAFT_CPUS", "32")
     )
+    exchange = sys.argv[5] if len(sys.argv) > 5 else "wide"
 
     # one Rust thread per Ray worker (inherited by workers): an unpinned
     # polars pool (32 threads/task) oversubscribes the box and corrupts
@@ -62,7 +63,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     out = asof_join(L, R, on="k", t_on="t", lschema=schema_l,
-                    rschema=schema_r)
+                    rschema=schema_r, exchange=exchange)
     import pyarrow.compute as pc
 
     def matched(b: pa.Table) -> pa.Table:
@@ -78,7 +79,7 @@ def main() -> None:
         "metric": "asof_join_sec", "value": round(wall, 3), "unit": "sec",
         "n_left": n_l, "n_right": n_r, "n_keys": n_keys,
         "rows_per_sec": round((n_l + n_r) / wall),
-        "matched": int(n_matched), "num_cpus": cpus,
+        "matched": int(n_matched), "num_cpus": cpus, "exchange": exchange,
         "load_avg": os.getloadavg(),
     }))
     ray.shutdown()

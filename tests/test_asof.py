@@ -36,13 +36,15 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(["k", "t", "lv"]).reset_index(drop=True)
 
 
-def test_backward_left_matches_duckdb(ray_session):
+@pytest.mark.parametrize("exchange", ["wide", "refs"])
+def test_backward_left_matches_duckdb(ray_session, exchange):
     import ray
 
     lt, rt = _rand_sides(7)
     out = asof_join(
         ray.data.from_arrow(lt), ray.data.from_arrow(rt),
         on="k", t_on="t", right_tiebreak="rid", shards=8,
+        exchange=exchange,
     ).to_pandas()
     con = duckdb.connect()
     con.register("l", lt.to_pandas())
@@ -62,14 +64,15 @@ def test_backward_left_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
 
 
-def test_forward_tolerance_inner_matches_duckdb(ray_session):
+@pytest.mark.parametrize("exchange", ["wide", "refs"])
+def test_forward_tolerance_inner_matches_duckdb(ray_session, exchange):
     import ray
 
     lt, rt = _rand_sides(11)
     out = asof_join(
         ray.data.from_arrow(lt), ray.data.from_arrow(rt),
         on="k", t_on="t", direction="forward", tolerance=500,
-        how="inner", right_tiebreak="rid", shards=8,
+        how="inner", right_tiebreak="rid", shards=8, exchange=exchange,
     ).to_pandas()
     con = duckdb.connect()
     con.register("l", lt.to_pandas())
@@ -90,7 +93,8 @@ def test_forward_tolerance_inner_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
 
 
-def test_nearest_matches_pandas_merge_asof(ray_session):
+@pytest.mark.parametrize("exchange", ["wide", "refs"])
+def test_nearest_matches_pandas_merge_asof(ray_session, exchange):
     import ray
 
     rng = np.random.default_rng(3)
@@ -106,6 +110,7 @@ def test_nearest_matches_pandas_merge_asof(ray_session):
     out = asof_join(
         ray.data.from_pandas(ldf), ray.data.from_pandas(rdf),
         on="k", t_on="t", direction="nearest", shards=8,
+        exchange=exchange,
     ).to_pandas()
     exp = pd.merge_asof(
         ldf.sort_values("t"), rdf.sort_values("t"),
@@ -119,7 +124,8 @@ def test_nearest_matches_pandas_merge_asof(ray_session):
     assert (got["rv"].fillna(-1.0) != exp["rv"].fillna(-1.0)).sum() == 0
 
 
-def test_null_contract_and_inner(ray_session):
+@pytest.mark.parametrize("exchange", ["wide", "refs"])
+def test_null_contract_and_inner(ray_session, exchange):
     import ray
 
     lt = pa.table(
@@ -134,7 +140,7 @@ def test_null_contract_and_inner(ray_session):
     )
     out = (
         asof_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
-                  on="k", t_on="t", shards=4)
+                  on="k", t_on="t", shards=4, exchange=exchange)
         .to_pandas().set_index("lv").sort_index()
     )
     # left null key / null time rows survive unmatched under LEFT
@@ -145,7 +151,7 @@ def test_null_contract_and_inner(ray_session):
     assert out.loc[4.0, "rv"] == 40.0
     inner = asof_join(
         ray.data.from_arrow(lt), ray.data.from_arrow(rt),
-        on="k", t_on="t", how="inner", shards=4,
+        on="k", t_on="t", how="inner", shards=4, exchange=exchange,
     ).to_pandas()
     assert sorted(inner["lv"]) == [1.0, 4.0]
 
@@ -193,6 +199,8 @@ def test_validation_errors(ray_session):
         asof_join(L, R, on="k", t_on="t", direction="up", shards=4)
     with pytest.raises(ValueError, match="tolerance"):
         asof_join(L, R, on="k", t_on="t", tolerance=0, shards=4)
+    with pytest.raises(ValueError, match="exchange"):
+        asof_join(L, R, on="k", t_on="t", shards=4, exchange="zip")
     with pytest.raises(TypeError, match="time columns"):
         asof_join(L, R, on="k", t_on="s", shards=4)
     with pytest.raises(KeyError, match="right_tiebreak"):
