@@ -27,16 +27,17 @@ and IPC-serializes the full fixed-width data buffer, so every row ships
 the WHOLE wide schema through the shuffle (~2× bytes for same-width
 sides; more when one side is wide).  Mitigations: (a) caller column
 projection — select only the columns the join must carry (every
-registry caller does); (b) for the as-of join, the side-separated
-``exchange="refs"`` plan ships each row at its OWN width (measured 3×
-faster at 8 cpus on 6-value-column sides; the wide union stays better
-for 1-2-column sides, where its single overlapped shuffle beats the
-refs plan's two sequential exchanges).  The wide exchange is
-bandwidth-bound, a per-NODE resource that a real cluster multiplies
-with node count — on this single box it shows up as the flat 2→8 cpu
-wall time of the join microbenches, with per-stage compute scaling
-normally.  Porting the refs plan to ``hash_join`` is the analogous
-future step if wide-payload equi-joins show up in profiles.
+registry caller does); (b) both ``asof_join`` and ``hash_join`` take
+``exchange="refs"``, the side-separated per-shard-ref plan
+(:func:`_refs_exchange`) that ships each row at its OWN width
+(measured 3× faster at 8 cpus on 6-value-column sides; the wide union
+stays the default — fully streaming, and better for 1-2-column sides,
+where its single overlapped shuffle beats the refs plan's two
+sequential exchanges; refs is left-driven, so full outer stays wide).
+The wide exchange is bandwidth-bound, a per-NODE resource that a real
+cluster multiplies with node count — on this single box it shows up as
+the flat 2→8 cpu wall time of the join microbenches, with per-stage
+compute scaling normally.
 """
 
 from __future__ import annotations
@@ -130,6 +131,7 @@ def hash_join(
     suffix: str = "_r",
     lschema=None,
     rschema=None,
+    exchange: str = "wide",
 ):
     """Equi-join two Datasets on an integer or string key; returns a
     Dataset.
@@ -146,6 +148,15 @@ def hash_join(
     an all-to-all (e.g. the output of another ``hash_join``): Ray can only
     infer that schema by RUNNING the whole shuffle, so chained joins
     without an explicit schema execute the inner join twice.
+
+    ``exchange``: ``"wide"`` (default — both sides union onto one
+    null-padded wide schema, ONE fully-streaming shuffle) or ``"refs"``
+    (side-separated per-shard-ref plan: each row ships at its OWN
+    width; the right side materializes as per-shard blocks — see
+    :func:`_refs_exchange` and the module docstring's exchange-byte
+    note; measured ~3× faster for wide-payload sides).  ``"refs"`` is
+    left-driven and rejects ``how="full"`` — a shard with only right
+    rows would produce no group.
     """
     import ray.data as rd
 
@@ -155,6 +166,13 @@ def hash_join(
     if how not in ("inner", "left", "full"):
         raise ValueError(
             f"how must be 'inner', 'left' or 'full', got {how!r}"
+        )
+    if exchange not in ("wide", "refs"):
+        raise ValueError(f"exchange must be 'wide' or 'refs', got {exchange!r}")
+    if exchange == "refs" and how == "full":
+        raise ValueError(
+            "exchange='refs' cannot express full outer (a shard with only "
+            "right rows produces no left group) — use exchange='wide'"
         )
 
     if lschema is None:  # `or` would discard a zero-field schema (falsy)
@@ -225,36 +243,22 @@ def hash_join(
 
         return fn
 
-    lnorm = left.map_batches(
-        norm(0, on), batch_format="pyarrow", zero_copy_batch=True
-    )
-    rnorm = right.map_batches(
-        norm(1, right_on), batch_format="pyarrow", zero_copy_batch=True
-    )
-    both = lnorm.union(rnorm)
-
     out_schema = pa.schema(
         [("__key", ktype)]
         + [(n, t) for n, t in lfields]
         + [(n, t) for n, t in rfields]
     )
 
-    def join_shard(grp: pa.Table) -> pa.Table:
+    def _equi_merge(lt_tab: pa.Table, rt_tab: pa.Table) -> pa.Table:
+        """The ONE copy of the per-shard equi-join shared by both
+        exchange modes: ``lt_tab`` carries ``__key`` + lfields,
+        ``rt_tab`` carries ``__key`` + rfields; returns an
+        ``out_schema`` table."""
         import polars as pl
 
-        if grp.num_rows == 0:
-            return out_schema.empty_table()
-        side = grp.column("__side").to_numpy(zero_copy_only=False)
-        lt = pl.from_arrow(
-            grp.select(["__key"] + [n for n, _ in lfields])
-            .filter(pa.array(side == 0))
-        )
-        rt = pl.from_arrow(
-            grp.select(["__key"] + [n for n, _ in rfields])
-            .filter(pa.array(side == 1))
-        )
-        j = lt.join(
-            rt, on="__key", how=how, maintain_order="left",
+        j = pl.from_arrow(lt_tab).join(
+            pl.from_arrow(rt_tab), on="__key", how=how,
+            maintain_order="left",
             coalesce=True if how == "full" else None,
         )
         t = j.to_arrow()
@@ -264,7 +268,67 @@ def hash_join(
             cols[f.name] = c.cast(f.type) if c.type != f.type else c
         return pa.table(cols)
 
-    out = both.groupby("__shard").map_groups(join_shard, batch_format="pyarrow")
+    if exchange == "wide":
+        lnorm = left.map_batches(
+            norm(0, on), batch_format="pyarrow", zero_copy_batch=True
+        )
+        rnorm = right.map_batches(
+            norm(1, right_on), batch_format="pyarrow", zero_copy_batch=True
+        )
+        both = lnorm.union(rnorm)
+
+        def join_shard(grp: pa.Table) -> pa.Table:
+            if grp.num_rows == 0:
+                return out_schema.empty_table()
+            side = grp.column("__side").to_numpy(zero_copy_only=False)
+            lt_tab = grp.select(
+                ["__key"] + [n for n, _ in lfields]
+            ).filter(pa.array(side == 0))
+            rt_tab = grp.select(
+                ["__key"] + [n for n, _ in rfields]
+            ).filter(pa.array(side == 1))
+            return _equi_merge(lt_tab, rt_tab)
+
+        out = both.groupby("__shard").map_groups(
+            join_shard, batch_format="pyarrow"
+        )
+    else:
+        def narrow(side: int, key_col: str, fields, srcs):
+            # same null-key rules as `norm` (how='full' is rejected above,
+            # so only the left side of a LEFT join keeps null keys)
+            keep_nulls = how == "left" and side == 0
+
+            def fn(batch: pa.Table) -> pa.Table:
+                key = batch.column(key_col)
+                if not keep_nulls:
+                    batch = batch.filter(pa.compute.is_valid(key))
+                    key = batch.column(key_col)
+                key = key.combine_chunks().cast(ktype)
+                shard = _key_shards(key, shards)
+                cols: dict = {
+                    "__key": key,
+                    "__shard": pa.array(shard, type=pa.int32()),
+                }
+                for (name, typ), src in zip(fields, srcs):
+                    cols[name] = batch.column(src).cast(typ)
+                return pa.table(cols)
+
+            return fn
+
+        rnarrow_schema = pa.schema(
+            [("__key", ktype)] + [(n, t) for n, t in rfields]
+        )
+        rnarrow = right.map_batches(
+            narrow(1, right_on, rfields, [unrenamed[n] for n, _ in rfields]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        lnarrow = left.map_batches(
+            narrow(0, on, lfields, [n for n, _ in lfields]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        out = _refs_exchange(
+            lnarrow, rnarrow, rnarrow_schema, _equi_merge, out_schema
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         cols = {on: batch.column("__key")}
@@ -508,19 +572,70 @@ def skew_join(
     return (ds, hot) if explain else ds
 
 
+def _refs_exchange(lnarrow, rnarrow, rnarrow_schema, merge, empty_schema):
+    """Side-separated shard exchange (``exchange="refs"`` of asof_join
+    and hash_join): both inputs are ALREADY narrow-normalized with a
+    ``__shard`` int32 column — each side ships ONLY its own columns, no
+    null padding through the shuffle.  The right side is grouped by
+    shard once and MATERIALIZED as per-shard object-store blocks; the
+    left side takes its own shard exchange and every left group fetches
+    exactly its shard's right blocks (the ``dedup/pairverify``
+    per-shard-ref discipline — refs travel in the task closure, rows
+    never transit the driver).  Per-task memory: one left shard + its
+    right shard, the same bound as the wide path.  LEFT-DRIVEN only: a
+    shard with right rows but no left rows produces no group, so
+    full-outer semantics must stay on the wide plan."""
+    import ray
+
+    rparts = rnarrow.groupby("__shard").map_groups(
+        lambda g: g, batch_format="pyarrow"
+    ).materialize()
+    refs = rparts.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def shards_of(tab: pa.Table):
+        # blocks are one-group tables in the common case, but Ray may
+        # coalesce or split outputs — list every shard a block carries
+        if tab.num_rows == 0:
+            return []
+        u = np.unique(tab.column("__shard").to_numpy(zero_copy_only=False))
+        return [int(s) for s in u]
+
+    shard_refs: dict[int, list] = {}
+    for sids, ref in zip(ray.get([shards_of.remote(r) for r in refs]), refs):
+        for sid in sids:
+            shard_refs.setdefault(sid, []).append(ref)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
+            return empty_schema.empty_table()
+        sid = g.column("__shard")[0].as_py()
+        blocks = shard_refs.get(sid, ())
+        if blocks:
+            picked = [
+                b.filter(
+                    pc.equal(b.column("__shard"), pa.scalar(sid, pa.int32()))
+                ).drop_columns(["__shard"])
+                for b in ray.get(list(blocks))
+            ]
+            rt_tab = pa.concat_tables(picked).combine_chunks()
+        else:
+            rt_tab = rnarrow_schema.empty_table()
+        return merge(g.drop_columns(["__shard"]), rt_tab)
+
+    return lnarrow.groupby("__shard").map_groups(
+        join_group, batch_format="pyarrow"
+    )
+
+
 def _asof_refs_exchange(left, right, on, t_on, right_on, right_t_on,
                         ktype, shards, lfields, rfields, unrenamed,
                         merge, wide_schema):
-    """Side-separated as-of exchange (``asof_join(exchange="refs")``):
-    each side ships ONLY its own columns — no null padding through the
-    shuffle.  The right side is grouped by shard once and materialized
-    as per-shard object-store blocks; the left side takes its own shard
-    exchange and every left group fetches exactly its shard's right
-    blocks (the ``dedup/pairverify`` per-shard-ref discipline — refs
-    travel in the task closure, rows never transit the driver).
-    Per-task memory: one left shard + its right shard, the same bound
-    as the wide path."""
-    import ray
+    """asof_join's ``exchange="refs"`` plan: build the two narrow sides
+    (own columns + ``__key, __t, __shard``) and hand them to the shared
+    :func:`_refs_exchange`."""
 
     def narrow(side: int, key_col: str, t_col: str, fields, srcs):
         def fn(batch: pa.Table) -> pa.Table:
@@ -555,52 +670,11 @@ def _asof_refs_exchange(left, right, on, t_on, right_on, right_t_on,
                [unrenamed[n] for n, _ in rfields]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    rparts = rnarrow.groupby("__shard").map_groups(
-        lambda g: g, batch_format="pyarrow"
-    ).materialize()
-    refs = rparts.to_arrow_refs()
-
-    @ray.remote(num_cpus=0.25)
-    def shards_of(tab: pa.Table):
-        # blocks are one-group tables in the common case, but Ray may
-        # coalesce or split outputs — list every shard a block carries
-        if tab.num_rows == 0:
-            return []
-        u = np.unique(tab.column("__shard").to_numpy(zero_copy_only=False))
-        return [int(s) for s in u]
-
-    shard_refs: dict[int, list] = {}
-    for sids, ref in zip(ray.get([shards_of.remote(r) for r in refs]), refs):
-        for sid in sids:
-            shard_refs.setdefault(sid, []).append(ref)
-
     lnarrow = left.map_batches(
         narrow(0, on, t_on, lfields, [n for n, _ in lfields]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-
-    def join_group(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if g.num_rows == 0:
-            return wide_schema.empty_table()
-        sid = g.column("__shard")[0].as_py()
-        blocks = shard_refs.get(sid, ())
-        if blocks:
-            picked = [
-                b.filter(
-                    pc.equal(b.column("__shard"), pa.scalar(sid, pa.int32()))
-                ).drop_columns(["__shard"])
-                for b in ray.get(list(blocks))
-            ]
-            rt_tab = pa.concat_tables(picked).combine_chunks()
-        else:
-            rt_tab = rnarrow_schema.empty_table()
-        return merge(g.drop_columns(["__shard"]), rt_tab)
-
-    return lnarrow.groupby("__shard").map_groups(
-        join_group, batch_format="pyarrow"
-    )
+    return _refs_exchange(lnarrow, rnarrow, rnarrow_schema, merge, wide_schema)
 
 
 def asof_join(

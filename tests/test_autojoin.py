@@ -355,3 +355,37 @@ def test_full_outer_rejected_on_broadcast(ray_session):
                          lschema=LT.schema, rschema=RT.schema, shards=8)
     assert plan == "hash"
     assert ds.count() > 0
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_refs_exchange_matches_duckdb(ray_session, how):
+    """exchange='refs' (side-separated per-shard-ref plan) must be
+    row-identical to the wide plan and to DuckDB — dup keys, null keys
+    (left-side nulls survive a LEFT join), suffixing."""
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join
+
+    l = rd.from_arrow(LT).repartition(3)
+    r = rd.from_arrow(RT)
+    got = _got(hash_join(l, r, on="k", how=how, shards=4,
+                         lschema=LT.schema, rschema=RT.schema,
+                         exchange="refs"))
+    w = _want(how)
+    assert len(got) == len(w)
+    pd.testing.assert_frame_equal(got, w, check_dtype=False)
+
+
+def test_hash_join_refs_rejects_full_and_bad_exchange(ray_session):
+    import ray.data as rd
+
+    from hksketch.ray_glue.joins import hash_join
+
+    l = rd.from_arrow(LT)
+    r = rd.from_arrow(RT)
+    with pytest.raises(ValueError, match="full outer"):
+        hash_join(l, r, on="k", how="full", shards=4, exchange="refs",
+                  lschema=LT.schema, rschema=RT.schema)
+    with pytest.raises(ValueError, match="exchange"):
+        hash_join(l, r, on="k", shards=4, exchange="zip",
+                  lschema=LT.schema, rschema=RT.schema)
