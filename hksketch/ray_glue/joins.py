@@ -422,6 +422,7 @@ def auto_join(
     shards: int | str = "auto",
     broadcast_threshold_rows: int = 1_000_000,
     explain: bool = False,
+    exchange: str = "wide",
 ):
     """Join with the physical plan chosen from Parquet-footer row
     estimates (the planner decision every SQL engine makes): a right
@@ -429,7 +430,9 @@ def auto_join(
     zero-shuffle, left streams — otherwise both sides take the sharded
     :func:`hash_join`.  An unknown estimate (non-file-backed side)
     conservatively hash-joins.  ``explain=True`` returns
-    ``(dataset, "broadcast" | "hash")`` for plan assertions."""
+    ``(dataset, "broadcast" | "hash")`` for plan assertions.
+    ``exchange`` passes through to the sharded plan (ignored by the
+    broadcast plan, which has no shuffle at all)."""
     from .partitioning import estimate_rows
 
     est = estimate_rows(right)
@@ -446,6 +449,7 @@ def auto_join(
         ds = hash_join(
             left, right, on, right_on=right_on, how=how, suffix=suffix,
             shards=shards, lschema=lschema, rschema=rschema,
+            exchange=exchange,
         )
         plan = "hash"
     return (ds, plan) if explain else ds

@@ -156,7 +156,8 @@ def test_null_contract_and_inner(ray_session, exchange):
     assert sorted(inner["lv"]) == [1.0, 4.0]
 
 
-def test_timestamp_and_string_keys_preserve_types(ray_session):
+@pytest.mark.parametrize("exchange", ["wide", "refs"])
+def test_timestamp_and_string_keys_preserve_types(ray_session, exchange):
     import ray
 
     lt = pa.table(
@@ -175,7 +176,7 @@ def test_timestamp_and_string_keys_preserve_types(ray_session):
          "rv": pa.array([7, 8], type=pa.int64())}
     )
     ds = asof_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
-                   on="k", t_on="ts", shards=4)
+                   on="k", t_on="ts", shards=4, exchange=exchange)
     sch = ds.schema()
     types = dict(zip(sch.names, sch.types))
     assert types["ts"] == pa.timestamp("us")
